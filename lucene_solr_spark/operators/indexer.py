@@ -1,0 +1,325 @@
+"""Distributed inverted-index build — the IndexWriter/DWPT analog, Spark-first.
+
+Reference pipeline being re-expressed (SURVEY.md §3.3):
+  DocumentsWriterPerThread -> DefaultIndexingChain#processDocument
+  -> TermsHashPerField#add -> FreqProxTermsWriter#flush
+  -> Lucene84PostingsWriter (128-doc FOR blocks + impacts)
+  -> BlockTreeTermsWriter (terms dict) / NormsConsumer (byte norms)
+
+Spark restatement (one wide shuffle for the whole postings build):
+
+  Stage A (narrow, per input partition — the DWPT analog):
+    mapInPandas: tokenize (pinned spec) -> per-doc term counts. Each doc
+    lives in exactly one partition, so per-batch pandas value_counts gives
+    COMPLETE (term, doc) freqs with no shuffle; also emits one doc-summary
+    row (dl, norm byte) per doc.
+
+  Stage B (the only token-stream shuffle):
+    groupBy(term, bucket) -> applyInPandas block builder. ``bucket`` =
+    doc_id // bucket_docs partitions the doc space, so even a stopword-grade
+    hot term ('import', 'return') never forms a group larger than
+    bucket_docs docs — this is the skew answer demanded by north_star
+    (two-phase/salted aggregation with a *deterministic* salt that block
+    layout can exploit: blocks never cross bucket boundaries, so buckets
+    are independently scorable and mergeable).
+
+  terms dict  = agg over block rows (cheap, post-compression).
+  docmap      = original rows joined with doc summaries (narrow join).
+  stats       = one tiny agg (docCount, sumTotalTermFreq -> avgdl).
+
+Determinism: doc_ids are dense ranks over (repo, path, commit) — see
+``assign_doc_ids`` — so any parallelism yields identical ids, postings and
+scores (Lucene index-sort analog, SURVEY.md §1.3).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import packing
+from ..functions.analysis import tokenize_pandas
+from ..functions.smallfloat import byte4_to_int_np, int_to_byte4_np
+from ..sources.catalog import (
+    Catalog,
+    Segment,
+    SegmentStats,
+    new_segment_id,
+    phase_complete,
+    write_table,
+)
+
+DEFAULT_BUCKET_DOCS = 8192  # 64 full 128-doc blocks per term per bucket
+
+_STAGE_A_SCHEMA = (
+    "kind tinyint, doc_id long, term string, freq int, dl long, norm_byte int"
+)
+
+_BLOCK_SCHEMA = (
+    "term string, bucket long, block_idx int, first_doc long, last_doc long, "
+    "n_docs int, sum_freq long, max_freq int, min_dl long, "
+    "doc_bin binary, freq_bin binary, norm_bin binary"
+)
+
+
+def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> DataFrame:
+    """Deterministic dense doc_id = global rank over ``keys`` ordering.
+
+    Scalable two-pass scheme (no global single-partition window):
+    range-partition by keys, count rows per range partition, convert the
+    counts to offsets, then doc_id = offset(pid) + row_number within pid.
+    The intermediate is persisted so both passes see identical range bounds.
+    """
+    d = (
+        df.repartitionByRange(partitions, *[F.col(k) for k in keys])
+        .sortWithinPartitions(*keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_df = d.sparkSession.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
+    )
+    w = Window.partitionBy("_pid").orderBy(*keys)
+    out = (
+        d.withColumn("_rn", F.row_number().over(w) - 1)
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
+        .drop("_pid", "_rn", "_off")
+    )
+    return out
+
+
+def _stage_a(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Tokenize + per-doc term counting (complete, not partial — each doc is
+    wholly inside one batch). Emits kind=0 doc-summary rows and kind=1 tf rows."""
+    for pdf in doc_batches:
+        if len(pdf) == 0:
+            continue
+        toks = tokenize_pandas(pdf["content"])
+        dl = toks.map(len).to_numpy(dtype=np.int64)
+        norm = int_to_byte4_np(dl).astype(np.int32)
+        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+        yield pd.DataFrame(
+            {
+                "kind": np.int8(0),
+                "doc_id": doc_ids,
+                "term": None,
+                "freq": np.int32(0),
+                "dl": dl,
+                "norm_byte": norm,
+            }
+        )
+        # explode + count, vectorized across the whole batch
+        lens = dl
+        if lens.sum() == 0:
+            continue
+        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+        flat_docs = np.repeat(doc_ids, lens)
+        flat_norms = np.repeat(norm, lens)
+        tf = (
+            pd.DataFrame({"doc_id": flat_docs, "term": flat_terms, "norm_byte": flat_norms})
+            .groupby(["doc_id", "term"], sort=False)
+            .agg(freq=("term", "size"), norm_byte=("norm_byte", "first"))
+            .reset_index()
+        )
+        yield pd.DataFrame(
+            {
+                "kind": np.int8(1),
+                "doc_id": tf["doc_id"].astype(np.int64),
+                "term": tf["term"],
+                "freq": tf["freq"].astype(np.int32),
+                "dl": np.int64(0),
+                "norm_byte": tf["norm_byte"].astype(np.int32),
+            }
+        )
+
+
+def _build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (term, bucket) group -> FOR-packed 128-doc posting blocks with
+    impacts. Lucene84PostingsWriter + CompetitiveImpactAccumulator analog."""
+    term = pdf["term"].iloc[0]
+    bucket = int(pdf["bucket"].iloc[0])
+    g = pdf.sort_values("doc_id")
+    doc_ids = g["doc_id"].to_numpy(dtype=np.uint64)
+    freqs = g["freq"].to_numpy(dtype=np.uint64)
+    norms = g["norm_byte"].to_numpy(dtype=np.uint8)
+    dls = byte4_to_int_np(norms)
+    rows = []
+    for bi, lo in enumerate(range(0, len(doc_ids), packing.BLOCK_SIZE)):
+        hi = min(lo + packing.BLOCK_SIZE, len(doc_ids))
+        ids = doc_ids[lo:hi]
+        fr = freqs[lo:hi]
+        nb = norms[lo:hi]
+        rows.append(
+            {
+                "term": term,
+                "bucket": bucket,
+                "block_idx": bi,
+                "first_doc": int(ids[0]),
+                "last_doc": int(ids[-1]),
+                "n_docs": int(hi - lo),
+                "sum_freq": int(fr.sum()),
+                "max_freq": int(fr.max()),
+                "min_dl": int(dls[lo:hi].min()),
+                "doc_bin": packing.pack_ints(packing.delta_encode(ids)),
+                "freq_bin": packing.pack_ints(fr),
+                "norm_bin": nb.tobytes(),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def build_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    out_dir: str | None = None,
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    term_partitions: int | None = None,
+    segment_id: str | None = None,
+) -> Segment:
+    """Build one immutable segment from a corpus DataFrame.
+
+    ``corpus`` must have (repo, path, commit, lang, content[, content_sha256,
+    doc_id]). Missing doc_id -> deterministic dense-rank assignment; missing
+    sha -> stamped here (ingest is the stamping point per input_hint).
+
+    ``out_dir=None`` -> in-memory segment (DataFrames persisted);
+    otherwise staged, phase-resumable parquet writes under
+    ``{out_dir}/{segment_id}/`` with a JSON manifest (lineage + metrics).
+    """
+    if "content_sha256" not in corpus.columns:
+        corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+    if "doc_id" not in corpus.columns:
+        corpus = assign_doc_ids(corpus, ["repo", "path", "commit"])
+
+    seg_id = segment_id or new_segment_id()
+    seg_path = os.path.join(out_dir, seg_id) if out_dir else None
+    if seg_path:
+        os.makedirs(seg_path, exist_ok=True)
+
+    shuffle_n = term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    docs = corpus.select(
+        "doc_id", "repo", "path", "commit", "lang", "content", "content_sha256"
+    )
+
+    # ---- Phase A: analyze (tokenize + complete per-doc term counts) -------
+    stage_a = docs.select("doc_id", "content").mapInPandas(_stage_a, _STAGE_A_SCHEMA)
+
+    if seg_path:
+        if not phase_complete(seg_path, "tfdoc"):
+            write_table(stage_a, seg_path, "tfdoc")
+        stage_a = spark.read.parquet(os.path.join(seg_path, "tfdoc"))
+    else:
+        stage_a = stage_a.persist()
+
+    doclen = stage_a.filter(F.col("kind") == 0).select("doc_id", "dl", "norm_byte")
+    tf = stage_a.filter(F.col("kind") == 1).select(
+        "doc_id", "term", "freq", "norm_byte"
+    )
+
+    # ---- docmap (stored-fields / norms analog; late-materialization target)
+    docmap = docs.drop("content").join(doclen, "doc_id")
+
+    # ---- Phase B: postings blocks (the one token-stream shuffle) ----------
+    blocks = (
+        tf.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long"))
+        .repartition(shuffle_n, "term", "bucket")
+        .groupBy("term", "bucket")
+        .applyInPandas(_build_blocks, _BLOCK_SCHEMA)
+    )
+
+    # ---- terms dictionary (BlockTreeTermsWriter analog: sorted + stats) ---
+    def _terms_from(blocks_df: DataFrame) -> DataFrame:
+        return blocks_df.groupBy("term").agg(
+            F.sum("n_docs").cast("long").alias("df"),
+            F.sum("sum_freq").cast("long").alias("ttf"),
+            F.max("max_freq").alias("max_freq"),
+            F.min("min_dl").alias("min_dl"),
+        )
+
+    if seg_path:
+        if not phase_complete(seg_path, "postings"):
+            write_table(
+                blocks.repartitionByRange(shuffle_n, "term").sortWithinPartitions(
+                    "term", "bucket", "block_idx"
+                ),
+                seg_path,
+                "postings",
+            )
+        postings = spark.read.parquet(os.path.join(seg_path, "postings"))
+        if not phase_complete(seg_path, "terms"):
+            write_table(
+                _terms_from(postings).repartitionByRange(
+                    max(shuffle_n // 4, 1), "term"
+                ).sortWithinPartitions("term"),
+                seg_path,
+                "terms",
+            )
+        terms = spark.read.parquet(os.path.join(seg_path, "terms"))
+        if not phase_complete(seg_path, "docmap"):
+            write_table(
+                docmap.repartitionByRange(max(shuffle_n // 4, 1), "doc_id")
+                .sortWithinPartitions("doc_id"),
+                seg_path,
+                "docmap",
+            )
+        docmap = spark.read.parquet(os.path.join(seg_path, "docmap"))
+    else:
+        postings = blocks.persist()
+        terms = _terms_from(postings).persist()
+        docmap = docmap.persist()
+
+    # ---- stats + manifest (lineage/metrics) --------------------------------
+    agg = docmap.agg(
+        F.count("*").alias("n"), F.sum("dl").alias("sum_ttf")
+    ).collect()[0]
+    pagg = postings.agg(
+        F.count("*").alias("nblocks"),
+        F.sum("n_docs").alias("n_postings"),
+        F.sum(F.length("doc_bin") + F.length("freq_bin") + F.length("norm_bin")).alias(
+            "packed"
+        ),
+    ).collect()[0]
+    nterms = terms.count()
+    stats = SegmentStats(
+        n_docs=int(agg["n"]),
+        sum_ttf=int(agg["sum_ttf"] or 0),
+        n_terms=int(nterms),
+        n_postings=int(pagg["n_postings"] or 0),
+        packed_bytes=int(pagg["packed"] or 0),
+        bucket_docs=bucket_docs,
+    )
+    seg = Segment(segment_id=seg_id, stats=stats, path=seg_path)
+    seg.dfs = {"docmap": docmap, "terms": terms, "postings": postings}
+    if seg_path:
+        seg.save_manifest(
+            phases={
+                "tfdoc": "complete",
+                "postings": f"complete ({int(pagg['nblocks'])} blocks)",
+                "terms": "complete",
+                "docmap": "complete",
+                "metrics": {
+                    "docs_indexed": stats.n_docs,
+                    "postings_written": stats.n_postings,
+                    "bytes_compressed": stats.packed_bytes,
+                },
+            }
+        )
+    return seg
+
+
+def build_catalog_segment(
+    spark: SparkSession, corpus: DataFrame, catalog: Catalog, **kw
+) -> Segment:
+    return build_index(spark, corpus, out_dir=catalog.root, **kw)

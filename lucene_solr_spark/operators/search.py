@@ -1,0 +1,231 @@
+"""Top-k BM25 search over segment tables — IndexSearcher analog, Spark-first.
+
+Reference lifecycle being re-expressed (SURVEY.md §3.1):
+  IndexSearcher#search -> Weight (stats pre-pass) -> per-leaf Scorer DAG
+  (TermScorer / WANDScorer + ImpactsDISI block skipping)
+  -> TopScoreDocCollector per leaf -> TopDocs#merge
+
+Spark restatement:
+  * stats pre-pass: query-term rows from the ``terms`` table (tiny collect —
+    the broadcast side of the plan; ExactStatsCache analog is free because
+    our stats are global by construction).
+  * postings scan: ``postings.filter(term.isin(...))`` — the postings table
+    is range-partitioned + sorted by term, so parquet row-group min/max stats
+    prune everything else (the FST terms-index analog).
+  * per-leaf scoring: applyInPandas grouped by ``bucket`` (the doc-space
+    bucket fixed at build time — every term's blocks are aligned to it, so a
+    bucket is a self-contained "leaf"). Inside: numpy decode + float32 BM25,
+    optionally with block-max pruning (WAND analog — see ``_score_bucket``).
+  * merge: per-bucket top-k -> global ``orderBy(score desc, doc_id asc)
+    .limit(k)`` — TopDocs#merge with the pinned tie-break.
+  * late materialization: display fields joined from ``docmap`` only AFTER
+    the limit (QueryComponent#distributedProcess two-phase retrieval analog).
+
+Float32 parity (SURVEY.md §4.3): per-doc scores are accumulated in float32
+in lexicographic term order in BOTH paths; WAND pruning uses float64 upper
+bounds with a safety factor, then re-accumulates survivors in the pinned
+order, so pruning never changes a reported score.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.analysis import tokenize_text
+from ..functions.packing import delta_decode, unpack_ints
+from ..sources.catalog import Segment
+from . import bm25
+
+_TOPK_SCHEMA = "doc_id long, score float"
+
+
+@dataclass
+class TermStats:
+    term: str
+    df: int
+    idf: float
+
+
+class Searcher:
+    def __init__(self, spark: SparkSession, segment: Segment):
+        self.spark = spark
+        self.segment = segment
+        self.stats = segment.stats
+        self.postings = segment.table(spark, "postings")
+        self.terms = segment.table(spark, "terms")
+        self.docmap = segment.table(spark, "docmap")
+        self._cache = bm25.norm_cache(self.stats.avgdl)
+
+    # -- Weight#createWeight analog: per-query stats pre-pass ---------------
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        if not terms:
+            return {}
+        rows = self.terms.filter(F.col("term").isin(terms)).collect()
+        out = {}
+        for r in rows:
+            out[r["term"]] = TermStats(
+                term=r["term"], df=int(r["df"]), idf=bm25.idf(self.stats.n_docs, int(r["df"]))
+            )
+        return out
+
+    def topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "wand",
+        op: str = "or",
+    ) -> DataFrame:
+        """Top-k BM25. ``mode``: 'wand' (block-max pruning) or 'exhaustive'.
+        ``op``: 'or' (disjunction, sum of matching terms) or 'and'
+        (conjunction: doc must contain every query term)."""
+        q_terms = sorted(set(tokenize_text(query_text)))
+        stats = self.term_stats(q_terms)
+        matched = sorted(stats)  # lexicographic — pinned summation order
+        if not matched or (op == "and" and len(matched) < len(q_terms)):
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+
+        idfs = {t: np.float32(stats[t].idf) for t in matched}
+        cache = self._cache
+        use_wand = mode == "wand" and op == "or"
+        n_terms = len(matched)
+        avgdl = self.stats.avgdl
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_bucket(
+                pdf, idfs, cache, k, op, n_terms, avgdl, use_wand
+            )
+
+        rows = self.postings.filter(F.col("term").isin(matched))
+        per_bucket = rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
+        """Two-phase retrieval: ids+scores first, docmap fields after limit."""
+        hits = self.topk(query_text, k, **kw)
+        return hits.join(self.docmap, "doc_id", "left").orderBy(
+            F.desc("score"), F.asc("doc_id")
+        )
+
+
+def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = delta_decode(unpack_ints(row.doc_bin)).astype(np.int64)
+    freqs = unpack_ints(row.freq_bin)
+    norms = np.frombuffer(row.norm_bin, dtype=np.uint8)
+    return ids, freqs, norms
+
+
+def _score_bucket(
+    pdf: pd.DataFrame,
+    idfs: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    op: str,
+    n_query_terms: int,
+    avgdl: float,
+    use_wand: bool,
+) -> pd.DataFrame:
+    """Score one doc-space bucket (a 'leaf'). Returns its local top-k."""
+    base = int(pdf["first_doc"].min())
+    span = int(pdf["last_doc"].max()) - base + 1
+    acc = np.zeros(span, dtype=np.float32)
+    hit = np.zeros(span, dtype=np.int16)
+    terms_sorted = sorted(idfs)  # lexicographic accumulation order (pinned)
+    by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+
+    decoded: dict[str, list[tuple[np.ndarray, np.ndarray]]] = {t: [] for t in terms_sorted}
+
+    if not use_wand:
+        for t in terms_sorted:
+            g = by_term.get(t)
+            if g is None:
+                continue
+            for row in g.itertuples():
+                ids, freqs, norms = _decode_block(row)
+                decoded[t].append((ids - base, bm25.score_block(freqs, norms, idfs[t], cache)))
+    else:
+        # ---- block-max WAND (columnar variant) -----------------------------
+        # Upper bounds in float64 with a safety factor so float32 scoring can
+        # never exceed them; process terms by descending bound; a block is
+        # decoded only if (max partial in its doc range) + (its bound) +
+        # (bound of all unprocessed terms) can reach the current threshold
+        # theta = k-th largest partial accumulated so far. Survivor blocks are
+        # re-accumulated afterwards in lexicographic order (exact float32).
+        SAFETY = 1.0 + 1e-5
+        term_rows = []
+        for t in terms_sorted:
+            g = by_term.get(t)
+            if g is None:
+                continue
+            bub = (
+                float(idfs[t])
+                * (g["max_freq"].to_numpy() /
+                   (g["max_freq"].to_numpy()
+                    + bm25.K1 * (1 - bm25.B + bm25.B * g["min_dl"].to_numpy() / max(avgdl, 1e-9))))
+            ) * SAFETY
+            term_rows.append((t, g, bub, float(bub.max())))
+        term_rows.sort(key=lambda x: -x[3])
+        ubs = [x[3] for x in term_rows]
+        suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
+        wacc = np.zeros(span, dtype=np.float64)  # pruning-side partials
+        for i, (t, g, bub, _) in enumerate(term_rows):
+            if span > 2 * k:
+                theta = np.partition(wacc, span - k)[span - k]
+            else:
+                theta = 0.0
+            rem = suffix[i + 1]
+            firsts = g["first_doc"].to_numpy() - base
+            lasts = g["last_doc"].to_numpy() - base
+            for j, row in enumerate(g.itertuples()):
+                lo, hi = int(firsts[j]), int(lasts[j])
+                if theta > 0.0 and wacc[lo : hi + 1].max() + bub[j] + rem < theta:
+                    continue  # block skipped — never decoded
+                ids, freqs, norms = _decode_block(row)
+                sc = bm25.score_block(freqs, norms, idfs[t], cache)
+                rel = ids - base
+                decoded[t].append((rel, sc))
+                wacc[rel] += sc.astype(np.float64)
+
+    # ---- final accumulation: lexicographic term order, float32 ------------
+    for t in terms_sorted:
+        for rel, sc in decoded[t]:
+            acc[rel] += sc  # float32 in-place
+            hit[rel] += 1
+
+    if op == "and":
+        mask = hit == n_query_terms
+    else:
+        mask = hit > 0
+    nz = np.nonzero(mask)[0]
+    if nz.size == 0:
+        return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)})
+    scores = acc[nz]
+    kk = min(k, nz.size)
+    # top-k by (-score, doc_id): lexsort on (doc_id asc) then stable by -score
+    order = np.lexsort((nz, -scores))[:kk]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype(np.int64), "score": scores[order]}
+    )
+
+
+def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> DataFrame:
+    """All matching docs with scores (no top-k) — for tests/debug."""
+    q_terms = sorted(set(tokenize_text(query_text)))
+    stats = searcher.term_stats(q_terms)
+    matched = sorted(stats)
+    if not matched:
+        return searcher.spark.createDataFrame([], _TOPK_SCHEMA)
+    idfs = {t: np.float32(stats[t].idf) for t in matched}
+    cache = searcher._cache
+    big_k = searcher.stats.n_docs  # no truncation
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_bucket(pdf, idfs, cache, big_k, op, len(matched), searcher.stats.avgdl, False)
+
+    rows = searcher.postings.filter(F.col("term").isin(matched))
+    return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)

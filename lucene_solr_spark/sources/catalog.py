@@ -1,0 +1,127 @@
+"""Segment catalog: parquet tables in an Iceberg-shaped layout + build manifest.
+
+Reference analogs:
+- Segment / SegmentInfos (lucene/core/.../index/SegmentInfo.java,
+  SegmentInfos.java): an index is a set of immutable segments; ours is a set
+  of segment directories, each holding docmap/terms/postings parquet tables
+  plus a JSON manifest (stats + lineage).
+- Transaction log / recovery (solr/core/.../update/TransactionLog.java,
+  UpdateLog.java): our manifest records per-phase completion with input
+  fingerprints and metrics, so a killed build resumes by skipping completed
+  phases (writes are directory-atomic: tmp dir + rename).
+
+No Iceberg runtime jar exists in this sandbox, so the layout is plain parquet
+behind this thin adapter; on a real cluster the same call sites would target
+Iceberg tables (bucket(N, term) partition transform, snapshot commits).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+MANIFEST = "_MANIFEST.json"
+TABLES = ("docmap", "terms", "postings")
+
+
+@dataclass
+class SegmentStats:
+    n_docs: int = 0
+    sum_ttf: int = 0          # sum of raw (unquantized) doc lengths
+    n_terms: int = 0
+    n_postings: int = 0       # total (term, doc) pairs
+    packed_bytes: int = 0     # compressed posting-block bytes
+    bucket_docs: int = 8192   # doc-space bucket width (block grid alignment)
+
+    @property
+    def avgdl(self) -> float:
+        return self.sum_ttf / self.n_docs if self.n_docs else 0.0
+
+
+@dataclass
+class Segment:
+    """Handle to one immutable segment: either on-disk (path) or in-memory
+    DataFrames (tests / ephemeral driver queries)."""
+
+    segment_id: str
+    stats: SegmentStats
+    path: str | None = None
+    dfs: dict[str, DataFrame] = field(default_factory=dict)
+
+    def table(self, spark: SparkSession, name: str) -> DataFrame:
+        if name in self.dfs:
+            return self.dfs[name]
+        assert self.path, f"segment has no path and no cached df for {name}"
+        return spark.read.parquet(os.path.join(self.path, name))
+
+    def save_manifest(self, phases: dict[str, Any] | None = None) -> None:
+        assert self.path
+        doc = {
+            "segment_id": self.segment_id,
+            "stats": self.stats.__dict__,
+            "phases": phases or {},
+            "written_at": time.time(),
+        }
+        tmp = os.path.join(self.path, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(doc, f, indent=2)
+        os.replace(tmp, os.path.join(self.path, MANIFEST))
+
+    @classmethod
+    def load(cls, path: str) -> "Segment":
+        with open(os.path.join(path, MANIFEST)) as f:
+            doc = json.load(f)
+        return cls(
+            segment_id=doc["segment_id"],
+            stats=SegmentStats(**doc["stats"]),
+            path=path,
+        )
+
+
+def new_segment_id() -> str:
+    return uuid.uuid4().hex[:12]
+
+
+def write_table(df: DataFrame, seg_path: str, name: str) -> None:
+    """Directory-atomic table write: parquet to tmp, rename into place.
+    (Parquet job commit is already all-or-nothing per attempt; the rename
+    makes phase completion atomic for the resume check.)"""
+    final = os.path.join(seg_path, name)
+    tmp = final + f".tmp-{uuid.uuid4().hex[:6]}"
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(final):
+        shutil.rmtree(final)
+    os.replace(tmp, final)
+
+
+def phase_complete(seg_path: str, name: str) -> bool:
+    marker = os.path.join(seg_path, name, "_SUCCESS")
+    return os.path.exists(marker)
+
+
+class Catalog:
+    """A directory of segments = the index (SegmentInfos analog)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def segments(self) -> list[Segment]:
+        out = []
+        for d in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, d)
+            if os.path.isdir(p) and os.path.exists(os.path.join(p, MANIFEST)):
+                out.append(Segment.load(p))
+        return out
+
+    def drop(self, segment_id: str) -> None:
+        p = os.path.join(self.root, segment_id)
+        if os.path.isdir(p):
+            shutil.rmtree(p)

@@ -1,0 +1,138 @@
+"""Pure-Python scalar BM25 oracle — the pinned Lucene-semantics stand-in.
+
+/root/reference was empty and no Lucene binary exists in the sandbox
+(SURVEY.md provenance note), so this oracle IS the executable ground truth
+for rank-identity (BASELINE.json#north_star). It is deliberately scalar and
+independent of the engine's vectorized code paths: its own ``re`` tokenizer,
+its own scalar SmallFloat, per-doc Python loops. pytest asserts the Spark
+engine is rank- and float32-score-identical to it.
+
+Semantics pinned per SURVEY.md §4.3 / FIXTURES.md §4-5:
+- tokenizer spec v1 (NFC, \\w runs, snake/camel/digit splits, lowercase)
+- BM25: idf = ln(1+(N-df+0.5)/(df+0.5)); tf_part = f/(f+k1*(1-b+b*dl/avgdl));
+  k1=1.2 b=0.75; NO (k1+1) numerator (Lucene 8, LUCENE-8563)
+- dl byte4-quantized via SmallFloat intToByte4/byte4ToInt; the denominator
+  addend precomputed float32 per the 256-entry cache
+- float32 scores, lexicographic term summation order
+- tie-break: score desc, doc_id asc
+"""
+
+from __future__ import annotations
+
+import math
+import re
+import unicodedata
+from collections import Counter
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+_WORD_SPLIT = re.compile(r"\W+")
+_RULES = [
+    (re.compile(r"_"), " "),
+    (re.compile(r"([A-Z]+)([A-Z][a-z])"), r"\1 \2"),
+    (re.compile(r"([a-z])([A-Z])"), r"\1 \2"),
+    (re.compile(r"([A-Za-z])([0-9])"), r"\1 \2"),
+    (re.compile(r"([0-9])([A-Za-z])"), r"\1 \2"),
+]
+
+
+def tokenize(text: str) -> list[str]:
+    s = unicodedata.normalize("NFC", text or "")
+    s = _WORD_SPLIT.sub(" ", s)
+    for pat, rep in _RULES:
+        s = pat.sub(rep, s)
+    return [t for t in s.lower().split() if t]
+
+
+def int_to_int4(i: int) -> int:
+    if i < 8:
+        return i
+    shift = i.bit_length() - 4
+    return ((shift + 1) << 3) | ((i >> shift) & 7)
+
+
+def int4_to_int(i: int) -> int:
+    if i < 8:
+        return i
+    return ((i & 7) | 8) << ((i >> 3) - 1)
+
+
+def int_to_byte4(i: int) -> int:
+    return i if i < 24 else 24 + int_to_int4(i - 24)
+
+
+def byte4_to_int(b: int) -> int:
+    return b if b < 24 else 24 + int4_to_int(b - 24)
+
+
+class OracleIndex:
+    """Scalar inverted index + BM25 top-k over (doc_id, text) pairs."""
+
+    def __init__(self, docs: list[tuple[int, str]]):
+        self.tf: dict[str, dict[int, int]] = {}
+        self.norm_byte: dict[int, int] = {}
+        sum_ttf = 0
+        n_docs = 0
+        for doc_id, text in docs:
+            toks = tokenize(text)
+            n_docs += 1  # every doc has the field (possibly empty), like docCount
+            sum_ttf += len(toks)
+            self.norm_byte[doc_id] = int_to_byte4(len(toks))
+            for t, f in Counter(toks).items():
+                self.tf.setdefault(t, {})[doc_id] = f
+        self.N = n_docs
+        self.avgdl = sum_ttf / n_docs if n_docs else 0.0
+        # 256-entry float32 denominator-addend cache
+        self.cache = np.array(
+            [
+                np.float32(K1)
+                * (
+                    np.float32(1 - B)
+                    + np.float32(B)
+                    * np.float32(byte4_to_int(bb))
+                    / np.float32(self.avgdl or 1.0)
+                )
+                for bb in range(256)
+            ],
+            dtype=np.float32,
+        )
+
+    def idf(self, term: str) -> float:
+        df = len(self.tf.get(term, {}))
+        return math.log(1.0 + (self.N - df + 0.5) / (df + 0.5))
+
+    def score_disjunction(self, query_text: str) -> dict[int, np.float32]:
+        """Sum-of-BM25 over unique query terms, lexicographic term order."""
+        terms = sorted(set(tokenize(query_text)))
+        scores: dict[int, np.float32] = {}
+        for t in terms:
+            postings = self.tf.get(t)
+            if not postings:
+                continue
+            idf_t = np.float32(self.idf(t))
+            for doc_id, f in postings.items():
+                add = self.cache[self.norm_byte[doc_id]]
+                s = np.float32(idf_t * (np.float32(f) / (np.float32(f) + add)))
+                scores[doc_id] = np.float32(scores.get(doc_id, np.float32(0.0)) + s)
+        return scores
+
+    def topk(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        scores = self.score_disjunction(query_text)
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, float(s)) for d, s in ranked[:k]]
+
+    def topk_conjunction(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """AND semantics: only docs containing ALL query terms."""
+        terms = sorted(set(tokenize(query_text)))
+        if not terms:
+            return []
+        doc_sets = [set(self.tf.get(t, {})) for t in terms]
+        docs = set.intersection(*doc_sets) if doc_sets else set()
+        scores = self.score_disjunction(query_text)
+        ranked = sorted(
+            ((d, scores[d]) for d in docs), key=lambda kv: (-float(kv[1]), kv[0])
+        )
+        return [(d, float(s)) for d, s in ranked[:k]]

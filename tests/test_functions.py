@@ -1,0 +1,157 @@
+"""Unit tests: pinned tokenizer, SmallFloat, FOR packing.
+
+Modeled on the reference's codec round-trip suites
+(lucene/test-framework/.../index/BasePostingsFormatTestCase.java) and
+TestSmallFloat: random inputs with fixed seeds, exact round-trip equality,
+vectorized == scalar equivalence.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lucene_solr_spark.functions import packing, smallfloat
+from lucene_solr_spark.functions.analysis import tokenize_pandas, tokenize_text
+
+from . import oracle
+
+
+# ---------------------------------------------------------------- tokenizer
+
+CASES = [
+    ("", []),
+    ("hello world", ["hello", "world"]),
+    ("camelCase snake_case HTTPServer utf8 8bit",
+     ["camel", "case", "snake", "case", "http", "server", "utf", "8", "8", "bit"]),
+    ("def foo(x): return x+1", ["def", "foo", "x", "return", "x", "1"]),
+    ("a..b--c__d", ["a", "b", "c", "d"]),
+    ("X", ["x"]),
+    ("getHTTPResponseCode", ["get", "http", "response", "code"]),
+    ("  spaced\t\nout  ", ["spaced", "out"]),
+]
+
+
+@pytest.mark.parametrize("text,expected", CASES)
+def test_tokenizer_pinned_cases(text, expected):
+    assert tokenize_text(text) == expected
+    assert oracle.tokenize(text) == expected
+
+
+def test_tokenizer_engine_equals_oracle_on_random():
+    rng = np.random.default_rng(42)
+    pieces = ["fooBar", "a_b", "x1", "HTTPServer", "the", "import", "ça",
+              "naïve", "東京", "return;", "{}", "a.b.c", "Q9z"]
+    texts = [
+        " ".join(rng.choice(pieces, size=rng.integers(0, 30)))
+        for _ in range(300)
+    ]
+    eng = tokenize_pandas(pd.Series(texts)).tolist()
+    ora = [oracle.tokenize(t) for t in texts]
+    assert eng == ora
+
+
+def test_testdata_is_ascii_and_tokens_match():
+    # pinned-spec caveat: \w (Python) == [\p{L}\p{N}_] (RE2) on ASCII only;
+    # assert the driver corpus is ASCII so the DuckDB oracle is exact.
+    import duckdb
+
+    con = duckdb.connect()
+    for sf in ("sf0.001", "sf0.01"):
+        n = con.execute(
+            f"select count(*) from read_parquet('/root/testdata/{sf}/documents.parquet') "
+            "where regexp_matches(text, '[^\\x00-\\x7F]')"
+        ).fetchone()[0]
+        assert n == 0
+
+
+def test_tokenizer_matches_duckdb_sql():
+    import duckdb
+
+    from lucene_solr_spark.functions.analysis import duckdb_tokenize_sql
+
+    con = duckdb.connect()
+    sql = duckdb_tokenize_sql("text")
+    rows = con.execute(
+        f"select doc_id, {sql} as toks from "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet') order by doc_id"
+    ).fetchall()
+    import pandas as pd
+
+    texts = con.execute(
+        "select doc_id, text from read_parquet('/root/testdata/sf0.001/documents.parquet') order by doc_id"
+    ).fetchall()
+    eng = tokenize_pandas(pd.Series([t for _, t in texts])).tolist()
+    assert [list(t) for _, t in rows] == eng
+
+
+# ---------------------------------------------------------------- smallfloat
+
+def test_smallfloat_scalar_properties():
+    prev = -1
+    for i in list(range(0, 4096)) + [2**k for k in range(12, 31)]:
+        b = smallfloat.int_to_byte4(i)
+        assert 0 <= b <= 255
+        back = smallfloat.byte4_to_int(b)
+        assert back <= i  # round-down bucketing
+        assert b >= prev  # monotonic
+        prev = b
+        if i < 40:
+            assert back == i  # exact below 40
+    # oracle impl agrees
+    for i in range(0, 100_000, 7):
+        assert smallfloat.int_to_byte4(i) == oracle.int_to_byte4(i)
+        assert smallfloat.byte4_to_int(i % 256) == oracle.byte4_to_int(i % 256)
+
+
+def test_smallfloat_vectorized_equals_scalar():
+    rng = np.random.default_rng(42)
+    arr = np.concatenate(
+        [np.arange(0, 5000), rng.integers(0, 2**30, size=5000)]
+    )
+    vec = smallfloat.int_to_byte4_np(arr)
+    sca = np.array([smallfloat.int_to_byte4(int(x)) for x in arr], dtype=np.uint8)
+    np.testing.assert_array_equal(vec, sca)
+    np.testing.assert_array_equal(
+        smallfloat.byte4_to_int_np(vec),
+        np.array([smallfloat.byte4_to_int(int(b)) for b in vec]),
+    )
+
+
+def test_smallfloat_duckdb_sql_mirror():
+    import duckdb
+
+    con = duckdb.connect()
+    expr = smallfloat.duckdb_byte4_roundtrip_sql("dl")
+    got = con.execute(
+        f"select dl, {expr} from (select unnest(range(0, 20000)) as dl) order by dl"
+    ).fetchall()
+    for dl, q in got:
+        assert q == smallfloat.byte4_to_int(smallfloat.int_to_byte4(dl)), dl
+
+
+# ---------------------------------------------------------------- packing
+
+def test_pack_roundtrip_random():
+    rng = np.random.default_rng(42)
+    for _ in range(200):
+        n = int(rng.integers(0, packing.BLOCK_SIZE + 1))
+        w = int(rng.integers(0, 63))
+        vals = rng.integers(0, max(2**w, 1) + 1, size=n, dtype=np.uint64)
+        out = packing.unpack_ints(packing.pack_ints(vals))
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_pack_compression_ratio():
+    vals = np.arange(1, 129, dtype=np.uint64)  # deltas of a dense list: ~1..128
+    packed = packing.pack_ints(vals)
+    assert len(packed) <= 3 + 128  # 8-bit width max for values<=128 -> 128 bytes
+
+
+def test_delta_roundtrip():
+    rng = np.random.default_rng(7)
+    ids = np.unique(rng.integers(0, 10**9, size=500)).astype(np.uint64)
+    np.testing.assert_array_equal(
+        packing.delta_decode(packing.delta_encode(ids)), ids
+    )
