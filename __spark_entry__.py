@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship top-k BM25 query through the REAL engine
+  (tokenize -> inverted-index build -> WAND scorer) on sf0.001.
+- ``queries()``: one entry per implemented operator (SURVEY.md §2), each
+  (spark, sf_dir) -> DataFrame.
+- ``oracle_sql()``: matching DuckDB SQL (identical column aliases; matched
+  double-precision formulas). Entries without SQL are genuinely
+  non-SQL-expressible or approximate-by-design; the driver records a
+  rows-only check for those.
+
+Implementations live in lucene_solr_spark/plans/driver_queries.py.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from lucene_solr_spark.plans.driver_queries import ORACLES, REGISTRY  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001 through the real engine:
+    pinned tokenizer -> FOR-packed postings -> float32 BM25 + block-max WAND
+    -> top-k with late-materialized display fields."""
+    from lucene_solr_spark.corpus import documents_as_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher
+
+    corpus = documents_as_corpus(spark, "/root/testdata/sf0.001")
+    seg = build_index(spark, corpus, out_dir=None, bucket_docs=256)
+    searcher = Searcher(spark, seg)
+    return searcher.topk_with_fields("spark join order batch window", k=10, mode="wand")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(REGISTRY)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

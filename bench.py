@@ -1,0 +1,124 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default all cores):
+
+- index_build_docs: build the full inverted index (tokenize -> postings ->
+  terms -> norms) over the documents table; reports seconds (+docs/sec).
+- index_build_synth: same over a deterministic synthetic source-code corpus
+  (SPARK_GRAFT_SYNTH_DOCS docs, default 20000) — camelCase tokenization,
+  Zipf skew with hot tokens, the north_star-shaped load.
+- bm25_wand / bm25_exhaustive: mean top-k latency over the query set.
+- representative driver queries (facet, join, rollup, phrase).
+
+Extra keys beyond the driver contract (docs_per_sec, parallelism) are
+informational; BENCH/BASELINE.md records the two-parallelism scaling runs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "")
+SYNTH_DOCS = int(os.environ.get("SPARK_GRAFT_SYNTH_DOCS", "20000"))
+
+QUERY_SET = [
+    "spark join order batch window",
+    "merge",
+    "fast table scan",
+    "customer vector slow stream",
+    "the key order hash",
+    "dup small big",
+    "agg filter group row",
+    "spark",
+    "window merge sort part",
+    "query data line column",
+]
+
+
+def main() -> None:
+    from lucene_solr_spark.corpus import documents_as_corpus, synth_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.plans import driver_queries as dq
+    from lucene_solr_spark.session import get_spark
+
+    n_cpus = int(CPUS) if CPUS else (os.cpu_count() or 8)
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{n_cpus}]",
+        shuffle_partitions=max(n_cpus * 2, 16),
+    )
+    queries: dict[str, float] = {}
+    extra: dict[str, float] = {}
+
+    # ---- index build over driver documents --------------------------------
+    corpus = documents_as_corpus(spark, SF_DIR)
+    n_docs = corpus.count()  # warm the input cache path
+    t0 = time.time()
+    seg = build_index(spark, corpus, out_dir=None, bucket_docs=8192)
+    t_build = time.time() - t0
+    queries["index_build_docs"] = round(t_build, 3)
+    extra["docs_per_sec_documents"] = round(n_docs / t_build, 1)
+
+    # ---- index build over synthetic code corpus ---------------------------
+    synth = synth_corpus(spark, SYNTH_DOCS, partitions=max(n_cpus * 2, 16)).persist()
+    n_synth = synth.count()  # materialize generation outside the timed window
+    t0 = time.time()
+    seg2 = build_index(spark, synth, out_dir=None, bucket_docs=8192)
+    t_synth = time.time() - t0
+    queries["index_build_synth"] = round(t_synth, 3)
+    extra["docs_per_sec_synth"] = round(n_synth / t_synth, 1)
+    extra["synth_tokens"] = seg2.stats.sum_ttf
+
+    # ---- top-k latency: WAND vs exhaustive --------------------------------
+    searcher = Searcher(spark, seg)
+    for mode in ("wand", "exhaustive"):
+        t0 = time.time()
+        for q in QUERY_SET:
+            searcher.topk(q, k=10, mode=mode).collect()
+        queries[f"bm25_{mode}"] = round((time.time() - t0) / len(QUERY_SET), 4)
+
+    s2 = Searcher(spark, seg2)
+    t0 = time.time()
+    for q in ["import return def", "public self import", "getnode parseindex"]:
+        s2.topk(q, k=10, mode="wand").collect()
+    queries["bm25_wand_synth"] = round((time.time() - t0) / 3, 4)
+
+    # ---- representative relational operators ------------------------------
+    for name in (
+        "facet_field_top",
+        "timeseries_rollup",
+        "block_join_parent_child",
+        "phrase_query",
+        "stats_component",
+    ):
+        t0 = time.time()
+        dq.REGISTRY[name](spark, SF_DIR).collect()
+        queries[name] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "bench_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": SF_DIR.rstrip("/").split("sf")[-1],
+                "parallelism": n_cpus,
+                **extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
