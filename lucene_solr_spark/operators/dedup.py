@@ -1,0 +1,233 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Spark-first designs (all shuffles keyed to avoid hot spots; candidate
+generation via inverted/banded joins, never all-pairs at scale):
+
+- exact_dedup: hash-groupBy on content digest (one shuffle, map-combined).
+- minhash_lsh: shingle -> minhash signature -> banded bucket join ->
+  exact-Jaccard verification of candidates only. The classic
+  Broder/LSH pipeline; band buckets are the shuffle keys, so skew is
+  bounded by bucket size, and verification joins are semi-joins on the
+  candidate set.
+- simhash: 60-bit sign-of-weighted-sum fingerprint + hamming-distance
+  candidate pairing (document fingerprinting, Charikar 2002).
+- ngram_jaccard: exact Jaccard over token shingles via inverted-index
+  self-join (pairs must share >=1 shingle — no cartesian product).
+
+Cross-engine determinism: hashes derive from md5 hex (identical in Spark
+and DuckDB); numeric hash = first 15 hex chars parsed base-16 (60 bits,
+fits BIGINT in both). Production would swap md5 for xxhash64 — the
+structure is hash-agnostic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# first 15 md5 hex chars as a non-negative 60-bit BIGINT
+def h60(col):
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+DUCK_H60 = "(('0x' || substr(md5({e}), 1, 15))::BIGINT)"
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups: (content md5, group size, keeper = min id).
+    One map-combined shuffle; at 100 TB this is the cheapest dedup pass and
+    runs first to shrink the near-dup input."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_md5"))
+        .agg(
+            F.count("*").alias("n_dups"),
+            F.min(id_col).alias("keeper_id"),
+        )
+        .filter(F.col("n_dups") > 1)
+        .orderBy("content_md5")
+    )
+
+
+def token_shingles(df: DataFrame, id_col: str, tokens_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-gram shingles per doc: (id, shingle). Built with
+    JVM-side higher-order fns (no Python in the hot path)."""
+    n = F.size(tokens_col) - (k - 1)
+    sh = F.when(n <= 0, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i, k)),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc_id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, n_hashes: int = 12
+) -> DataFrame:
+    """(doc_id, seed, minhash): seed-salted md5-min over shingles.
+    groupBy(doc_id, seed) is map-combinable (min is associative)."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
+    salted = shingles.select("doc_id", "shingle", seeds)
+    return salted.groupBy("doc_id", "seed").agg(
+        F.min(h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))).alias("mh")
+    )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands), bucket-join within bands.
+    Output unique candidate (doc_a < doc_b) pairs."""
+    r = n_hashes // bands
+    banded = (
+        sigs.withColumn("band", (F.col("seed") / r).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(",", F.array_sort(F.collect_list(F.col("mh").cast("string"))))
+            ).alias("band_key")
+        )
+    )
+    a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+    b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame, shingles: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs only (semi-join shaped; the
+    all-pairs blowup never happens)."""
+    card = shingles.groupBy("doc_id").agg(F.count("*").alias("card"))
+    sa = shingles.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = shingles.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    ca = card.select(F.col("doc_id").alias("doc_a"), F.col("card").alias("ca"))
+    cb = card.select(F.col("doc_id").alias("doc_b"), F.col("card").alias("cb"))
+    return (
+        inter.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline -> verified (doc_a, doc_b, jaccard)."""
+    sh = token_shingles(df, id_col, tokens_col, k).persist()
+    sigs = minhash_signatures(sh, n_hashes)
+    cands = minhash_lsh_candidates(sigs, n_hashes, bands)
+    return jaccard_verify(cands, sh, threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via inverted-index self-join
+    (ground truth for the MinHash recall test)."""
+    sh = token_shingles(df, id_col, tokens_col, k).persist()
+    pairs = (
+        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return jaccard_verify(pairs, sh, threshold)
+
+
+def simhash(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
+            n_bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit b = sign of sum over tokens of
+    freq-weighted (bit_b(h60(token)) * 2 - 1). JVM-side only."""
+    tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("freq"))
+    th = tf.withColumn("h", h60(F.col("term")))
+    bits = th.select(
+        "doc_id",
+        "freq",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
+    ).withColumn(
+        "contrib",
+        F.col("freq") * F.expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1"),
+    )
+    return (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
+                )
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, max_hamming: int = 3, n_bits: int = 32, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by hamming distance, banded to avoid all-pairs:
+    docs agreeing on at least one of ``bands`` bit-bands are candidates
+    (any pair with hamming <= bands-1 must share a band; with
+    max_hamming < bands this is exact)."""
+    width = n_bits // bands
+    mask = (1 << width) - 1
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[F.lit(i) for i in range(bands)])
+        ).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(simhash, CAST(band * {width} AS INT)) & {mask}"),
+    )
+    a = banded.select("band", "band_val", F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sim_a"))
+    b = banded.select("band", "band_val", F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sim_b"))
+    pairs = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        pairs.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,0 +1,368 @@
+"""Driver-facing training-data pipeline queries (dedup / ANN / text analysis)
+with DuckDB oracle mirrors. Registered into the same REGISTRY/ORACLES as
+driver_queries (imported by __spark_entry__).
+
+Cross-engine determinism notes:
+- hashes: md5 hex; numeric hash = first 15 hex chars as base-16 BIGINT
+  (Spark conv(...,16,10) == DuckDB ('0x'||s)::BIGINT, both 60-bit positive).
+- LSH hyperplanes: fixed-seed ±1 matrices embedded as literals in BOTH the
+  Spark plan and the oracle SQL.
+- floating point: cosine formulas written with the same operation shapes,
+  rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.analysis import duckdb_tokenize_sql
+from ..functions.textstats import (
+    BPE_CHUNK_PATTERN,
+    LANG_MARKERS,
+    STOPWORDS_EN,
+    bpe_chunk_count,
+    doc_digest,
+    lang_id_struct,
+    quality_features,
+    winnow_fingerprint,
+    ws_token_count,
+)
+from ..operators import ann, dedup
+from .driver_queries import ORACLES, REGISTRY, _read, _tokens, register
+
+_TOKARR_CTE = f"tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents)"
+_TOKS_FLAT_CTE = (
+    f"{_TOKARR_CTE}, toks AS (SELECT doc_id, unnest(t) AS term FROM tokarr)"
+)
+_SHINGLES_CTE = f"""{_TOKARR_CTE},
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
+       FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i + 2 <= len(t))"""
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_stats",
+    """SELECT count(*) AS n_groups, max(n_dups) AS max_group, sum(n_dups) AS n_docs
+FROM (SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) FROM documents GROUP BY 1)
+AS g(h, n_dups, keeper)""",
+)
+def dedup_exact_stats(spark, sf_dir):
+    """Exact dedup (hash-groupBy) summary: group count / max multiplicity."""
+    d = _read(spark, sf_dir, "documents")
+    groups = d.groupBy(F.md5("text").alias("h")).agg(
+        F.count("*").alias("n_dups"), F.min("doc_id").alias("keeper")
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.max("n_dups").alias("max_group"),
+        F.sum("n_dups").alias("n_docs"),
+    )
+
+
+_MINHASH_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, seed, min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s GROUP BY 1, 2),
+banded AS (SELECT doc_id, seed // 3 AS band,
+                  md5(string_agg(mh::VARCHAR, ',' ORDER BY mh::VARCHAR)) AS band_key
+           FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id < b.doc_id),
+card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (ca.card + cb.card - i), 6) AS jaccard
+FROM inter JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+WHERE round(i / (ca.card + cb.card - i), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pipeline (shingle -> 12 minhashes -> 4 bands ->
+    bucket join -> exact-Jaccard verify >= 0.8)."""
+    toks = _tokens(spark, sf_dir)
+    return dedup.minhash_lsh_dedup(
+        toks, tokens_col="tokens", k=3, n_hashes=12, bands=4, threshold=0.8
+    )
+
+
+_NGRAM_SQL = f"""
+WITH {_SHINGLES_CTE},
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sh a JOIN sh b ON a.shingle = b.shingle WHERE a.doc_id < b.doc_id),
+card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+SELECT doc_a, doc_b, round(i / (ca.card + cb.card - i), 6) AS jaccard
+FROM inter JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+WHERE round(i / (ca.card + cb.card - i), 6) >= 0.8
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_ngram_jaccard", _NGRAM_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-3-gram Jaccard >= 0.8 via inverted-index self-join
+    (ground truth for MinHash recall)."""
+    toks = _tokens(spark, sf_dir)
+    return dedup.ngram_jaccard_pairs(toks, tokens_col="tokens", k=3, threshold=0.8)
+
+
+_SIMHASH_SQL = f"""
+WITH {_TOKS_FLAT_CTE},
+tf AS (SELECT doc_id, term, count(*) AS freq FROM toks GROUP BY 1, 2),
+th AS (SELECT doc_id, freq, ('0x' || substr(md5(term), 1, 15))::BIGINT AS h FROM tf),
+bits AS (SELECT doc_id, b, sum(freq * (((h >> b) & 1) * 2 - 1)) AS s
+         FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS b) bb GROUP BY 1, 2),
+sim AS (SELECT doc_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+        FROM bits GROUP BY 1),
+banded AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)::INT) & 255 AS band_val
+           FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bd),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS sa, b.simhash AS sb
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_val = b.band_val
+         WHERE a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, bit_count(xor(sa, sb)) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf_dir):
+    """SimHash (32-bit, freq-weighted) + banded hamming<=3 near-dup pairs."""
+    toks = _tokens(spark, sf_dir)
+    sim = dedup.simhash(toks, tokens_col="tokens", n_bits=32)
+    return dedup.simhash_near_pairs(sim, max_hamming=3, n_bits=32, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+def _duck_cos(a: str, b: str) -> str:
+    return (
+        f"(list_dot_product({a}, {b}) / "
+        f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))))"
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    f"""WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, round({_duck_cos('embedding::DOUBLE[]', 'p')}, 6) AS cos_sim
+FROM embeddings, probe
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (exactness baseline; JVM-side fold)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann.cosine_topk(emb, probe, k=10)
+
+
+def _planes_sql_literal(planes: list[list[float]]) -> list[str]:
+    return ["[" + ", ".join(f"{x:.1f}" for x in p) + "]" for p in planes]
+
+
+_PLANES = ann.lsh_planes(64, 8)
+_PL_SQL = _planes_sql_literal(_PLANES)
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {_PL_SQL[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(8)
+)
+
+
+@register(
+    "ann_lsh_bucket_hist",
+    f"""SELECT ({_BUCKET_SQL})::BIGINT AS bucket, count(*) AS n_vecs
+FROM embeddings GROUP BY 1 ORDER BY 1""",
+)
+def ann_lsh_bucket_hist(spark, sf_dir):
+    """Sign-LSH bucketization histogram (fixed-seed hyperplane literals)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        ann.lsh_bucketize(emb, n_planes=8, dim=64)
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("bucket")
+    )
+
+
+@register("ann_lsh_topk")  # rows-only: recall-vs-bruteforce is tested in pytest
+def ann_lsh_topk(spark, sf_dir):
+    """ANN: multi-table LSH candidate union + exact re-rank (100 TB scale
+    path: each table's bucket is a prunable partition key)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann.lsh_topk(emb, probe, k=10, n_planes=3, n_tables=12)
+
+
+@register("ann_ivf_cells")  # rows-only: centroids come from a driver-side sample
+def ann_ivf_cells(spark, sf_dir):
+    """IVF coarse-quantizer assignment histogram."""
+    emb = _read(spark, sf_dir, "embeddings")
+    cents = ann.sample_centroids(emb, n=8)
+    return (
+        ann.ivf_assign(emb, cents)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cell")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+def _duck_marker_hits(markers: list[str]) -> str:
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return f"len(list_filter(t, x -> list_contains([{lst}], x)))"
+
+
+_LANGS_SORTED = sorted(LANG_MARKERS)
+_HIT_COLS = ", ".join(
+    f"{_duck_marker_hits(LANG_MARKERS[lang])} AS h_{lang}" for lang in _LANGS_SORTED
+)
+# argmax with lexicographic tie-break (matches Spark array_min of
+# struct(-hits, lang))
+_PRED_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN "
+        + " AND ".join(
+            f"h_{lang} >= h_{other}" for other in _LANGS_SORTED[i + 1 :]
+        )
+        + f" THEN '{lang}'"
+        for i, lang in enumerate(_LANGS_SORTED[:-1])
+    )
+    + f" ELSE '{_LANGS_SORTED[-1]}' END"
+)
+
+
+@register(
+    "lang_id_counts",
+    f"""WITH {_TOKARR_CTE},
+hits AS (SELECT doc_id, {_HIT_COLS} FROM tokarr)
+SELECT {_PRED_CASE} AS pred_lang, count(*) AS n_docs
+FROM hits GROUP BY 1 ORDER BY 1""",
+)
+def lang_id_counts(spark, sf_dir):
+    """Language-ID heuristic (marker-token voting): predicted-language counts."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select(lang_id_struct(F.col("tokens")).alias("lid"))
+        .groupBy(F.col("lid.pred_lang").alias("pred_lang"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+_STOP_LST = ", ".join(f"'{w}'" for w in STOPWORDS_EN)
+
+
+@register(
+    "quality_score_hist",
+    f"""WITH {_TOKARR_CTE},
+feat AS (SELECT d.doc_id,
+  length(d.text) AS n_chars,
+  len(a.t) AS n_tokens,
+  length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS n_punct,
+  len(list_filter(a.t, x -> list_contains([{_STOP_LST}], x))) AS stop_hits
+  FROM documents d JOIN tokarr a USING (doc_id)),
+q AS (SELECT doc_id,
+  0.4 * least(n_tokens / 100.0, 1.0)
+  + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END))
+  + 0.3 * (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END) AS quality
+  FROM feat)
+SELECT round(quality, 1) AS qbucket, count(*) AS n_docs FROM q GROUP BY 1 ORDER BY 1""",
+)
+def quality_score_hist(spark, sf_dir):
+    """Quality scoring (length/punct/stopword features): score histogram."""
+    toks = _tokens(spark, sf_dir)
+    q = toks.select(
+        quality_features(F.col("text"), F.col("tokens"))["quality"].alias("quality")
+    )
+    return (
+        q.groupBy(F.round(F.col("quality"), 1).alias("qbucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("qbucket")
+    )
+
+
+@register(
+    "token_counts",
+    f"""SELECT doc_id,
+  CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS ws_tokens,
+  len(regexp_extract_all(text, '{BPE_CHUNK_PATTERN}')) AS bpe_chunks
+FROM documents ORDER BY doc_id""",
+)
+def token_counts(spark, sf_dir):
+    """Token counting: whitespace tokens + BPE-ish <=4-char subword chunks."""
+    d = _read(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        ws_token_count(F.col("text")).alias("ws_tokens"),
+        bpe_chunk_count(F.col("text")).cast("long").alias("bpe_chunks"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprints",
+    f"""WITH {_TOKARR_CTE},
+w AS (SELECT doc_id,
+        CASE WHEN len(t) >= 5 THEN i ELSE 1 END AS i,
+        CASE WHEN len(t) >= 5 THEN t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]
+             ELSE array_to_string(t, ' ') END AS win
+      FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix
+      WHERE i + 4 <= len(t) OR (len(t) < 5 AND i = 1))
+SELECT d.doc_id, md5(d.text) AS digest, min(md5(w.win)) AS winnow_fp
+FROM documents d JOIN w ON d.doc_id = w.doc_id
+GROUP BY 1, 2 ORDER BY d.doc_id""",
+)
+def doc_fingerprints(spark, sf_dir):
+    """Document fingerprinting: full digest + winnowing-lite 5-gram min-hash."""
+    toks = _tokens(spark, sf_dir)
+    return toks.select(
+        "doc_id",
+        doc_digest(F.col("text")).alias("digest"),
+        winnow_fingerprint(F.col("tokens"), k=5).alias("winnow_fp"),
+    ).orderBy("doc_id")
+
+
+# make linters see the imports as used
+_ = (REGISTRY, ORACLES)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary columns; decode stubbed — rows-only checks)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_decode_meta")  # rows-only: binary construction differs per engine
+def multimodal_decode_meta(spark, sf_dir):
+    """Binary media column -> header decode via Arrow-batched mapInPandas
+    (deterministic fake codec; real decoder is an import-gated stub)."""
+    from ..sources import multimodal as mm
+
+    d = _read(spark, sf_dir, "documents")
+    media = mm.synth_media(d)
+    return mm.decode_meta(media).orderBy("media_id")
+
+
+@register("multimodal_resize_stats")  # rows-only
+def multimodal_resize_stats(spark, sf_dir):
+    """binary->binary resize transform; output size stats."""
+    from ..sources import multimodal as mm
+
+    d = _read(spark, sf_dir, "documents")
+    small = mm.resize_stub(mm.synth_media(d), max_side=32)
+    return small.select(
+        F.count("*").alias("n_media"),
+        F.max(F.length("media_small")).alias("max_bytes"),
+    )

@@ -52,7 +52,7 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     if key not in _TOK_CACHE:
         d = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t = d.select(
-            "doc_id", tokenize_udf(F.col("text")).alias("tokens")
+            "doc_id", "text", "lang", tokenize_udf(F.col("text")).alias("tokens")
         ).persist()
         _TOK_CACHE[key] = t
     return _TOK_CACHE[key]

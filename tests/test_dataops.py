@@ -1,0 +1,84 @@
+"""Training-data ops: MinHash recall vs exact Jaccard, LSH-ANN recall vs
+brute force, multimodal binary plumbing round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.functions.analysis import tokenize_udf
+from lucene_solr_spark.operators import ann, dedup
+from lucene_solr_spark.sources import multimodal as mm
+
+from .conftest import SF01_DIR
+
+
+@pytest.fixture(scope="module")
+def toks(spark):
+    d = spark.read.parquet(f"{SF01_DIR}/documents.parquet")
+    return d.select("doc_id", "text", tokenize_udf(F.col("text")).alias("tokens")).persist()
+
+
+def test_minhash_finds_planted_near_dups(spark, toks):
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(toks, threshold=0.8).collect()
+    }
+    mh = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_lsh_dedup(toks, threshold=0.8).collect()
+    }
+    assert exact, "corpus should contain planted near-dups"
+    # every verified minhash pair is a true pair (no false positives by construction)
+    assert mh <= exact
+    # high recall at J>=0.8 with 4 bands x 3 rows
+    recall = len(mh) / len(exact)
+    assert recall >= 0.9, f"minhash recall too low: {recall} ({len(mh)}/{len(exact)})"
+
+
+def test_simhash_pairs_overlap_exact(spark, toks):
+    sim = dedup.simhash(toks, n_bits=32)
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.simhash_near_pairs(sim, max_hamming=3, n_bits=32).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.ngram_jaccard_pairs(toks, threshold=0.9).collect()
+    }
+    # simhash at hamming<=3 should recover most J>=0.9 dups
+    if exact:
+        recall = len(pairs & exact) / len(exact)
+        assert recall >= 0.7, f"simhash recall {recall}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    brute = [r["vec_id"] for r in ann.cosine_topk(emb, probe, k=10).collect()]
+    # this corpus has weak angular structure (top cos ~0.37), so buckets must
+    # be coarse: 3 planes x 12 tables -> P(candidate) = 1-(1-s^3)^12 ~ 0.97
+    lsh = [r["vec_id"] for r in ann.lsh_topk(emb, probe, k=10, n_planes=3, n_tables=12).collect()]
+    assert brute[0] == 0  # probe most similar to itself
+    assert 0 in lsh
+    overlap = len(set(brute) & set(lsh)) / 10
+    assert overlap >= 0.7, f"LSH recall@10 too low: {overlap}"
+
+
+def test_multimodal_binary_roundtrip(spark):
+    d = spark.read.parquet(f"{SF01_DIR}/documents.parquet").limit(50)
+    media = mm.synth_media(d)
+    meta = mm.decode_meta(media).collect()
+    assert len(meta) == 50
+    assert all(r["valid"] for r in meta)
+    src = {r["doc_id"]: len(r["text"]) for r in d.collect()}
+    for r in meta:
+        assert r["width"] == src[r["media_id"]] % 64 + 1
+        assert r["payload_bytes"] == src[r["media_id"]]
+    small = mm.resize_stub(media).collect()
+    assert all(len(r["media_small"]) <= 12 + 64 for r in small)
+
+
+def test_real_decode_is_gated(spark):
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"IMG0" + b"\0" * 20)
