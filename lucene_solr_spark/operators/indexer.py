@@ -231,6 +231,32 @@ def build_index(
     # ---- docmap (stored-fields / norms analog; late-materialization target)
     docmap = docs.drop("content").join(doclen, "doc_id")
 
+    return assemble_segment(
+        spark,
+        docmap,
+        tf,
+        seg_id=seg_id,
+        seg_path=seg_path,
+        bucket_docs=bucket_docs,
+        shuffle_n=shuffle_n,
+        extra_phases={"tfdoc": "complete"},
+    )
+
+
+def assemble_segment(
+    spark: SparkSession,
+    docmap: DataFrame,
+    tf: DataFrame,
+    seg_id: str,
+    seg_path: str | None,
+    bucket_docs: int,
+    shuffle_n: int,
+    extra_phases: dict | None = None,
+) -> Segment:
+    """Phase B onward: (docmap w/ dl+norm_byte, tf rows) -> finished segment.
+    Shared by the fresh build (``build_index``) and the segment merger
+    (operators/merge.py — FreqProxTermsWriter#flush and SegmentMerger#merge
+    both end in Lucene84PostingsWriter; this is that shared tail)."""
     # ---- Phase B: postings blocks (the one token-stream shuffle) ----------
     blocks = (
         tf.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long"))
@@ -305,7 +331,7 @@ def build_index(
     if seg_path:
         seg.save_manifest(
             phases={
-                "tfdoc": "complete",
+                **(extra_phases or {}),
                 "postings": f"complete ({int(pagg['nblocks'])} blocks)",
                 "terms": "complete",
                 "docmap": "complete",

@@ -1,0 +1,252 @@
+"""Segment merge / compaction — the SegmentMerger + TieredMergePolicy analog.
+
+Reference path being re-expressed (SURVEY.md §2.G "Segment merge"):
+  index/SegmentMerger.java     — k-way merge of term streams, re-encode postings
+  index/DocIDMerger.java       — old (segment, docID) -> new dense docID remap
+  index/MultiTermsEnum.java    — term-stream union
+  index/TieredMergePolicy.java — which segments to merge (size tiers)
+  index/PendingDeletes.java    — deleted docs are dropped (and their
+                                 tombstones purged) at merge time
+
+Spark restatement: a merge is *re-aggregation*. Decode every source
+segment's posting blocks back to (term, doc, freq, norm) rows (mapInPandas,
+numpy — cheap vs. the original tokenize), drop deleted docs, remap doc ids
+to a new dense ordering (deterministic two-pass rank — the DocIDMerger
+analog), then run the exact same Phase-B block builder the fresh build uses
+(``assemble_segment``). Lucene's merger also ends in Lucene84PostingsWriter;
+sharing the tail is the faithful shape, and re-tokenization is never needed.
+
+Scale note: the remap join shuffles on (seg_order, old_doc_id) and the block
+rebuild shuffles on (term, bucket) — the same two hash dimensions as the
+fresh build, so a 1000-executor merge behaves like a (cheaper) rebuild with
+no new skew surface. Size-tiered scheduling keeps any single merge bounded.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.packing import delta_decode, unpack_ints
+from ..sources.catalog import Catalog, Segment, new_segment_id
+from .indexer import DEFAULT_BUCKET_DOCS, assemble_segment, assign_doc_ids
+
+_DECODED_SCHEMA = "doc_id long, term string, freq int, norm_byte int"
+
+
+def decode_postings(postings: DataFrame) -> DataFrame:
+    """Posting blocks -> (doc_id, term, freq, norm_byte) rows.
+    Inverse of the Phase-B block builder (Lucene84PostingsReader analog),
+    numpy-vectorized per Arrow batch."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids_l, terms_l, freqs_l, norms_l = [], [], [], []
+            for row in pdf.itertuples():
+                ids = delta_decode(unpack_ints(row.doc_bin)).astype(np.int64)
+                freqs = unpack_ints(row.freq_bin).astype(np.int32)
+                norms = np.frombuffer(row.norm_bin, dtype=np.uint8)
+                ids_l.append(ids)
+                freqs_l.append(freqs)
+                norms_l.append(norms.astype(np.int32))
+                terms_l.append(np.repeat(row.term, ids.size))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.concatenate(ids_l),
+                    "term": np.concatenate(terms_l),
+                    "freq": np.concatenate(freqs_l),
+                    "norm_byte": np.concatenate(norms_l),
+                }
+            )
+
+    return postings.select(
+        "term", "doc_bin", "freq_bin", "norm_bin"
+    ).mapInPandas(_decode, _DECODED_SCHEMA)
+
+
+def merge_segments(
+    spark: SparkSession,
+    segments: list[Segment],
+    catalog: Catalog | None = None,
+    out_dir: str | None = None,
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    term_partitions: int | None = None,
+    segment_id: str | None = None,
+    drop_sources: bool = True,
+) -> Segment:
+    """Merge ``segments`` (in the given order) into one new segment.
+
+    Doc-id remap: new ids are a dense rank over (segment order, old doc_id)
+    restricted to live (non-deleted) docs — deterministic at any parallelism.
+    If ``catalog`` is given, its tombstones for the source segments are
+    applied, the source segments are dropped (``drop_sources``) and their
+    tombstones purged, mirroring Lucene's merge commit.
+    """
+    assert segments, "nothing to merge"
+    shuffle_n = term_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+    deletes = catalog.deletes(spark) if catalog else None
+
+    docmaps, decoded = [], []
+    for order, seg in enumerate(segments):
+        dm = seg.table(spark, "docmap").withColumn("_seg_order", F.lit(order))
+        dec = decode_postings(seg.table(spark, "postings")).withColumn(
+            "_seg_order", F.lit(order)
+        )
+        if deletes is not None:
+            seg_del = deletes.filter(
+                F.col("segment_id") == seg.segment_id
+            ).select("doc_id")
+            dm = dm.join(F.broadcast(seg_del), "doc_id", "left_anti")
+            dec = dec.join(F.broadcast(seg_del), "doc_id", "left_anti")
+        docmaps.append(dm)
+        decoded.append(dec)
+
+    all_docs = docmaps[0]
+    for dm in docmaps[1:]:
+        all_docs = all_docs.unionByName(dm)
+    all_tf = decoded[0]
+    for d in decoded[1:]:
+        all_tf = all_tf.unionByName(d)
+
+    # ---- DocIDMerger analog: dense remap over (segment order, old id) -----
+    remap_src = all_docs.withColumnRenamed("doc_id", "old_doc_id")
+    remapped_docs = assign_doc_ids(
+        remap_src, ["_seg_order", "old_doc_id"], partitions=shuffle_n
+    )
+    remap = remapped_docs.select("_seg_order", "old_doc_id", "doc_id")
+
+    new_docmap = remapped_docs.drop("old_doc_id", "_seg_order")
+    new_tf = (
+        all_tf.withColumnRenamed("doc_id", "old_doc_id")
+        .join(remap, ["_seg_order", "old_doc_id"])
+        .select("doc_id", "term", "freq", "norm_byte")
+    )
+
+    seg_id = segment_id or new_segment_id()
+    import os
+
+    root = out_dir or (catalog.root if catalog else None)
+    seg_path = os.path.join(root, seg_id) if root else None
+    if seg_path:
+        os.makedirs(seg_path, exist_ok=True)
+
+    merged = assemble_segment(
+        spark,
+        new_docmap,
+        new_tf,
+        seg_id=seg_id,
+        seg_path=seg_path,
+        bucket_docs=bucket_docs,
+        shuffle_n=shuffle_n,
+        extra_phases={
+            "merged_from": [s.segment_id for s in segments],
+        },
+    )
+
+    if catalog and drop_sources:
+        src_ids = [s.segment_id for s in segments]
+        for sid in src_ids:
+            catalog.drop(sid)
+        catalog.purge_deletes(spark, src_ids)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Merge policy — TieredMergePolicy analog (size-tiered selection).
+# ---------------------------------------------------------------------------
+
+
+def find_merges(
+    segments: list[Segment],
+    max_merge_at_once: int = 10,
+    size_ratio: float = 2.0,
+    min_group: int = 2,
+) -> list[list[Segment]]:
+    """Size-tiered merge selection (index/TieredMergePolicy.java analog,
+    simplified): sort segments by doc count ascending; group consecutive
+    segments while the next is within ``size_ratio`` of the group mean and
+    the group is under ``max_merge_at_once``. Groups of >= ``min_group``
+    are returned as merge candidates (smallest tiers first)."""
+    segs = sorted(segments, key=lambda s: s.stats.n_docs)
+    groups: list[list[Segment]] = []
+    cur: list[Segment] = []
+    for s in segs:
+        if not cur:
+            cur = [s]
+            continue
+        mean = sum(x.stats.n_docs for x in cur) / len(cur)
+        if s.stats.n_docs <= max(mean, 1) * size_ratio and len(cur) < max_merge_at_once:
+            cur.append(s)
+        else:
+            if len(cur) >= min_group:
+                groups.append(cur)
+            cur = [s]
+    if len(cur) >= min_group:
+        groups.append(cur)
+    return groups
+
+
+def maybe_compact(
+    spark: SparkSession,
+    catalog: Catalog,
+    bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    **policy_kw,
+) -> list[Segment]:
+    """Run one round of background-compaction logic: apply ``find_merges``
+    to the catalog and execute each selected merge (ConcurrentMergeScheduler
+    analog — except scheduling is the caller's loop / streaming batch)."""
+    merged = []
+    for group in find_merges(catalog.segments(), **policy_kw):
+        merged.append(
+            merge_segments(spark, group, catalog=catalog, bucket_docs=bucket_docs)
+        )
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# Delete resolution helpers (delete-by-id / delete-by-query analogs:
+# solr/core/.../update/DirectUpdateHandler2.java).
+# ---------------------------------------------------------------------------
+
+
+def delete_by_key(
+    spark: SparkSession, catalog: Catalog, keys: DataFrame
+) -> int:
+    """Delete docs matching (repo, path, commit) key rows across all
+    segments. Returns tombstones written."""
+    total = 0
+    for seg in catalog.segments():
+        dm = seg.table(spark, "docmap")
+        hits = dm.join(
+            F.broadcast(keys.select("repo", "path", "commit")),
+            ["repo", "path", "commit"],
+            "left_semi",
+        ).select(F.lit(seg.segment_id).alias("segment_id"), "doc_id")
+        n = hits.count()
+        if n:
+            catalog.add_deletes(hits)
+            total += n
+    return total
+
+
+def delete_by_query(spark: SparkSession, catalog: Catalog, predicate) -> int:
+    """Delete docs whose docmap row matches a Column predicate."""
+    total = 0
+    for seg in catalog.segments():
+        dm = seg.table(spark, "docmap")
+        hits = dm.filter(predicate).select(
+            F.lit(seg.segment_id).alias("segment_id"), "doc_id"
+        )
+        n = hits.count()
+        if n:
+            catalog.add_deletes(hits)
+            total += n
+    return total

@@ -91,18 +91,17 @@ class Searcher:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
 
         idfs = {t: np.float32(stats[t].idf) for t in matched}
-        cache = self._cache
         use_wand = mode == "wand" and op == "or"
-        n_terms = len(matched)
-        avgdl = self.stats.avgdl
-
-        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_bucket(
-                pdf, idfs, cache, k, op, n_terms, avgdl, use_wand
-            )
-
-        rows = self.postings.filter(F.col("term").isin(matched))
-        per_bucket = rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+        per_bucket = score_postings(
+            self.postings,
+            idfs,
+            self._cache,
+            k,
+            op,
+            len(q_terms),
+            self.stats.avgdl,
+            use_wand,
+        )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
@@ -111,6 +110,33 @@ class Searcher:
         return hits.join(self.docmap, "doc_id", "left").orderBy(
             F.desc("score"), F.asc("doc_id")
         )
+
+
+def score_postings(
+    postings: DataFrame,
+    idfs: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    op: str,
+    n_query_terms: int,
+    avgdl: float,
+    use_wand: bool,
+    deleted: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-bucket scoring plan over a postings table (per-leaf Scorer DAG +
+    TopScoreDocCollector analog). Returns an un-merged DataFrame of local
+    top-k (doc_id, score) rows; caller applies the global merge/limit.
+    ``deleted``: optional sorted int64 array of this segment's tombstoned
+    doc_ids, masked out BEFORE local top-k selection (liveDocs analog)."""
+    matched = sorted(idfs)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _score_bucket(
+            pdf, idfs, cache, k, op, n_query_terms, avgdl, use_wand, deleted
+        )
+
+    rows = postings.filter(F.col("term").isin(matched))
+    return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
 
 
 def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -129,12 +155,17 @@ def _score_bucket(
     n_query_terms: int,
     avgdl: float,
     use_wand: bool,
+    deleted: np.ndarray | None = None,
 ) -> pd.DataFrame:
     """Score one doc-space bucket (a 'leaf'). Returns its local top-k."""
     base = int(pdf["first_doc"].min())
     span = int(pdf["last_doc"].max()) - base + 1
     acc = np.zeros(span, dtype=np.float32)
     hit = np.zeros(span, dtype=np.int16)
+    if deleted is not None and deleted.size:
+        rel_deleted = deleted[(deleted >= base) & (deleted < base + span)] - base
+    else:
+        rel_deleted = np.array([], dtype=np.int64)
     terms_sorted = sorted(idfs)  # lexicographic accumulation order (pinned)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
 
@@ -173,6 +204,9 @@ def _score_bucket(
         ubs = [x[3] for x in term_rows]
         suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
         wacc = np.zeros(span, dtype=np.float64)  # pruning-side partials
+        # tombstoned docs must never hold a top-k slot in the pruning
+        # threshold theta, else a live doc could be pruned wrongly
+        wacc[rel_deleted] = -np.inf
         for i, (t, g, bub, _) in enumerate(term_rows):
             if span > 2 * k:
                 theta = np.partition(wacc, span - k)[span - k]
@@ -201,6 +235,7 @@ def _score_bucket(
         mask = hit == n_query_terms
     else:
         mask = hit > 0
+    mask[rel_deleted] = False  # liveDocs exclusion (stats untouched, as Lucene)
     nz = np.nonzero(mask)[0]
     if nz.size == 0:
         return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)})
@@ -211,6 +246,112 @@ def _score_bucket(
     return pd.DataFrame(
         {"doc_id": (nz[order] + base).astype(np.int64), "score": scores[order]}
     )
+
+
+class MultiSearcher:
+    """Search across a catalog of segments — the Solr distributed-select
+    analog (SURVEY.md §3.2: QueryComponent#distributedProcess + mergeIds)
+    and Lucene's MultiReader/TopDocs#merge.
+
+    Semantics pinned to Lucene:
+    - corpus stats are GLOBAL: N = sum of segment docCounts, avgdl from the
+      summed totals, df(t) = sum of per-segment df — the ExactStatsCache
+      analog, free here because the terms tables are just unioned+summed.
+    - deleted docs are EXCLUDED from results but still counted in stats
+      until a merge rewrites the segment (liveDocs semantics).
+    - merge tie-break: score desc, then global doc order = (segment order,
+      local doc_id) — Lucene's leaf-ordered docBase + docID.
+
+    Result columns: (segment_id, doc_id, gdoc_id, score) where gdoc_id =
+    segment docBase + local doc_id.
+    """
+
+    def __init__(self, spark: SparkSession, segments: list[Segment], deletes: DataFrame | None = None):
+        assert segments, "empty segment list"
+        self.spark = spark
+        self.segments = segments
+        n_docs = sum(s.stats.n_docs for s in segments)
+        sum_ttf = sum(s.stats.sum_ttf for s in segments)
+        self.n_docs = n_docs
+        self.avgdl = sum_ttf / n_docs if n_docs else 0.0
+        self._cache = bm25.norm_cache(self.avgdl)
+        self.doc_base = {}
+        acc = 0
+        for s in segments:
+            self.doc_base[s.segment_id] = acc
+            acc += s.stats.n_docs
+        self._deleted: dict[str, np.ndarray] = {}
+        if deletes is not None:
+            for r in deletes.collect():
+                self._deleted.setdefault(r["segment_id"], [])
+                self._deleted[r["segment_id"]].append(r["doc_id"])
+            self._deleted = {
+                k: np.sort(np.asarray(v, dtype=np.int64))
+                for k, v in self._deleted.items()
+            }
+
+    @classmethod
+    def from_catalog(cls, spark: SparkSession, catalog) -> "MultiSearcher":
+        return cls(spark, catalog.segments(), deletes=catalog.deletes(spark))
+
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        """Global df per query term: union of per-segment terms tables,
+        summed — a tiny scatter-gather pre-pass (phase 0)."""
+        if not terms:
+            return {}
+        parts = [
+            s.table(self.spark, "terms")
+            .filter(F.col("term").isin(terms))
+            .select("term", "df")
+            for s in self.segments
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        out = {}
+        for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect():
+            out[r["term"]] = TermStats(
+                term=r["term"], df=int(r["df"]), idf=bm25.idf(self.n_docs, int(r["df"]))
+            )
+        return out
+
+    def topk(self, query_text: str, k: int = 10, mode: str = "wand", op: str = "or") -> DataFrame:
+        q_terms = sorted(set(tokenize_text(query_text)))
+        stats = self.term_stats(q_terms)
+        matched = sorted(stats)
+        if not matched or (op == "and" and len(matched) < len(q_terms)):
+            return self.spark.createDataFrame(
+                [], "segment_id string, doc_id long, gdoc_id long, score float"
+            )
+        idfs = {t: np.float32(stats[t].idf) for t in matched}
+        use_wand = mode == "wand" and op == "or"
+
+        per_seg = []
+        for s in self.segments:
+            scored = score_postings(
+                s.table(self.spark, "postings"),
+                idfs,
+                self._cache,
+                k,
+                op,
+                len(q_terms),
+                self.avgdl,
+                use_wand,
+                deleted=self._deleted.get(s.segment_id),
+            )
+            base = self.doc_base[s.segment_id]
+            per_seg.append(
+                scored.select(
+                    F.lit(s.segment_id).alias("segment_id"),
+                    "doc_id",
+                    (F.col("doc_id") + F.lit(base)).alias("gdoc_id"),
+                    "score",
+                )
+            )
+        u = per_seg[0]
+        for p in per_seg[1:]:
+            u = u.unionByName(p)
+        return u.orderBy(F.desc("score"), F.asc("gdoc_id")).limit(k)
 
 
 def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> DataFrame:

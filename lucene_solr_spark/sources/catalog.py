@@ -107,7 +107,14 @@ def phase_complete(seg_path: str, name: str) -> bool:
 
 
 class Catalog:
-    """A directory of segments = the index (SegmentInfos analog)."""
+    """A directory of segments = the index (SegmentInfos analog).
+
+    Deletes (liveDocs analog — lucene/core/.../index/PendingDeletes.java):
+    a catalog-level ``_deletes`` parquet table of (segment_id, doc_id)
+    tombstones. Applied as an exclusion mask at query time (stats still
+    include deleted docs, exactly like Lucene until a merge); purged when
+    the owning segment is merged away or dropped.
+    """
 
     def __init__(self, root: str):
         self.root = root
@@ -125,3 +132,43 @@ class Catalog:
         p = os.path.join(self.root, segment_id)
         if os.path.isdir(p):
             shutil.rmtree(p)
+
+    # ---- deletes ----------------------------------------------------------
+
+    @property
+    def _deletes_path(self) -> str:
+        return os.path.join(self.root, "_deletes")
+
+    def deletes(self, spark: SparkSession) -> DataFrame:
+        """(segment_id string, doc_id long) tombstones; empty DF if none."""
+        if os.path.exists(os.path.join(self._deletes_path, "_SUCCESS")) or (
+            os.path.isdir(self._deletes_path) and os.listdir(self._deletes_path)
+        ):
+            return spark.read.parquet(self._deletes_path)
+        return spark.createDataFrame([], "segment_id string, doc_id long")
+
+    def add_deletes(self, df: DataFrame) -> None:
+        """Append (segment_id, doc_id) tombstone rows (delete-by-* resolved
+        upstream against each segment's docmap)."""
+        df.select("segment_id", "doc_id").write.mode("append").parquet(
+            self._deletes_path
+        )
+
+    def purge_deletes(self, spark: SparkSession, segment_ids: list[str]) -> None:
+        """Drop tombstones owned by segments that no longer exist (post-merge)."""
+        if not os.path.isdir(self._deletes_path):
+            return
+        remaining = self.deletes(spark).filter(
+            ~col_in("segment_id", segment_ids)
+        ).collect()
+        shutil.rmtree(self._deletes_path)
+        if remaining:
+            spark.createDataFrame(
+                remaining, "segment_id string, doc_id long"
+            ).write.mode("overwrite").parquet(self._deletes_path)
+
+
+def col_in(name: str, values: list[str]):
+    from pyspark.sql import functions as F
+
+    return F.col(name).isin(values) if values else F.lit(False)

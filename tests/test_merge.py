@@ -1,0 +1,158 @@
+"""Segment merge / deletes / multi-segment search — SegmentMerger,
+TieredMergePolicy, PendingDeletes and TopDocs#merge analogs.
+
+Key equivalence (the reference's own test pattern, SURVEY.md §5.1
+"Distributed == single-node control"): an index built as TWO segments and
+searched via MultiSearcher, or merged back into ONE segment, must produce
+exactly the results of the single-segment build over the same corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import synth_corpus
+from lucene_solr_spark.operators.checker import check_segment
+from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
+from lucene_solr_spark.operators.merge import (
+    decode_postings,
+    delete_by_query,
+    find_merges,
+    maybe_compact,
+    merge_segments,
+)
+from lucene_solr_spark.operators.search import MultiSearcher, Searcher
+from lucene_solr_spark.sources.catalog import Catalog, Segment, SegmentStats
+
+N_DOCS = 200
+QUERIES = ["import return def", "getnode parseindex", "public self merge"]
+
+
+@pytest.fixture(scope="module")
+def corpus_full(spark):
+    c = synth_corpus(spark, N_DOCS, partitions=4)
+    return assign_doc_ids(c, ["repo", "path", "commit"]).persist()
+
+
+@pytest.fixture(scope="module")
+def seg_full(spark, corpus_full):
+    return build_index(spark, corpus_full, out_dir=None, bucket_docs=64)
+
+
+@pytest.fixture(scope="module")
+def catalog_two(spark, corpus_full, tmp_path_factory):
+    """Two on-disk segments splitting the corpus at the doc-id midpoint,
+    each re-assigned dense local ids (a fresh per-segment build)."""
+    root = str(tmp_path_factory.mktemp("cat"))
+    cat = Catalog(root)
+    half = N_DOCS // 2
+    for i, pred in enumerate(
+        [F.col("doc_id") < half, F.col("doc_id") >= half]
+    ):
+        part = corpus_full.filter(pred).drop("doc_id")
+        build_index(
+            spark, part, out_dir=root, bucket_docs=64, segment_id=f"seg{i}"
+        )
+    return cat
+
+
+def _hits(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def test_multisearcher_equals_single_segment(spark, seg_full, catalog_two):
+    single = Searcher(spark, seg_full)
+    multi = MultiSearcher.from_catalog(spark, catalog_two)
+    assert multi.n_docs == seg_full.stats.n_docs
+    assert abs(multi.avgdl - seg_full.stats.avgdl) < 1e-9
+    for q in QUERIES:
+        a = _hits(single.topk(q, k=10, mode="wand"))
+        b = [
+            (int(r["gdoc_id"]), float(r["score"]))
+            for r in multi.topk(q, k=10, mode="wand").collect()
+        ]
+        assert a == b, f"multi != single for {q!r}"
+
+
+def test_merge_two_segments_equals_single(spark, seg_full, catalog_two, tmp_path):
+    segs = sorted(catalog_two.segments(), key=lambda s: s.segment_id)
+    merged = merge_segments(
+        spark,
+        segs,
+        out_dir=str(tmp_path),
+        bucket_docs=64,
+        drop_sources=False,
+    )
+    assert merged.stats.n_docs == seg_full.stats.n_docs
+    assert merged.stats.sum_ttf == seg_full.stats.sum_ttf
+    assert merged.stats.n_terms == seg_full.stats.n_terms
+    assert merged.stats.n_postings == seg_full.stats.n_postings
+    check_segment(spark, merged)
+    s_m, s_f = Searcher(spark, merged), Searcher(spark, seg_full)
+    for q in QUERIES:
+        assert _hits(s_m.topk(q, k=10)) == _hits(s_f.topk(q, k=10))
+
+
+def test_decode_roundtrip(spark, seg_full):
+    dec = decode_postings(seg_full.table(spark, "postings"))
+    tot = dec.agg(F.count("*"), F.sum("freq")).collect()[0]
+    assert int(tot[0]) == seg_full.stats.n_postings
+    # ttf preserved
+    ttf = (
+        seg_full.table(spark, "terms").agg(F.sum("ttf")).collect()[0][0]
+    )
+    assert int(tot[1]) == int(ttf)
+
+
+def test_deletes_then_compaction(spark, corpus_full, tmp_path):
+    cat = Catalog(str(tmp_path))
+    half = N_DOCS // 2
+    for i, pred in enumerate([F.col("doc_id") < half, F.col("doc_id") >= half]):
+        build_index(
+            spark,
+            corpus_full.filter(pred).drop("doc_id"),
+            out_dir=cat.root,
+            bucket_docs=64,
+            segment_id=f"d{i}",
+        )
+    n_del = delete_by_query(spark, cat, F.col("lang") == "go")
+    assert n_del > 0
+    deleted_langs = set()
+    ms = MultiSearcher.from_catalog(spark, cat)
+    # stats still include deleted docs (Lucene liveDocs semantics)
+    assert ms.n_docs == N_DOCS
+    hits = ms.topk("import return def", k=50).collect()
+    assert hits
+    for seg in cat.segments():
+        dm = {r["doc_id"]: r["lang"] for r in seg.table(spark, "docmap").collect()}
+        for r in hits:
+            if r["segment_id"] == seg.segment_id:
+                deleted_langs.add(dm[r["doc_id"]])
+    assert "go" not in deleted_langs
+
+    # compaction drops tombstoned docs, purges tombstones, shrinks the index
+    merged = maybe_compact(spark, cat, bucket_docs=64, size_ratio=4.0)
+    assert len(merged) == 1
+    segs = cat.segments()
+    assert len(segs) == 1 and segs[0].segment_id == merged[0].segment_id
+    assert segs[0].stats.n_docs == N_DOCS - n_del
+    assert cat.deletes(spark).count() == 0
+    check_segment(spark, Segment.load(segs[0].path))
+    s = Searcher(spark, segs[0])
+    langs = {
+        r["lang"]
+        for r in s.topk_with_fields("import return def", k=50).collect()
+    }
+    assert "go" not in langs
+
+
+def test_find_merges_tiers():
+    def seg(n):
+        return Segment(segment_id=f"s{n}", stats=SegmentStats(n_docs=n))
+
+    groups = find_merges([seg(100), seg(110), seg(95), seg(10_000)])
+    sizes = [[s.stats.n_docs for s in g] for g in groups]
+    assert sizes == [[95, 100, 110]]
+    assert find_merges([seg(100)]) == []
