@@ -1,0 +1,91 @@
+"""Incremental indexing via Structured Streaming — NRT/tlog-replay analogs.
+
+Covers: drain-and-stop ingest (availableNow), checkpointed resume (only new
+files processed on the second drain), atomic visibility via the catalog,
+and equality with a batch-built control index (the reference's
+distributed-vs-control test pattern, SURVEY.md §5.1).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import synth_corpus
+from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
+from lucene_solr_spark.operators.merge import maybe_compact
+from lucene_solr_spark.operators.search import MultiSearcher, Searcher
+from lucene_solr_spark.sources.catalog import Catalog
+from lucene_solr_spark.streaming.ingest import ingest_available
+
+N_DOCS = 160
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = synth_corpus(spark, N_DOCS, partitions=4)
+    return assign_doc_ids(c, ["repo", "path", "commit"]).persist()
+
+
+def _write_chunk(corpus, pred, input_dir, name):
+    """Land one new parquet file in the watched directory (the file-source
+    contract: new files appear atomically at the top level)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    tmp = tempfile.mkdtemp()
+    (
+        corpus.filter(pred)
+        .drop("doc_id", "content_sha256")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    os.makedirs(input_dir, exist_ok=True)
+    (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+    shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+    shutil.rmtree(tmp)
+
+
+def test_streaming_ingest_resume_and_compact(spark, corpus, tmp_path):
+    input_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    cat = Catalog(str(tmp_path / "cat"))
+    half = N_DOCS // 2
+
+    # drain 1: first half of the corpus
+    _write_chunk(corpus, F.col("doc_id") < half, input_dir, "c0")
+    ingest_available(spark, input_dir, cat, ckpt, bucket_docs=64)
+    segs = cat.segments()
+    assert sum(s.stats.n_docs for s in segs) == half
+
+    ms = MultiSearcher.from_catalog(spark, cat)
+    assert ms.topk("import return", k=5).count() > 0
+
+    # drain 2: second half arrives; checkpoint must skip chunk 0
+    _write_chunk(corpus, F.col("doc_id") >= half, input_dir, "c1")
+    ingest_available(spark, input_dir, cat, ckpt, bucket_docs=64)
+    segs = cat.segments()
+    assert sum(s.stats.n_docs for s in segs) == N_DOCS
+    assert len(segs) >= 2
+
+    # drain 3: nothing new -> no new docs (offsets are the subscriber state)
+    ingest_available(spark, input_dir, cat, ckpt, bucket_docs=64)
+    assert sum(s.stats.n_docs for s in cat.segments()) == N_DOCS
+
+    # compact to one segment; equals the batch-built control
+    maybe_compact(spark, cat, bucket_docs=64, size_ratio=10.0, max_merge_at_once=20)
+    segs = cat.segments()
+    assert len(segs) == 1 and segs[0].stats.n_docs == N_DOCS
+
+    control = build_index(
+        spark, corpus.drop("doc_id"), out_dir=None, bucket_docs=64
+    )
+    s_stream = Searcher(spark, segs[0])
+    s_ctrl = Searcher(spark, control)
+    for q in ["import return def", "getnode parseindex", "public self merge"]:
+        a = [(r["doc_id"], r["score"]) for r in s_stream.topk(q, k=10).collect()]
+        b = [(r["doc_id"], r["score"]) for r in s_ctrl.topk(q, k=10).collect()]
+        assert a == b, f"streamed+compacted != batch control for {q!r}"
