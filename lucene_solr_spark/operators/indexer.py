@@ -57,7 +57,8 @@ from ..sources.catalog import (
 DEFAULT_BUCKET_DOCS = 8192  # 64 full 128-doc blocks per term per bucket
 
 _STAGE_A_SCHEMA = (
-    "kind tinyint, doc_id long, term string, freq int, dl long, norm_byte int"
+    "kind tinyint, doc_id long, term string, freq int, dl long, norm_byte int, "
+    "pos_bin binary"
 )
 
 _BLOCK_SCHEMA = (
@@ -99,49 +100,76 @@ def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> Data
     return out
 
 
-def _stage_a(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _stage_a_fn(with_positions: bool):
     """Tokenize + per-doc term counting (complete, not partial — each doc is
-    wholly inside one batch). Emits kind=0 doc-summary rows and kind=1 tf rows."""
-    for pdf in doc_batches:
-        if len(pdf) == 0:
-            continue
-        toks = tokenize_pandas(pdf["content"])
-        dl = toks.map(len).to_numpy(dtype=np.int64)
-        norm = int_to_byte4_np(dl).astype(np.int32)
-        doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-        yield pd.DataFrame(
-            {
-                "kind": np.int8(0),
-                "doc_id": doc_ids,
-                "term": None,
-                "freq": np.int32(0),
-                "dl": dl,
-                "norm_byte": norm,
-            }
-        )
-        # explode + count, vectorized across the whole batch
-        lens = dl
-        if lens.sum() == 0:
-            continue
-        flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
-        flat_docs = np.repeat(doc_ids, lens)
-        flat_norms = np.repeat(norm, lens)
-        tf = (
-            pd.DataFrame({"doc_id": flat_docs, "term": flat_terms, "norm_byte": flat_norms})
-            .groupby(["doc_id", "term"], sort=False)
-            .agg(freq=("term", "size"), norm_byte=("norm_byte", "first"))
-            .reset_index()
-        )
-        yield pd.DataFrame(
-            {
-                "kind": np.int8(1),
-                "doc_id": tf["doc_id"].astype(np.int64),
-                "term": tf["term"],
-                "freq": tf["freq"].astype(np.int32),
-                "dl": np.int64(0),
-                "norm_byte": tf["norm_byte"].astype(np.int32),
-            }
-        )
+    wholly inside one batch). Emits kind=0 doc-summary rows and kind=1 tf
+    rows. With positions enabled, each tf row also carries the term's
+    in-doc token positions, delta+FOR packed (the prox/.pos file analog —
+    codecs/lucene84/Lucene84PostingsWriter positions path)."""
+
+    def _stage_a(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in doc_batches:
+            if len(pdf) == 0:
+                continue
+            toks = tokenize_pandas(pdf["content"])
+            dl = toks.map(len).to_numpy(dtype=np.int64)
+            norm = int_to_byte4_np(dl).astype(np.int32)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    "kind": np.int8(0),
+                    "doc_id": doc_ids,
+                    "term": None,
+                    "freq": np.int32(0),
+                    "dl": dl,
+                    "norm_byte": norm,
+                    "pos_bin": None,
+                }
+            )
+            # explode + count, vectorized across the whole batch
+            lens = dl
+            if lens.sum() == 0:
+                continue
+            flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            flat_docs = np.repeat(doc_ids, lens)
+            flat_norms = np.repeat(norm, lens)
+            flat = pd.DataFrame(
+                {"doc_id": flat_docs, "term": flat_terms, "norm_byte": flat_norms}
+            )
+            if with_positions:
+                flat["pos"] = np.concatenate(
+                    [np.arange(n, dtype=np.int64) for n in lens if n]
+                )
+            g = flat.groupby(["doc_id", "term"], sort=False)
+            tf = g.agg(
+                freq=("term", "size"), norm_byte=("norm_byte", "first")
+            ).reset_index()
+            if with_positions:
+                # within-group order is document order, so positions are
+                # already ascending — pack deltas directly
+                pos_bin = g["pos"].agg(
+                    lambda p: packing.pack_ints(
+                        packing.delta_encode(p.to_numpy(dtype=np.uint64))
+                    )
+                )
+                tf = tf.merge(
+                    pos_bin.rename("pos_bin").reset_index(), on=["doc_id", "term"]
+                )
+            else:
+                tf["pos_bin"] = None
+            yield pd.DataFrame(
+                {
+                    "kind": np.int8(1),
+                    "doc_id": tf["doc_id"].astype(np.int64),
+                    "term": tf["term"],
+                    "freq": tf["freq"].astype(np.int32),
+                    "dl": np.int64(0),
+                    "norm_byte": tf["norm_byte"].astype(np.int32),
+                    "pos_bin": tf["pos_bin"],
+                }
+            )
+
+    return _stage_a
 
 
 def _build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -186,6 +214,7 @@ def build_index(
     bucket_docs: int = DEFAULT_BUCKET_DOCS,
     term_partitions: int | None = None,
     segment_id: str | None = None,
+    with_positions: bool = False,
 ) -> Segment:
     """Build one immutable segment from a corpus DataFrame.
 
@@ -196,6 +225,10 @@ def build_index(
     ``out_dir=None`` -> in-memory segment (DataFrames persisted);
     otherwise staged, phase-resumable parquet writes under
     ``{out_dir}/{segment_id}/`` with a JSON manifest (lineage + metrics).
+
+    ``with_positions=True`` additionally stores per-(term, doc) token
+    positions (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS analog), enabling
+    phrase queries (operators/phrase.py).
     """
     if "content_sha256" not in corpus.columns:
         corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -214,7 +247,9 @@ def build_index(
     )
 
     # ---- Phase A: analyze (tokenize + complete per-doc term counts) -------
-    stage_a = docs.select("doc_id", "content").mapInPandas(_stage_a, _STAGE_A_SCHEMA)
+    stage_a = docs.select("doc_id", "content").mapInPandas(
+        _stage_a_fn(with_positions), _STAGE_A_SCHEMA
+    )
 
     if seg_path:
         if not phase_complete(seg_path, "tfdoc"):
@@ -225,7 +260,7 @@ def build_index(
 
     doclen = stage_a.filter(F.col("kind") == 0).select("doc_id", "dl", "norm_byte")
     tf = stage_a.filter(F.col("kind") == 1).select(
-        "doc_id", "term", "freq", "norm_byte"
+        "doc_id", "term", "freq", "norm_byte", "pos_bin"
     )
 
     # ---- docmap (stored-fields / norms analog; late-materialization target)
@@ -240,6 +275,7 @@ def build_index(
         bucket_docs=bucket_docs,
         shuffle_n=shuffle_n,
         extra_phases={"tfdoc": "complete"},
+        with_positions=with_positions,
     )
 
 
@@ -252,14 +288,28 @@ def assemble_segment(
     bucket_docs: int,
     shuffle_n: int,
     extra_phases: dict | None = None,
+    with_positions: bool = False,
 ) -> Segment:
     """Phase B onward: (docmap w/ dl+norm_byte, tf rows) -> finished segment.
     Shared by the fresh build (``build_index``) and the segment merger
     (operators/merge.py — FreqProxTermsWriter#flush and SegmentMerger#merge
-    both end in Lucene84PostingsWriter; this is that shared tail)."""
+    both end in Lucene84PostingsWriter; this is that shared tail).
+    ``tf`` may carry a ``pos_bin`` column; with ``with_positions`` those
+    rows also land in a ``positions`` table (term, bucket, doc_id,
+    norm_byte, pos_bin) range-partitioned by term."""
+    if "pos_bin" not in tf.columns:
+        tf = tf.withColumn("pos_bin", F.lit(None).cast("binary"))
+    tf = tf.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long"))
+
+    positions = None
+    if with_positions:
+        positions = tf.filter(F.col("pos_bin").isNotNull()).select(
+            "term", "bucket", "doc_id", "norm_byte", "pos_bin"
+        )
+
     # ---- Phase B: postings blocks (the one token-stream shuffle) ----------
     blocks = (
-        tf.withColumn("bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long"))
+        tf.drop("pos_bin")
         .repartition(shuffle_n, "term", "bucket")
         .groupBy("term", "bucket")
         .applyInPandas(_build_blocks, _BLOCK_SCHEMA)
@@ -301,10 +351,21 @@ def assemble_segment(
                 "docmap",
             )
         docmap = spark.read.parquet(os.path.join(seg_path, "docmap"))
+        if positions is not None:
+            if not phase_complete(seg_path, "positions"):
+                write_table(
+                    positions.repartitionByRange(shuffle_n, "term")
+                    .sortWithinPartitions("term", "bucket", "doc_id"),
+                    seg_path,
+                    "positions",
+                )
+            positions = spark.read.parquet(os.path.join(seg_path, "positions"))
     else:
         postings = blocks.persist()
         terms = _terms_from(postings).persist()
         docmap = docmap.persist()
+        if positions is not None:
+            positions = positions.persist()
 
     # ---- stats + manifest (lineage/metrics) --------------------------------
     agg = docmap.agg(
@@ -328,6 +389,8 @@ def assemble_segment(
     )
     seg = Segment(segment_id=seg_id, stats=stats, path=seg_path)
     seg.dfs = {"docmap": docmap, "terms": terms, "postings": postings}
+    if positions is not None:
+        seg.dfs["positions"] = positions
     if seg_path:
         seg.save_manifest(
             phases={
@@ -335,6 +398,7 @@ def assemble_segment(
                 "postings": f"complete ({int(pagg['nblocks'])} blocks)",
                 "terms": "complete",
                 "docmap": "complete",
+                **({"positions": "complete"} if positions is not None else {}),
                 "metrics": {
                     "docs_indexed": stats.n_docs,
                     "postings_written": stats.n_postings,

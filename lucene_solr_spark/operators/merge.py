@@ -93,21 +93,30 @@ def merge_segments(
         spark.conf.get("spark.sql.shuffle.partitions")
     )
     deletes = catalog.deletes(spark) if catalog else None
+    has_pos = all(s.has_table("positions") for s in segments)
 
-    docmaps, decoded = [], []
+    docmaps, decoded, positions = [], [], []
     for order, seg in enumerate(segments):
         dm = seg.table(spark, "docmap").withColumn("_seg_order", F.lit(order))
         dec = decode_postings(seg.table(spark, "postings")).withColumn(
             "_seg_order", F.lit(order)
         )
+        if has_pos:
+            pos = seg.table(spark, "positions").select(
+                "term", "doc_id", "pos_bin"
+            ).withColumn("_seg_order", F.lit(order))
         if deletes is not None:
             seg_del = deletes.filter(
                 F.col("segment_id") == seg.segment_id
             ).select("doc_id")
             dm = dm.join(F.broadcast(seg_del), "doc_id", "left_anti")
             dec = dec.join(F.broadcast(seg_del), "doc_id", "left_anti")
+            if has_pos:
+                pos = pos.join(F.broadcast(seg_del), "doc_id", "left_anti")
         docmaps.append(dm)
         decoded.append(dec)
+        if has_pos:
+            positions.append(pos)
 
     all_docs = docmaps[0]
     for dm in docmaps[1:]:
@@ -115,6 +124,13 @@ def merge_segments(
     all_tf = decoded[0]
     for d in decoded[1:]:
         all_tf = all_tf.unionByName(d)
+    if has_pos:
+        # positions ride along as a pos_bin column on the tf rows (they are
+        # doc-relative, so remap leaves the payload untouched)
+        all_pos = positions[0]
+        for p in positions[1:]:
+            all_pos = all_pos.unionByName(p)
+        all_tf = all_tf.join(all_pos, ["_seg_order", "term", "doc_id"], "left")
 
     # ---- DocIDMerger analog: dense remap over (segment order, old id) -----
     remap_src = all_docs.withColumnRenamed("doc_id", "old_doc_id")
@@ -124,10 +140,13 @@ def merge_segments(
     remap = remapped_docs.select("_seg_order", "old_doc_id", "doc_id")
 
     new_docmap = remapped_docs.drop("old_doc_id", "_seg_order")
+    tf_cols = ["doc_id", "term", "freq", "norm_byte"] + (
+        ["pos_bin"] if has_pos else []
+    )
     new_tf = (
         all_tf.withColumnRenamed("doc_id", "old_doc_id")
         .join(remap, ["_seg_order", "old_doc_id"])
-        .select("doc_id", "term", "freq", "norm_byte")
+        .select(*tf_cols)
     )
 
     seg_id = segment_id or new_segment_id()
@@ -149,6 +168,7 @@ def merge_segments(
         extra_phases={
             "merged_from": [s.segment_id for s in segments],
         },
+        with_positions=has_pos,
     )
 
     if catalog and drop_sources:

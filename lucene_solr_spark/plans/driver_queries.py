@@ -313,6 +313,82 @@ def phrase_query(spark, sf_dir):
     )
 
 
+@register(
+    "phrase_bm25_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_total, avg(len(toks))::DOUBLE AS avgdl FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS dft FROM pos
+        WHERE term IN ('key', 'order') GROUP BY term),
+idf AS (SELECT sum(ln(1 + (s.n_total - d.dft + 0.5) / (d.dft + 0.5))) AS idf_sum
+        FROM dft d CROSS JOIN stats s),
+ph AS (SELECT a.doc_id, count(*)::DOUBLE AS freq
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'key' AND b.term = 'order' GROUP BY a.doc_id)
+SELECT ph.doc_id AS doc_id,
+       round(i.idf_sum * ph.freq
+             / (ph.freq + {K1} * ((1 - {B}) + {B} * {duckdb_byte4_roundtrip_sql('dl.dl')} / s.avgdl)),
+             6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id
+CROSS JOIN idf i CROSS JOIN stats s
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def phrase_bm25_topk(spark, sf_dir):
+    """Scored phrase query (search/PhraseQuery.java + PhraseWeight): freq =
+    exact-phrase occurrences, idf = sum of the phrase terms' idfs, BM25
+    tf_part on the byte4-quantized doc length. Double-precision cross-engine
+    variant; the float32 engine path (positional postings table +
+    operators/phrase.py) is pinned to tests/oracle.py in pytest."""
+    t0, t1 = "key", "order"
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+    dft = (
+        pos.filter(F.col("term").isin([t0, t1]))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("double").alias("dft"))
+    )
+    idf = dft.crossJoin(stats).agg(
+        F.sum(
+            F.log(
+                1.0
+                + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+            )
+        ).alias("idf_sum")
+    )
+    a = pos.filter(F.col("term") == t0).select("doc_id", F.col("pos").alias("pa"))
+    b = pos.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("pb"))
+    ph = (
+        a.join(b, "doc_id")
+        .filter(F.col("pb") == F.col("pa") + 1)
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    return (
+        ph.join(dl, "doc_id")
+        .crossJoin(F.broadcast(idf))
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_sum")
+                * F.col("freq")
+                / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Corpus-stat functions (function queries: docfreq/idf/ttf — SURVEY §2.H)
 # ---------------------------------------------------------------------------

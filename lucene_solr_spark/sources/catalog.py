@@ -61,6 +61,13 @@ class Segment:
         assert self.path, f"segment has no path and no cached df for {name}"
         return spark.read.parquet(os.path.join(self.path, name))
 
+    def has_table(self, name: str) -> bool:
+        if name in self.dfs:
+            return True
+        return bool(self.path) and os.path.exists(
+            os.path.join(self.path, name, "_SUCCESS")
+        )
+
     def save_manifest(self, phases: dict[str, Any] | None = None) -> None:
         assert self.path
         doc = {

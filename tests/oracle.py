@@ -74,10 +74,12 @@ class OracleIndex:
     def __init__(self, docs: list[tuple[int, str]]):
         self.tf: dict[str, dict[int, int]] = {}
         self.norm_byte: dict[int, int] = {}
+        self.tokens: dict[int, list[str]] = {}
         sum_ttf = 0
         n_docs = 0
         for doc_id, text in docs:
             toks = tokenize(text)
+            self.tokens[doc_id] = toks
             n_docs += 1  # every doc has the field (possibly empty), like docCount
             sum_ttf += len(toks)
             self.norm_byte[doc_id] = int_to_byte4(len(toks))
@@ -123,6 +125,30 @@ class OracleIndex:
         scores = self.score_disjunction(query_text)
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
+
+    def topk_phrase(self, phrase_text: str, k: int = 10) -> list[tuple[int, float]]:
+        """Exact-phrase BM25 (PhraseQuery analog): freq = number of phrase
+        occurrences, idf = sum over phrase positions (duplicates counted),
+        same float32 norm-cache tf_part as single terms."""
+        seq = tokenize(phrase_text)
+        if not seq:
+            return []
+        idf_sum = np.float32(sum(self.idf(t) for t in seq))
+        n = len(seq)
+        out = []
+        for doc_id, toks in self.tokens.items():
+            freq = sum(
+                1 for i in range(len(toks) - n + 1) if toks[i : i + n] == seq
+            )
+            if not freq:
+                continue
+            add = self.cache[self.norm_byte[doc_id]]
+            s = np.float32(
+                idf_sum * (np.float32(freq) / (np.float32(freq) + add))
+            )
+            out.append((doc_id, float(s)))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
 
     def topk_conjunction(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
         """AND semantics: only docs containing ALL query terms."""

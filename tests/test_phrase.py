@@ -1,0 +1,122 @@
+"""Positional postings + exact-phrase queries — PhraseQuery analog vs the
+scalar oracle, plus positional survival through a segment merge."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.corpus import synth_corpus
+from lucene_solr_spark.functions.packing import delta_decode, unpack_ints
+from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
+from lucene_solr_spark.operators.merge import merge_segments
+from lucene_solr_spark.operators.phrase import phrase_topk
+from lucene_solr_spark.operators.search import Searcher
+
+from .oracle import OracleIndex, tokenize
+
+N_DOCS = 150
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = synth_corpus(spark, N_DOCS, partitions=4)
+    return assign_doc_ids(c, ["repo", "path", "commit"]).persist()
+
+
+@pytest.fixture(scope="module")
+def seg_pos(spark, corpus):
+    return build_index(
+        spark, corpus, out_dir=None, bucket_docs=64, with_positions=True
+    )
+
+
+@pytest.fixture(scope="module")
+def oracle(corpus):
+    rows = corpus.select("doc_id", "content").collect()
+    return OracleIndex([(int(r["doc_id"]), r["content"]) for r in rows])
+
+
+@pytest.fixture(scope="module")
+def phrases(oracle):
+    """Real 2- and 3-token phrases drawn from the corpus (plus misses)."""
+    out = []
+    for doc_id in sorted(oracle.tokens)[:6]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) > 12:
+            out.append(" ".join(toks[5:7]))
+            out.append(" ".join(toks[8:11]))
+    out += ["import return", "zzz qqq never", "import"]
+    return out
+
+
+def test_positions_roundtrip(spark, seg_pos, oracle):
+    """Stored positions must reproduce each doc's token stream exactly."""
+    rows = seg_pos.table(spark, "positions").collect()
+    seen = {}
+    for r in rows:
+        pos = delta_decode(unpack_ints(r["pos_bin"])).astype(int)
+        assert (np.diff(pos) > 0).all() or len(pos) <= 1
+        for p in pos:
+            seen.setdefault(int(r["doc_id"]), {})[int(p)] = r["term"]
+    for doc_id, toks in oracle.tokens.items():
+        got = seen.get(doc_id, {})
+        assert len(got) == len(toks)
+        for i, t in enumerate(toks):
+            assert got[i] == t, f"doc {doc_id} pos {i}: {got[i]} != {t}"
+
+
+def test_phrase_matches_oracle(spark, seg_pos, oracle, phrases):
+    for ph in phrases:
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in phrase_topk(spark, seg_pos, ph, k=10).collect()
+        ]
+        want = oracle.topk_phrase(ph, k=10)
+        assert got == want, f"phrase {ph!r}: {got} != {want}"
+
+
+def test_phrase_freq_gt_term_freq_impossible(spark, seg_pos):
+    """Phrase hits are a subset of conjunction hits."""
+    s = Searcher(spark, seg_pos)
+    ph = "import return"
+    phrase_docs = {
+        int(r["doc_id"]) for r in phrase_topk(spark, seg_pos, ph, k=1000).collect()
+    }
+    conj_docs = {
+        int(r["doc_id"]) for r in s.topk(ph, k=1000, op="and", mode="exhaustive").collect()
+    }
+    assert phrase_docs <= conj_docs
+
+
+def test_phrase_survives_merge(spark, corpus, tmp_path, oracle, phrases):
+    half = N_DOCS // 2
+    segs = []
+    for i, pred in enumerate([F.col("doc_id") < half, F.col("doc_id") >= half]):
+        segs.append(
+            build_index(
+                spark,
+                corpus.filter(pred).drop("doc_id"),
+                out_dir=str(tmp_path),
+                bucket_docs=64,
+                segment_id=f"p{i}",
+                with_positions=True,
+            )
+        )
+    merged = merge_segments(
+        spark, segs, out_dir=str(tmp_path), bucket_docs=64, drop_sources=False
+    )
+    assert merged.has_table("positions")
+    for ph in phrases[:4] + ["import return"]:
+        got = [
+            (int(r["doc_id"]), float(r["score"]))
+            for r in phrase_topk(spark, merged, ph, k=10).collect()
+        ]
+        want = oracle.topk_phrase(ph, k=10)
+        assert got == want, f"post-merge phrase {ph!r} mismatch"
+
+
+def test_slop_not_supported(spark, seg_pos):
+    with pytest.raises(NotImplementedError):
+        phrase_topk(spark, seg_pos, "import return", slop=1)
