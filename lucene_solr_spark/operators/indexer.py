@@ -172,39 +172,70 @@ def _stage_a_fn(with_positions: bool):
     return _stage_a
 
 
-def _build_blocks(pdf: pd.DataFrame) -> pd.DataFrame:
-    """One (term, bucket) group -> FOR-packed 128-doc posting blocks with
-    impacts. Lucene84PostingsWriter + CompetitiveImpactAccumulator analog."""
-    term = pdf["term"].iloc[0]
-    bucket = int(pdf["bucket"].iloc[0])
-    g = pdf.sort_values("doc_id")
-    doc_ids = g["doc_id"].to_numpy(dtype=np.uint64)
-    freqs = g["freq"].to_numpy(dtype=np.uint64)
-    norms = g["norm_byte"].to_numpy(dtype=np.uint8)
-    dls = byte4_to_int_np(norms)
-    rows = []
-    for bi, lo in enumerate(range(0, len(doc_ids), packing.BLOCK_SIZE)):
-        hi = min(lo + packing.BLOCK_SIZE, len(doc_ids))
-        ids = doc_ids[lo:hi]
-        fr = freqs[lo:hi]
-        nb = norms[lo:hi]
-        rows.append(
-            {
-                "term": term,
-                "bucket": bucket,
-                "block_idx": bi,
-                "first_doc": int(ids[0]),
-                "last_doc": int(ids[-1]),
-                "n_docs": int(hi - lo),
-                "sum_freq": int(fr.sum()),
-                "max_freq": int(fr.max()),
-                "min_dl": int(dls[lo:hi].min()),
-                "doc_bin": packing.pack_ints(packing.delta_encode(ids)),
-                "freq_bin": packing.pack_ints(fr),
-                "norm_bin": nb.tobytes(),
-            }
-        )
-    return pd.DataFrame(rows)
+def _build_blocks_partition(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """One shuffle partition of tf rows (hash-partitioned by (term, bucket),
+    so every group is complete here) -> FOR-packed 128-doc posting blocks
+    with impacts. Lucene84PostingsWriter + CompetitiveImpactAccumulator
+    analog.
+
+    Deliberately mapInPandas over the WHOLE partition, not applyInPandas
+    per group: a code corpus has millions of (term, bucket) groups of a few
+    postings each, and per-group pandas dispatch dominates runtime at that
+    shape. Here the partition is sorted once with numpy (term codes via
+    factorize — group identity only, no ordering contract) and group/block
+    boundaries are sliced vectorized; per-block Python is just the two
+    pack_ints calls. Memory is bounded by the shuffle partition size, which
+    is the knob north_rule says to size explicitly (shuffle_n)."""
+    chunks = [pdf for pdf in batches if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    codes, uniques = pd.factorize(pdf["term"], sort=False)
+    buckets = pdf["bucket"].to_numpy(dtype=np.int64)
+    doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+    freqs = pdf["freq"].to_numpy(dtype=np.int64)
+    norms = pdf["norm_byte"].to_numpy(dtype=np.uint8)
+    order = np.lexsort((doc_ids, buckets, codes))
+    codes, buckets = codes[order], buckets[order]
+    doc_ids = doc_ids[order].astype(np.uint64)
+    freqs_u = freqs[order].astype(np.uint64)
+    norms = norms[order]
+    dls = byte4_to_int_np(norms).astype(np.int64)
+
+    n = len(pdf)
+    grp_change = np.empty(n, dtype=bool)
+    grp_change[0] = True
+    grp_change[1:] = (codes[1:] != codes[:-1]) | (buckets[1:] != buckets[:-1])
+    starts = np.flatnonzero(grp_change)
+    ends = np.append(starts[1:], n)
+    terms_arr = uniques.to_numpy(dtype=object) if hasattr(uniques, "to_numpy") else np.asarray(uniques, dtype=object)
+
+    out: dict[str, list] = {k: [] for k in (
+        "term", "bucket", "block_idx", "first_doc", "last_doc", "n_docs",
+        "sum_freq", "max_freq", "min_dl", "doc_bin", "freq_bin", "norm_bin",
+    )}
+    for s, e in zip(starts, ends):
+        term = terms_arr[codes[s]]
+        bucket = int(buckets[s])
+        for bi, lo in enumerate(range(s, e, packing.BLOCK_SIZE)):
+            hi = min(lo + packing.BLOCK_SIZE, e)
+            ids = doc_ids[lo:hi]
+            fr = freqs_u[lo:hi]
+            out["term"].append(term)
+            out["bucket"].append(bucket)
+            out["block_idx"].append(bi)
+            out["first_doc"].append(int(ids[0]))
+            out["last_doc"].append(int(ids[-1]))
+            out["n_docs"].append(int(hi - lo))
+            out["sum_freq"].append(int(fr.sum()))
+            out["max_freq"].append(int(fr.max()))
+            out["min_dl"].append(int(dls[lo:hi].min()))
+            out["doc_bin"].append(packing.pack_ints(packing.delta_encode(ids)))
+            out["freq_bin"].append(packing.pack_ints(fr))
+            out["norm_bin"].append(norms[lo:hi].tobytes())
+    yield pd.DataFrame(out)
 
 
 def build_index(
@@ -311,8 +342,7 @@ def assemble_segment(
     blocks = (
         tf.drop("pos_bin")
         .repartition(shuffle_n, "term", "bucket")
-        .groupBy("term", "bucket")
-        .applyInPandas(_build_blocks, _BLOCK_SCHEMA)
+        .mapInPandas(_build_blocks_partition, _BLOCK_SCHEMA)
     )
 
     # ---- terms dictionary (BlockTreeTermsWriter analog: sorted + stats) ---

@@ -1,0 +1,410 @@
+"""Additional Solr/Lucene operator coverage for the driver catalog.
+
+Each entry re-expresses a reference operator (SURVEY.md §2, path cited per
+entry) over the driver testdata with a DuckDB oracle using identical column
+aliases. Registered into the same REGISTRY/ORACLES as driver_queries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..functions.analysis import duckdb_tokenize_sql, shingles, tokenize_udf
+from .driver_queries import _TOKS_CTE, _read, _tokens, register
+
+# ---------------------------------------------------------------------------
+# Re-rank (search/ReRankQParserPlugin.java; LTR re-scoring shape):
+# first pass ranks by tf('order'), the top-50 are re-scored by adding
+# 2 * tf('batch'); everything below the re-rank window keeps its score.
+# Integer tfs -> exact cross-engine equality.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rerank_topn",
+    f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id,
+              sum(CASE WHEN term = 'order' THEN 1 ELSE 0 END) AS tf_first,
+              sum(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS tf_second
+       FROM toks GROUP BY doc_id),
+first_pass AS (SELECT doc_id, tf_first, tf_second,
+                      row_number() OVER (ORDER BY tf_first DESC, doc_id ASC) AS rnk
+               FROM tf WHERE tf_first > 0)
+SELECT doc_id,
+       CASE WHEN rnk <= 50 THEN tf_first + 2 * tf_second ELSE tf_first END AS score
+FROM first_pass
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def rerank_topn(spark, sf_dir):
+    """ReRankQParserPlugin: re-score only the top-N of the first pass."""
+    toks = _tokens(spark, sf_dir)
+    tf = toks.select("doc_id", F.explode("tokens").alias("term")).groupBy(
+        "doc_id"
+    ).agg(
+        F.sum(F.when(F.col("term") == "order", 1).otherwise(0)).alias("tf_first"),
+        F.sum(F.when(F.col("term") == "batch", 1).otherwise(0)).alias("tf_second"),
+    )
+    w = Window.orderBy(F.desc("tf_first"), F.asc("doc_id"))
+    fp = tf.filter(F.col("tf_first") > 0).withColumn("rnk", F.row_number().over(w))
+    return (
+        fp.select(
+            "doc_id",
+            F.when(
+                F.col("rnk") <= 50, F.col("tf_first") + 2 * F.col("tf_second")
+            )
+            .otherwise(F.col("tf_first"))
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# searchAfter / cursorMark deep paging (search/IndexSearcher.java#searchAfter,
+# solr CursorMark): keyset pagination — page 2 starts strictly after the
+# last (n_chars, doc_id) of page 1. No offset scan.
+# ---------------------------------------------------------------------------
+
+_PAGE = 20
+
+
+@register(
+    "search_after_page2",
+    f"""WITH page1 AS (SELECT n_chars, doc_id FROM documents
+                      ORDER BY n_chars DESC, doc_id ASC LIMIT {_PAGE}),
+cursor AS (SELECT n_chars AS c_n, doc_id AS c_d FROM page1
+           ORDER BY n_chars ASC, doc_id DESC LIMIT 1)
+SELECT d.doc_id, d.n_chars FROM documents d, cursor
+WHERE d.n_chars < cursor.c_n OR (d.n_chars = cursor.c_n AND d.doc_id > cursor.c_d)
+ORDER BY d.n_chars DESC, d.doc_id ASC LIMIT {_PAGE}""",
+)
+def search_after_page2(spark, sf_dir):
+    """searchAfter: page 2 via keyset cursor (FieldDoc after-filter)."""
+    d = _read(spark, sf_dir, "documents")
+    page1 = d.orderBy(F.desc("n_chars"), F.asc("doc_id")).limit(_PAGE)
+    cur = page1.orderBy(F.asc("n_chars"), F.desc("doc_id")).limit(1).collect()[0]
+    after = (F.col("n_chars") < cur["n_chars"]) | (
+        (F.col("n_chars") == cur["n_chars"]) & (F.col("doc_id") > cur["doc_id"])
+    )
+    return (
+        d.filter(after)
+        .select("doc_id", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(_PAGE)
+    )
+
+
+# ---------------------------------------------------------------------------
+# scale() function query (valuesource/ScaleFloatFunction.java): min-max
+# normalize a field to [0, 1] — needs one global pass, broadcast back.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scale_minmax",
+    """WITH mm AS (SELECT min(n_chars)::DOUBLE AS mn, max(n_chars)::DOUBLE AS mx
+               FROM documents)
+SELECT doc_id, round((n_chars - mm.mn) / (mm.mx - mm.mn), 9) AS scaled
+FROM documents, mm ORDER BY doc_id LIMIT 100""",
+)
+def scale_minmax(spark, sf_dir):
+    """scale(field, 0, 1): global min/max agg broadcast into the expr."""
+    d = _read(spark, sf_dir, "documents")
+    mm = d.agg(
+        F.min("n_chars").cast("double").alias("mn"),
+        F.max("n_chars").cast("double").alias("mx"),
+    )
+    return (
+        d.crossJoin(F.broadcast(mm))
+        .select(
+            "doc_id",
+            F.round(
+                (F.col("n_chars") - F.col("mn")) / (F.col("mx") - F.col("mn")), 9
+            ).alias("scaled"),
+        )
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Synonym expansion (analysis/synonym/SynonymGraphFilter.java): query-time
+# expansion of 'fast' -> {fast, quick, rapid}; docs matching any variant.
+# ---------------------------------------------------------------------------
+
+_SYNS = ("fast", "quick", "rapid")
+
+
+@register(
+    "synonym_expand_count",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term IN {str(tuple(_SYNS))} GROUP BY term ORDER BY term""",
+)
+def synonym_expand_count(spark, sf_dir):
+    """SynonymGraphFilter at query time: broadcast synonym set -> union of
+    postings (here: df per expanded variant)."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(list(_SYNS)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Graph traversal (solrj/io/graph/GatherNodesStream.java): iterative
+# frontier expansion region -> nations -> customers -> order count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_gather_nodes",
+    """SELECT n.n_name AS nation, count(o.o_orderkey) AS n_orders
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY n.n_name ORDER BY n_orders DESC, nation ASC""",
+)
+def graph_gather_nodes(spark, sf_dir):
+    """gatherNodes: 2-hop frontier expansion as iterative joins (the stream
+    walks edges breadth-first; each hop is one equi-join here)."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    frontier = _read(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    frontier2 = _read(spark, sf_dir, "customer").join(
+        F.broadcast(frontier.select("n_nationkey", "n_name")),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .join(frontier2.select("c_custkey", "n_name"), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("nation"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# relatedness() semantic-knowledge-graph agg (search/facet/RelatednessAgg.java):
+# significance of each lang bucket w.r.t. foreground (docs containing
+# 'order') vs background (all docs), simplified to the documented
+# fg_popularity/bg_popularity ratio form with counts (exact integers + one
+# rounded ratio).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "relatedness_agg",
+    f"""WITH {_TOKS_CTE},
+fg AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order'),
+tot AS (SELECT count(*)::DOUBLE AS n FROM documents)
+SELECT d.lang AS lang,
+       count(*) AS bg_count,
+       sum(CASE WHEN fg.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS fg_count,
+       round(sum(CASE WHEN fg.doc_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 9) AS relatedness
+FROM documents d LEFT JOIN fg ON d.doc_id = fg.doc_id
+GROUP BY d.lang ORDER BY lang""",
+)
+def relatedness_agg(spark, sf_dir):
+    """relatedness(): per-bucket foreground-vs-background significance."""
+    d = _read(spark, sf_dir, "documents")
+    toks = _tokens(spark, sf_dir)
+    fg = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") == "order")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_fg", F.lit(1))
+    )
+    return (
+        d.join(fg, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("bg_count"),
+            F.sum(F.coalesce(F.col("is_fg"), F.lit(0))).alias("fg_count"),
+            F.round(
+                F.sum(F.coalesce(F.col("is_fg"), F.lit(0)))
+                / F.count("*").cast("double"),
+                9,
+            ).alias("relatedness"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expand component (handler/component/ExpandComponent.java): after
+# collapsing to the best doc per group, re-attach the next members.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "expand_collapsed",
+    """WITH ranked AS (SELECT lang, doc_id, n_chars,
+        row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id ASC) AS rn
+ FROM documents)
+SELECT lang, doc_id, n_chars, rn FROM ranked WHERE rn BETWEEN 2 AND 3
+ORDER BY lang, rn""",
+)
+def expand_collapsed(spark, sf_dir):
+    """ExpandComponent: group heads are rn=1 (the collapse); expand returns
+    the following members per group (rn 2..3)."""
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(2, 3))
+        .select("lang", "doc_id", "n_chars", "rn")
+        .orderBy("lang", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# strdist() (solr ValueSourceParser 'strdist' + FuzzyQuery's Levenshtein):
+# built-in levenshtein in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "strdist_levenshtein",
+    """SELECT p_name, levenshtein(p_name, 'steel widget mk3') AS dist
+FROM part ORDER BY dist ASC, p_name ASC LIMIT 15""",
+)
+def strdist_levenshtein(spark, sf_dir):
+    """strdist(field, const, edit): closest part names by edit distance."""
+    p = _read(spark, sf_dir, "part")
+    return (
+        p.select("p_name", F.levenshtein("p_name", F.lit("steel widget mk3")).alias("dist"))
+        .orderBy(F.asc("dist"), F.asc("p_name"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# RegexpQuery (search/RegexpQuery.java, util/automaton/RegExp.java): pattern
+# over the terms dictionary, then df per matched term.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "regexp_query_terms",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE regexp_matches(term, '^w.*w$') GROUP BY term ORDER BY term""",
+)
+def regexp_query_terms(spark, sf_dir):
+    """RegexpQuery: automaton over terms dict -> rlike on the term column."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").rlike("^w.*w$"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("term")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BoostQuery / ConstantScoreQuery (search/BoostQuery.java,
+# ConstantScoreQuery.java): score algebra over a base score.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boost_query",
+    f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, count(*) AS base FROM toks WHERE term = 'merge' GROUP BY doc_id)
+SELECT t.doc_id,
+       t.base * (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END) AS score
+FROM tf t JOIN documents d ON d.doc_id = t.doc_id
+ORDER BY score DESC, t.doc_id ASC LIMIT 20""",
+)
+def boost_query(spark, sf_dir):
+    """BoostQuery: multiply base score; constant per-predicate factor."""
+    toks = _tokens(spark, sf_dir)
+    d = _read(spark, sf_dir, "documents")
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("base"))
+    )
+    return (
+        tf.join(d.select("doc_id", "lang"), "doc_id")
+        .select(
+            "doc_id",
+            (
+                F.col("base")
+                * F.when(F.col("lang") == "en", F.lit(2.0)).otherwise(F.lit(1.0))
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ShingleFilter (analysis/shingle/ShingleFilter.java): top word-bigrams.
+# Spark side uses the JVM-side higher-order-function shingles();
+# DuckDB mirrors via positional self-join.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shingle_bigram_top",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)
+SELECT a.term || ' ' || b.term AS bigram, count(*) AS cnt
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+GROUP BY bigram ORDER BY cnt DESC, bigram ASC LIMIT 15""",
+)
+def shingle_bigram_top(spark, sf_dir):
+    """ShingleFilter(n=2): corpus-wide top bigram counts."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode(shingles(F.col("tokens"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis (lucene/queries/.../mlt/MoreLikeThis.java): docs most similar
+# to a seed doc by shared distinct terms.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "more_like_this",
+    f"""WITH {_TOKS_CTE},
+seed AS (SELECT DISTINCT term FROM toks WHERE doc_id = 0),
+cand AS (SELECT DISTINCT doc_id, term FROM toks WHERE doc_id <> 0)
+SELECT cand.doc_id, count(*) AS shared
+FROM cand JOIN seed ON cand.term = seed.term
+GROUP BY cand.doc_id ORDER BY shared DESC, doc_id ASC LIMIT 10""",
+)
+def more_like_this(spark, sf_dir):
+    """MoreLikeThis: seed doc's terms as a disjunctive query, ranked by
+    shared-term overlap (idf-weighted variant left to the BM25 engine)."""
+    toks = _tokens(spark, sf_dir)
+    pairs = toks.select("doc_id", F.explode("tokens").alias("term")).distinct()
+    seed = pairs.filter(F.col("doc_id") == 0).select("term")
+    return (
+        pairs.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(seed), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared"))
+        .orderBy(F.desc("shared"), F.asc("doc_id"))
+        .limit(10)
+    )
