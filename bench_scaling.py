@@ -1,0 +1,112 @@
+"""Two-cluster-size scaling evidence for north_rule (N vs 4N executors).
+
+No real cluster exists in this sandbox, so the rule's criterion is
+evidenced by running the IDENTICAL index-build job on the IDENTICAL input
+at two resource levels and reporting throughput at both plus
+``eff = thr(4N) / (4 * thr(N))``.
+
+Resource isolation: each level runs in its own subprocess pinned with
+``taskset -c 0-(N-1)`` to EXACTLY N CPUs, with ``local[N]`` task slots and
+shuffle partitions sized to the level. Pinning matters: ``local[N]`` alone
+only throttles task slots — JVM shuffle/compression/GC threads would still
+spill onto the other cores, gifting the small "cluster" extra silicon and
+corrupting the ratio. With affinity pinning, an N-CPU run is a faithful
+stand-in for an N-executor cluster (every executor bundles its own task,
+shuffle, and GC work onto its cores).
+
+Defaults: levels 8 and 32 CPUs (SPARK_GRAFT_SCALE_LEVELS="8,32"), 200k-doc
+deterministic synthetic source-code corpus (SPARK_GRAFT_SCALE_DOCS).
+Corpus generation is persisted and counted OUTSIDE the timed window; the
+timed window is exactly ``build_index`` (tokenize -> postings blocks ->
+terms -> norms/docmap -> stats), the north_star metric.
+
+Prints one JSON line; BENCH.md records the results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+LEVELS = [
+    int(x)
+    for x in os.environ.get("SPARK_GRAFT_SCALE_LEVELS", "8,32").split(",")
+]
+N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
+
+
+def run_level(cpus: int) -> dict:
+    from lucene_solr_spark.corpus import synth_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus * 4,
+    )
+    corpus = synth_corpus(spark, N_DOCS, partitions=cpus * 4).persist()
+    n = corpus.count()
+    t0 = time.time()
+    seg = build_index(spark, corpus, out_dir=None, bucket_docs=8192)
+    dt = time.time() - t0
+    out = {
+        "cpus": cpus,
+        "pinned_cpus": len(os.sched_getaffinity(0)),
+        "docs": n,
+        "secs": round(dt, 2),
+        "docs_per_sec": round(n / dt, 1),
+        "postings": seg.stats.n_postings,
+        "packed_mb": round(seg.stats.packed_bytes / 1e6, 1),
+    }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--single":
+        print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
+        return
+    results = []
+    for cpus in LEVELS:
+        proc = subprocess.run(
+            [
+                "taskset", "-c", f"0-{cpus - 1}",
+                sys.executable, str(REPO / "bench_scaling.py"), "--single", str(cpus),
+            ],
+            capture_output=True,
+            text=True,
+            env=os.environ,
+        )
+        line = next(
+            (l for l in proc.stdout.splitlines() if l.startswith("RESULT ")), None
+        )
+        if line is None:
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            raise SystemExit(f"level {cpus} failed")
+        results.append(json.loads(line[len("RESULT "):]))
+    lo, hi = results[0], results[-1]
+    ratio = hi["cpus"] / lo["cpus"]
+    eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+    print(
+        json.dumps(
+            {
+                "metric": "index_build_scaling_efficiency",
+                "value": round(eff, 3),
+                "unit": f"eff({lo['cpus']}->{hi['cpus']} pinned CPUs, ideal=1.0)",
+                "levels": results,
+                "docs": N_DOCS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

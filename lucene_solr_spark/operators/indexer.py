@@ -56,10 +56,7 @@ from ..sources.catalog import (
 
 DEFAULT_BUCKET_DOCS = 8192  # 64 full 128-doc blocks per term per bucket
 
-_STAGE_A_SCHEMA = (
-    "kind tinyint, doc_id long, term string, freq int, dl long, norm_byte int, "
-    "pos_bin binary"
-)
+_TF_SCHEMA = "doc_id long, term string, freq int, norm_byte int, pos_bin binary"
 
 _BLOCK_SCHEMA = (
     "term string, bucket long, block_idx int, first_doc long, last_doc long, "
@@ -100,76 +97,118 @@ def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> Data
     return out
 
 
-def _stage_a_fn(with_positions: bool):
-    """Tokenize + per-doc term counting (complete, not partial — each doc is
-    wholly inside one batch). Emits kind=0 doc-summary rows and kind=1 tf
-    rows. With positions enabled, each tf row also carries the term's
-    in-doc token positions, delta+FOR packed (the prox/.pos file analog —
-    codecs/lucene84/Lucene84PostingsWriter positions path)."""
+def _doclen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Posting-block partitions -> per-doc (dl partial, norm_byte) rows.
+    Decodes only the int arrays (numpy) and pre-aggregates within the
+    partition, so the following groupBy shuffles a few ints per (doc,
+    partition) — the NormsConsumer stream re-derived from the index."""
+    for pdf in batches:
+        if len(pdf) == 0:
+            continue
+        ids_l, fr_l, nb_l = [], [], []
+        for row in pdf.itertuples():
+            ids_l.append(
+                packing.delta_decode(packing.unpack_ints(row.doc_bin)).astype(np.int64)
+            )
+            fr_l.append(packing.unpack_ints(row.freq_bin).astype(np.int64))
+            nb_l.append(np.frombuffer(row.norm_bin, dtype=np.uint8))
+        ids = np.concatenate(ids_l)
+        fr = np.concatenate(fr_l)
+        nb = np.concatenate(nb_l).astype(np.int32)
+        order = np.argsort(ids, kind="stable")
+        ids, fr, nb = ids[order], fr[order], nb[order]
+        first = np.empty(len(ids), dtype=bool)
+        first[0] = True
+        first[1:] = ids[1:] != ids[:-1]
+        starts = np.flatnonzero(first)
+        yield pd.DataFrame(
+            {
+                "doc_id": ids[starts],
+                "dl_part": np.add.reduceat(fr, starts),
+                "norm_byte": nb[starts],
+            }
+        )
 
-    def _stage_a(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+
+def _docmap_with_norms(docmap_base: DataFrame, postings: DataFrame) -> DataFrame:
+    """Join dl/norm_byte (derived from posting blocks) onto the doc rows.
+    Zero-token docs have no postings -> dl=0, norm byte4(0)=0."""
+    doclen = (
+        postings.select("doc_bin", "freq_bin", "norm_bin")
+        .mapInPandas(_doclen_partials, "doc_id long, dl_part long, norm_byte int")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("dl_part").alias("dl"), F.max("norm_byte").alias("norm_byte")
+        )
+    )
+    return docmap_base.join(doclen, "doc_id", "left").na.fill(
+        {"dl": 0, "norm_byte": 0}
+    )
+
+
+def _tf_stage_fn(with_positions: bool):
+    """Tokenize + per-doc term counting (complete, not partial — each doc is
+    wholly inside one batch), the DWPT/TermsHashPerField analog.
+
+    Fully numpy: per batch, factorize the flat token stream to int codes,
+    stable-lexsort by (doc, code), run-length encode for freqs. Terms leave
+    as a pandas Categorical -> Arrow dictionary array, so the dominant cost
+    of this stage — serializing millions of repeated term strings to the
+    JVM — shrinks to one dictionary per batch plus int codes. No pandas
+    groupby, no per-group dispatch.
+
+    With positions enabled, each tf row also carries the term's in-doc
+    token positions, delta+FOR packed (the .pos/prox file analog)."""
+
+    def _tf(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in doc_batches:
             if len(pdf) == 0:
                 continue
             toks = tokenize_pandas(pdf["content"])
-            dl = toks.map(len).to_numpy(dtype=np.int64)
-            norm = int_to_byte4_np(dl).astype(np.int32)
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
-            yield pd.DataFrame(
-                {
-                    "kind": np.int8(0),
-                    "doc_id": doc_ids,
-                    "term": None,
-                    "freq": np.int32(0),
-                    "dl": dl,
-                    "norm_byte": norm,
-                    "pos_bin": None,
-                }
-            )
-            # explode + count, vectorized across the whole batch
-            lens = dl
+            lens = toks.map(len).to_numpy(dtype=np.int64)
             if lens.sum() == 0:
                 continue
-            flat_terms = np.concatenate([np.asarray(t, dtype=object) for t in toks if t])
+            norm = int_to_byte4_np(lens).astype(np.int32)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            flat_terms = np.concatenate(
+                [np.asarray(t, dtype=object) for t in toks if t]
+            )
             flat_docs = np.repeat(doc_ids, lens)
             flat_norms = np.repeat(norm, lens)
-            flat = pd.DataFrame(
-                {"doc_id": flat_docs, "term": flat_terms, "norm_byte": flat_norms}
-            )
-            if with_positions:
-                flat["pos"] = np.concatenate(
-                    [np.arange(n, dtype=np.int64) for n in lens if n]
-                )
-            g = flat.groupby(["doc_id", "term"], sort=False)
-            tf = g.agg(
-                freq=("term", "size"), norm_byte=("norm_byte", "first")
-            ).reset_index()
-            if with_positions:
-                # within-group order is document order, so positions are
-                # already ascending — pack deltas directly
-                pos_bin = g["pos"].agg(
-                    lambda p: packing.pack_ints(
-                        packing.delta_encode(p.to_numpy(dtype=np.uint64))
-                    )
-                )
-                tf = tf.merge(
-                    pos_bin.rename("pos_bin").reset_index(), on=["doc_id", "term"]
-                )
-            else:
-                tf["pos_bin"] = None
-            yield pd.DataFrame(
+            codes, uniques = pd.factorize(flat_terms, sort=False)
+            order = np.lexsort((codes, flat_docs))  # stable: doc asc, code asc
+            d, c = flat_docs[order], codes[order]
+            first = np.empty(len(d), dtype=bool)
+            first[0] = True
+            first[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(first)
+            freqs = np.diff(np.append(starts, len(d))).astype(np.int32)
+            out = pd.DataFrame(
                 {
-                    "kind": np.int8(1),
-                    "doc_id": tf["doc_id"].astype(np.int64),
-                    "term": tf["term"],
-                    "freq": tf["freq"].astype(np.int32),
-                    "dl": np.int64(0),
-                    "norm_byte": tf["norm_byte"].astype(np.int32),
-                    "pos_bin": tf["pos_bin"],
+                    "doc_id": d[starts],
+                    "term": pd.Categorical.from_codes(
+                        c[starts], categories=pd.Index(uniques)
+                    ),
+                    "freq": freqs,
+                    "norm_byte": flat_norms[order][starts],
                 }
             )
+            if with_positions:
+                # stable sort keeps in-doc order within each (doc, term)
+                # group, so group slices are ascending positions
+                flat_pos = np.concatenate(
+                    [np.arange(n, dtype=np.uint64) for n in lens if n]
+                )[order]
+                ends = np.append(starts[1:], len(d))
+                out["pos_bin"] = [
+                    packing.pack_ints(packing.delta_encode(flat_pos[s:e]))
+                    for s, e in zip(starts, ends)
+                ]
+            else:
+                out["pos_bin"] = None
+            yield out
 
-    return _stage_a
+    return _tf
 
 
 def _build_blocks_partition(
@@ -277,35 +316,26 @@ def build_index(
         "doc_id", "repo", "path", "commit", "lang", "content", "content_sha256"
     )
 
-    # ---- Phase A: analyze (tokenize + complete per-doc term counts) -------
-    stage_a = docs.select("doc_id", "content").mapInPandas(
-        _stage_a_fn(with_positions), _STAGE_A_SCHEMA
+    # ---- Phase A: ONE tokenize pass. The tf stream is not cached or
+    # staged — it flows straight into the Phase-B shuffle. Doc lengths /
+    # norms are NOT computed here: with no stopword removal, dl == sum of a
+    # doc's term freqs, so assemble_segment derives them from the (persisted,
+    # packed) posting blocks — the same stream Lucene's NormsConsumer taps.
+    # Caching the exploded tf rows (millions of short strings, deserialized
+    # on-heap) costs more than the cheap decode it would save, and at 100 TB
+    # it simply doesn't fit anywhere.
+    tf = docs.select("doc_id", "content").mapInPandas(
+        _tf_stage_fn(with_positions), _TF_SCHEMA
     )
-
-    if seg_path:
-        if not phase_complete(seg_path, "tfdoc"):
-            write_table(stage_a, seg_path, "tfdoc")
-        stage_a = spark.read.parquet(os.path.join(seg_path, "tfdoc"))
-    else:
-        stage_a = stage_a.persist()
-
-    doclen = stage_a.filter(F.col("kind") == 0).select("doc_id", "dl", "norm_byte")
-    tf = stage_a.filter(F.col("kind") == 1).select(
-        "doc_id", "term", "freq", "norm_byte", "pos_bin"
-    )
-
-    # ---- docmap (stored-fields / norms analog; late-materialization target)
-    docmap = docs.drop("content").join(doclen, "doc_id")
 
     return assemble_segment(
         spark,
-        docmap,
+        docs.drop("content"),
         tf,
         seg_id=seg_id,
         seg_path=seg_path,
         bucket_docs=bucket_docs,
         shuffle_n=shuffle_n,
-        extra_phases={"tfdoc": "complete"},
         with_positions=with_positions,
     )
 
@@ -321,10 +351,15 @@ def assemble_segment(
     extra_phases: dict | None = None,
     with_positions: bool = False,
 ) -> Segment:
-    """Phase B onward: (docmap w/ dl+norm_byte, tf rows) -> finished segment.
+    """Phase B onward: (docmap, tf rows) -> finished segment.
     Shared by the fresh build (``build_index``) and the segment merger
     (operators/merge.py — FreqProxTermsWriter#flush and SegmentMerger#merge
     both end in Lucene84PostingsWriter; this is that shared tail).
+
+    ``docmap`` may arrive without dl/norm_byte (fresh build): they are then
+    derived from the finished posting blocks (dl == sum of the doc's term
+    freqs — no stopword removal, so this is exact; Lucene's NormsConsumer
+    taps the same stream). Docs with zero tokens get dl=0/norm 0.
     ``tf`` may carry a ``pos_bin`` column; with ``with_positions`` those
     rows also land in a ``positions`` table (term, bucket, doc_id,
     norm_byte, pos_bin) range-partitioned by term."""
@@ -334,6 +369,9 @@ def assemble_segment(
 
     positions = None
     if with_positions:
+        # two consumers (positions table + posting blocks) -> cache tf once;
+        # non-positional builds have a single consumer and skip the cache
+        tf = tf.persist()
         positions = tf.filter(F.col("pos_bin").isNotNull()).select(
             "term", "bucket", "doc_id", "norm_byte", "pos_bin"
         )
@@ -364,6 +402,8 @@ def assemble_segment(
                 "postings",
             )
         postings = spark.read.parquet(os.path.join(seg_path, "postings"))
+        if "dl" not in docmap.columns:
+            docmap = _docmap_with_norms(docmap, postings)
         if not phase_complete(seg_path, "terms"):
             write_table(
                 _terms_from(postings).repartitionByRange(
@@ -392,6 +432,8 @@ def assemble_segment(
             positions = spark.read.parquet(os.path.join(seg_path, "positions"))
     else:
         postings = blocks.persist()
+        if "dl" not in docmap.columns:
+            docmap = _docmap_with_norms(docmap, postings)
         terms = _terms_from(postings).persist()
         docmap = docmap.persist()
         if positions is not None:

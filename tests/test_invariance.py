@@ -69,7 +69,7 @@ def test_sha256_preserved_through_pipeline(spark):
     assert src == out  # every row, unchanged digest
 
 
-@pytest.mark.parametrize("kill_after", ["tfdoc", "postings"])
+@pytest.mark.parametrize("kill_after", ["postings", "terms"])
 def test_resume_after_partial_failure(spark, tmp_path, kill_after):
     """Delete phases written after ``kill_after`` (a crash mid-build), rerun
     with the same segment_id, and require an identical final segment."""
@@ -81,14 +81,14 @@ def test_resume_after_partial_failure(spark, tmp_path, kill_after):
     stats0 = dict(full.stats.__dict__)
 
     seg_path = os.path.join(str(tmp_path), "s")
-    phases = ["tfdoc", "postings", "terms", "docmap"]
+    phases = ["postings", "terms", "docmap"]
     for ph in phases[phases.index(kill_after) + 1 :]:
         p = os.path.join(seg_path, ph)
         if os.path.isdir(p):
             shutil.rmtree(p)
     os.remove(os.path.join(seg_path, "_MANIFEST.json"))
 
-    # completed phases must be reused: poison-pill check — tfdoc mtime
+    # completed phases must be reused: poison-pill check — kept-phase mtime
     kept_marker = os.path.join(seg_path, kill_after, "_SUCCESS")
     mtime_before = os.path.getmtime(kept_marker)
 
