@@ -390,6 +390,10 @@ def assemble_segment(
             F.sum("sum_freq").cast("long").alias("ttf"),
             F.max("max_freq").alias("max_freq"),
             F.min("min_dl").alias("min_dl"),
+            F.count("*").cast("long").alias("n_blocks"),
+            F.sum(
+                F.length("doc_bin") + F.length("freq_bin") + F.length("norm_bin")
+            ).cast("long").alias("packed_bytes"),
         )
 
     if seg_path:
@@ -440,17 +444,18 @@ def assemble_segment(
             positions = positions.persist()
 
     # ---- stats + manifest (lineage/metrics) --------------------------------
+    # all postings-derived stats come off the small cached terms dict
+    # (n_postings == sum of per-term df) — no extra scan over the blocks
     agg = docmap.agg(
         F.count("*").alias("n"), F.sum("dl").alias("sum_ttf")
     ).collect()[0]
-    pagg = postings.agg(
-        F.count("*").alias("nblocks"),
-        F.sum("n_docs").alias("n_postings"),
-        F.sum(F.length("doc_bin") + F.length("freq_bin") + F.length("norm_bin")).alias(
-            "packed"
-        ),
+    pagg = terms.agg(
+        F.sum("n_blocks").alias("nblocks"),
+        F.sum("df").alias("n_postings"),
+        F.sum("packed_bytes").alias("packed"),
+        F.count("*").alias("nterms"),
     ).collect()[0]
-    nterms = terms.count()
+    nterms = int(pagg["nterms"] or 0)
     stats = SegmentStats(
         n_docs=int(agg["n"]),
         sum_ttf=int(agg["sum_ttf"] or 0),

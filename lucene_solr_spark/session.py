@@ -41,7 +41,12 @@ def get_spark(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing is tuned for JVM relational stages (64MB advisory
+        # targets). Our post-shuffle stages are pandas-UDF CPU work where
+        # 64MB of packed postings is minutes of compute — coalescing them
+        # below core count serializes the build (measured: scaling eff
+        # 0.60 -> 0.75 from disabling it). Skew-join splitting stays on.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
