@@ -67,34 +67,43 @@ _BLOCK_SCHEMA = (
 
 def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> DataFrame:
     """Deterministic dense doc_id = global rank over ``keys`` ordering.
+    ``keys`` must uniquely identify rows (ties would make the rank — and
+    therefore doc ids — nondeterministic under any scheme).
 
-    Scalable two-pass scheme (no global single-partition window):
-    range-partition by keys, count rows per range partition, convert the
-    counts to offsets, then doc_id = offset(pid) + row_number within pid.
-    The intermediate is persisted so both passes see identical range bounds.
+    Scalable two-pass scheme (no global single-partition window), run over
+    a NARROW keys-only projection so the wide payload (content) is never
+    range-shuffled, sorted, or cached: range-partition the keys, count rows
+    per range partition, convert counts to offsets, doc_id = offset(pid) +
+    row_number within pid; finally one hash join attaches ids to the full
+    rows. The keys intermediate is persisted so both passes see identical
+    range bounds.
     """
-    d = (
-        df.repartitionByRange(partitions, *[F.col(k) for k in keys])
+    k = (
+        df.select(*keys)
+        .repartitionByRange(partitions, *[F.col(c) for c in keys])
         .sortWithinPartitions(*keys)
         .withColumn("_pid", F.spark_partition_id())
         .persist()
     )
-    counts = {r["_pid"]: r["cnt"] for r in d.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+    counts = {
+        r["_pid"]: r["cnt"]
+        for r in k.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+    }
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
         acc += counts[pid]
-    off_df = d.sparkSession.createDataFrame(
+    off_df = df.sparkSession.createDataFrame(
         [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _off long"
     )
     w = Window.partitionBy("_pid").orderBy(*keys)
-    out = (
-        d.withColumn("_rn", F.row_number().over(w) - 1)
+    ranked = (
+        k.withColumn("_rn", F.row_number().over(w) - 1)
         .join(F.broadcast(off_df), "_pid")
         .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
-    return out
+    return df.join(ranked, keys)
 
 
 def _doclen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
