@@ -111,6 +111,99 @@ class Searcher:
             F.desc("score"), F.asc("doc_id")
         )
 
+    # -- alternative similarities (search/similarities/*.java) --------------
+
+    def topk_sim(
+        self, query_text: str, similarity, k: int = 10, op: str = "or"
+    ) -> DataFrame:
+        """Top-k under a pluggable Similarity (operators/similarity.py).
+        Always exhaustive: block-max impacts bound only the BM25 formula
+        (see similarity.py docstring), so WAND stays a BM25 feature."""
+        from .similarity import SIMILARITIES
+
+        sim = SIMILARITIES[similarity]() if isinstance(similarity, str) else similarity
+        sim.prepare(self.stats.n_docs, self.stats.avgdl)
+        q_terms = sorted(set(tokenize_text(query_text)))
+        if not q_terms:
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        rows = self.terms.filter(F.col("term").isin(q_terms)).collect()
+        states = {
+            r["term"]: sim.weight(int(r["df"]), int(r["ttf"]), self.stats.sum_ttf)
+            for r in rows
+        }
+        if not states or (op == "and" and len(states) < len(q_terms)):
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        n_req = len(q_terms)
+
+        def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _score_bucket_sim(pdf, states, sim, k, op, n_req)
+
+        rows_df = self.postings.filter(F.col("term").isin(sorted(states)))
+        per_bucket = rows_df.groupBy("bucket").applyInPandas(
+            score_bucket, _TOPK_SCHEMA
+        )
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+    # -- multi-term query rewrites (MultiTermQuery CONSTANT_SCORE_REWRITE) --
+
+    def expand_terms(
+        self,
+        prefix: str | None = None,
+        wildcard: str | None = None,
+        fuzzy: tuple[str, int] | None = None,
+        regexp: str | None = None,
+        max_expansions: int = 1024,
+    ) -> list[str]:
+        """Expand a pattern against the terms dictionary — the automaton
+        walk of PrefixQuery/WildcardQuery/FuzzyQuery/RegexpQuery, expressed
+        as predicates on the sorted terms table (parquet min/max stats are
+        the FST index analog). Capped at ``max_expansions`` terms like
+        the reference's BooleanQuery#maxClauseCount discipline."""
+        t = self.terms.select("term")
+        if prefix is not None:
+            t = t.filter(F.col("term").startswith(prefix))
+        if wildcard is not None:
+            t = t.filter(
+                F.col("term").like(wildcard.replace("*", "%").replace("?", "_"))
+            )
+        if fuzzy is not None:
+            term, max_edits = fuzzy
+            t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        if regexp is not None:
+            t = t.filter(F.col("term").rlike(regexp))
+        return [r["term"] for r in t.orderBy("term").limit(max_expansions).collect()]
+
+    def topk_constant(self, terms: list[str], k: int = 10, boost: float = 1.0) -> DataFrame:
+        """ConstantScoreQuery over a term-set union (the default rewrite of
+        prefix/wildcard/regexp queries in the reference): every matching
+        doc scores ``boost``, tie-break doc_id asc -> top-k = first k ids."""
+        if not terms:
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        from .merge import decode_postings
+
+        docs = (
+            decode_postings(self.postings.filter(F.col("term").isin(terms)))
+            .select("doc_id")
+            .distinct()
+        )
+        return (
+            docs.orderBy("doc_id")
+            .limit(k)
+            .select("doc_id", F.lit(float(boost)).cast("float").alias("score"))
+        )
+
+    def topk_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        return self.topk_constant(self.expand_terms(prefix=prefix), k)
+
+    def topk_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
+        return self.topk_constant(self.expand_terms(wildcard=pattern), k)
+
+    def topk_fuzzy(self, term: str, max_edits: int = 2, k: int = 10) -> DataFrame:
+        return self.topk_constant(self.expand_terms(fuzzy=(term, max_edits)), k)
+
+    def topk_regexp(self, pattern: str, k: int = 10) -> DataFrame:
+        return self.topk_constant(self.expand_terms(regexp=pattern), k)
+
 
 def score_postings(
     postings: DataFrame,
@@ -243,6 +336,45 @@ def _score_bucket(
     kk = min(k, nz.size)
     # top-k by (-score, doc_id): lexsort on (doc_id asc) then stable by -score
     order = np.lexsort((nz, -scores))[:kk]
+    return pd.DataFrame(
+        {"doc_id": (nz[order] + base).astype(np.int64), "score": scores[order]}
+    )
+
+
+def _score_bucket_sim(
+    pdf: pd.DataFrame,
+    states: dict[str, dict],
+    sim,
+    k: int,
+    op: str,
+    n_query_terms: int,
+) -> pd.DataFrame:
+    """Per-bucket scoring under a pluggable Similarity (exhaustive).
+    Same accumulation contract as the BM25 path: float32, lexicographic
+    term order, tie-break (score desc, doc_id asc)."""
+    base = int(pdf["first_doc"].min())
+    span = int(pdf["last_doc"].max()) - base + 1
+    acc = np.zeros(span, dtype=np.float32)
+    hit = np.zeros(span, dtype=np.int16)
+    by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
+    for t in sorted(states):
+        g = by_term.get(t)
+        if g is None:
+            continue
+        st = states[t]
+        for row in g.itertuples():
+            ids, freqs, norms = _decode_block(row)
+            rel = ids - base
+            acc[rel] += sim.score_block(freqs, norms, st)
+            hit[rel] += 1
+    mask = (hit == n_query_terms) if op == "and" else (hit > 0)
+    nz = np.nonzero(mask)[0]
+    if nz.size == 0:
+        return pd.DataFrame(
+            {"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)}
+        )
+    scores = acc[nz]
+    order = np.lexsort((nz, -scores))[: min(k, nz.size)]
     return pd.DataFrame(
         {"doc_id": (nz[order] + base).astype(np.int64), "score": scores[order]}
     )

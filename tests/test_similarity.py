@@ -1,0 +1,155 @@
+"""Pluggable similarities + multi-term query rewrites vs scalar oracles."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import synth_corpus
+from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
+from lucene_solr_spark.operators.search import Searcher
+
+from .oracle import byte4_to_int, int_to_byte4, tokenize
+
+N_DOCS = 120
+QUERIES = ["import return def", "getnode parseindex", "merge"]
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    c = synth_corpus(spark, N_DOCS, partitions=4)
+    return assign_doc_ids(c, ["repo", "path", "commit"]).persist()
+
+
+@pytest.fixture(scope="module")
+def seg(spark, corpus):
+    return build_index(spark, corpus, out_dir=None, bucket_docs=64)
+
+
+@pytest.fixture(scope="module")
+def docs(corpus):
+    return {
+        int(r["doc_id"]): tokenize(r["content"])
+        for r in corpus.select("doc_id", "content").collect()
+    }
+
+
+def _stats(docs):
+    from collections import Counter
+
+    tf = {}
+    for d, toks in docs.items():
+        for t, f in Counter(toks).items():
+            tf.setdefault(t, {})[d] = f
+    N = len(docs)
+    sum_ttf = sum(len(t) for t in docs.values())
+    return tf, N, sum_ttf
+
+
+def _dlq(docs, d):
+    return byte4_to_int(int_to_byte4(len(docs[d])))
+
+
+def _oracle_classic(docs, q, k):
+    tf, N, _ = _stats(docs)
+    terms = sorted(set(tokenize(q)))
+    scores = {}
+    for t in terms:
+        if t not in tf:
+            continue
+        idf2 = np.float32((1.0 + math.log((N + 1) / (len(tf[t]) + 1))) ** 2)
+        for d, f in tf[t].items():
+            dl = np.float32(max(_dlq(docs, d), 1))
+            s = np.float32(
+                np.sqrt(np.float32(f)) * idf2 * (np.float32(1.0) / np.sqrt(dl))
+            )
+            scores[d] = np.float32(scores.get(d, np.float32(0)) + s)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]
+
+
+def _oracle_lmd(docs, q, k, mu=2000.0):
+    tf, N, sum_ttf = _stats(docs)
+    terms = sorted(set(tokenize(q)))
+    scores = {}
+    for t in terms:
+        if t not in tf:
+            continue
+        ttf = sum(tf[t].values())
+        mu_pc = np.float32(mu * (ttf / sum_ttf))
+        for d, f in tf[t].items():
+            dl = np.float32(_dlq(docs, d))
+            s = np.log1p(np.float32(f) / mu_pc) + np.log(
+                np.float32(mu) / (dl + np.float32(mu))
+            )
+            s = np.float32(max(s, np.float32(0.0)))
+            scores[d] = np.float32(scores.get(d, np.float32(0)) + s)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k] if s > 0]
+
+
+def _hits(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def test_classic_similarity(spark, seg, docs):
+    s = Searcher(spark, seg)
+    for q in QUERIES:
+        got = _hits(s.topk_sim(q, "classic", k=10))
+        want = _oracle_classic(docs, q, 10)
+        assert got == want, f"classic {q!r}"
+
+
+def test_lmdirichlet_similarity(spark, seg, docs):
+    s = Searcher(spark, seg)
+    for q in QUERIES:
+        got = [(d, round(v, 5)) for d, v in _hits(s.topk_sim(q, "lmdirichlet", k=10))]
+        want = [(d, round(v, 5)) for d, v in _oracle_lmd(docs, q, 10)]
+        # zero-score docs may or may not be surfaced; compare positives
+        got = [g for g in got if g[1] > 0]
+        assert got == want, f"lmdirichlet {q!r}"
+
+
+def test_boolean_similarity(spark, seg, docs):
+    s = Searcher(spark, seg)
+    got = _hits(s.topk_sim("import return", "boolean", k=2000))
+    # every matching doc scores exactly (number of matching query terms)
+    for d, score in got:
+        n = sum(1 for t in ("import", "return") if t in docs[d])
+        assert score == float(n)
+
+
+def test_constant_score_rewrites(spark, seg, docs):
+    s = Searcher(spark, seg)
+    # prefix
+    pref_docs = sorted(
+        d for d, toks in docs.items() if any(t.startswith("get") for t in toks)
+    )
+    got = _hits(s.topk_prefix("get", k=15))
+    assert got == [(d, 1.0) for d in pref_docs[:15]]
+    # fuzzy: within 1 edit of 'imports'
+    fz_docs = sorted(
+        d
+        for d, toks in docs.items()
+        if any(_lev(t, "imports") <= 1 for t in set(toks))
+    )
+    got = _hits(s.topk_fuzzy("imports", max_edits=1, k=2000))
+    assert got == [(d, 1.0) for d in fz_docs]
+    # wildcard + regexp agree on equivalent patterns
+    a = _hits(s.topk_wildcard("mer*", k=50))
+    b = _hits(s.topk_regexp("^mer.*", k=50))
+    assert a == b
+    # absent pattern
+    assert s.topk_prefix("zzzzqq", k=5).count() == 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
