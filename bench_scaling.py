@@ -44,9 +44,15 @@ N_DOCS = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "200000"))
 # 2.2k-6.1k docs/s at 32 CPUs across runs). Throughput CAPABILITY per level
 # is therefore taken as the best of K repeats; every repeat is reported.
 REPEATS = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
+# strong: same input at every level (eff = thr_hi / (ratio * thr_lo)).
+# weak: input scales with the level (N_DOCS at LEVELS[0], 4x docs at 4x
+# CPUs) — constant work per core, the 10^12-file regime north_star
+# describes (bigger cluster <=> bigger corpus). Weak eff = t_lo / t_hi
+# (ideal 1.0: wall time constant as both resources and data grow 4x).
+MODE = os.environ.get("SPARK_GRAFT_SCALE_MODE", "strong")
 
 
-def run_level(cpus: int) -> dict:
+def run_level(cpus: int, n_docs: int) -> dict:
     from lucene_solr_spark.corpus import synth_corpus
     from lucene_solr_spark.operators.indexer import build_index
     from lucene_solr_spark.session import get_spark
@@ -56,7 +62,7 @@ def run_level(cpus: int) -> dict:
         master=f"local[{cpus}]",
         shuffle_partitions=cpus * 4,
     )
-    corpus = synth_corpus(spark, N_DOCS, partitions=cpus * 4).persist()
+    corpus = synth_corpus(spark, n_docs, partitions=cpus * 4).persist()
     n = corpus.count()
     t0 = time.time()
     seg = build_index(spark, corpus, out_dir=None, bucket_docs=8192)
@@ -75,17 +81,19 @@ def run_level(cpus: int) -> dict:
 
 
 def main() -> None:
-    if len(sys.argv) > 2 and sys.argv[1] == "--single":
-        print("RESULT " + json.dumps(run_level(int(sys.argv[2]))))
+    if len(sys.argv) > 3 and sys.argv[1] == "--single":
+        print("RESULT " + json.dumps(run_level(int(sys.argv[2]), int(sys.argv[3]))))
         return
     results = []
     for cpus in LEVELS:
+        n_docs = N_DOCS if MODE == "strong" else N_DOCS * cpus // LEVELS[0]
         runs = []
         for _ in range(REPEATS):
             proc = subprocess.run(
                 [
                     "taskset", "-c", f"0-{cpus - 1}",
-                    sys.executable, str(REPO / "bench_scaling.py"), "--single", str(cpus),
+                    sys.executable, str(REPO / "bench_scaling.py"),
+                    "--single", str(cpus), str(n_docs),
                 ],
                 capture_output=True,
                 text=True,
@@ -104,15 +112,23 @@ def main() -> None:
         results.append(best)
     lo, hi = results[0], results[-1]
     ratio = hi["cpus"] / lo["cpus"]
-    eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+    if MODE == "strong":
+        eff = hi["docs_per_sec"] / (ratio * lo["docs_per_sec"])
+        unit = f"strong eff({lo['cpus']}->{hi['cpus']} pinned CPUs, ideal=1.0)"
+    else:
+        eff = lo["secs"] / hi["secs"]
+        unit = (
+            f"weak eff({lo['cpus']}->{hi['cpus']} pinned CPUs, "
+            f"{lo['docs']}->{hi['docs']} docs, ideal=1.0)"
+        )
     print(
         json.dumps(
             {
                 "metric": "index_build_scaling_efficiency",
                 "value": round(eff, 3),
-                "unit": f"eff({lo['cpus']}->{hi['cpus']} pinned CPUs, ideal=1.0)",
+                "unit": unit,
+                "mode": MODE,
                 "levels": results,
-                "docs": N_DOCS,
             }
         )
     )
