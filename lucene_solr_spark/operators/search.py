@@ -111,6 +111,96 @@ class Searcher:
             F.desc("score"), F.asc("doc_id")
         )
 
+    def topk_after(
+        self,
+        query_text: str,
+        after: tuple[float, int],
+        k: int = 10,
+        mode: str = "wand",
+        op: str = "or",
+    ) -> DataFrame:
+        """searchAfter deep paging (search/IndexSearcher.java#searchAfter,
+        Solr cursorMark): return the k hits strictly after the cursor
+        ``(score, doc_id)`` in (score desc, doc_id asc) order — keyset
+        pagination, no offset scan. Scores k + enough headroom per bucket
+        is unnecessary: the cursor filter runs before the global limit."""
+        after_score, after_doc = float(after[0]), int(after[1])
+        q_terms = sorted(set(tokenize_text(query_text)))
+        stats = self.term_stats(q_terms)
+        matched = sorted(stats)
+        if not matched or (op == "and" and len(matched) < len(q_terms)):
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        idfs = {t: np.float32(stats[t].idf) for t in matched}
+        # per-bucket k must cover the page depth past the cursor; WAND's
+        # local-top-k truncation assumes a fresh top-k, so page with the
+        # exhaustive path and a bucket cap of k + cursor-safety
+        per_bucket = score_postings(
+            self.postings,
+            idfs,
+            self._cache,
+            self.stats.n_docs,
+            op,
+            len(q_terms),
+            self.stats.avgdl,
+            use_wand=False,
+        )
+        after_pred = (F.col("score") < F.lit(after_score)) | (
+            (F.col("score") == F.lit(after_score))
+            & (F.col("doc_id") > F.lit(after_doc))
+        )
+        return (
+            per_bucket.filter(after_pred)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def explain(self, query_text: str, doc_id: int) -> dict:
+        """IndexSearcher#explain analog: per-term score breakdown for one
+        doc — idf, freq, quantized dl, tf_part, contribution — summing (in
+        lexicographic float32 order) to the reported score."""
+        q_terms = sorted(set(tokenize_text(query_text)))
+        stats = self.term_stats(q_terms)
+        bucket = doc_id // self.stats.bucket_docs
+        rows = self.postings.filter(
+            F.col("term").isin(sorted(stats))
+            & (F.col("bucket") == bucket)
+            & (F.col("first_doc") <= doc_id)
+            & (F.col("last_doc") >= doc_id)
+        ).collect()
+        details = []
+        total = np.float32(0.0)
+        for term in sorted(stats):
+            for r in (x for x in rows if x["term"] == term):
+                ids, freqs, norms = _decode_block(r)
+                hit = np.nonzero(ids == doc_id)[0]
+                if hit.size == 0:
+                    continue
+                i = int(hit[0])
+                freq = int(freqs[i])
+                nb = int(norms[i])
+                contrib = bm25.score_block(
+                    freqs[i : i + 1], norms[i : i + 1], stats[term].idf, self._cache
+                )[0]
+                total = np.float32(total + contrib)
+                from ..functions.smallfloat import BYTE4_DECODE_TABLE
+
+                details.append(
+                    {
+                        "term": term,
+                        "df": stats[term].df,
+                        "idf": stats[term].idf,
+                        "freq": freq,
+                        "dl_quantized": int(BYTE4_DECODE_TABLE[nb]),
+                        "contribution": float(contrib),
+                    }
+                )
+        return {
+            "doc_id": doc_id,
+            "score": float(total),
+            "matched_terms": len(details),
+            "details": details,
+        }
+
     # -- alternative similarities (search/similarities/*.java) --------------
 
     def topk_sim(

@@ -1,0 +1,63 @@
+"""searchAfter paging + explain — IndexSearcher#searchAfter / #explain
+analogs, pinned against full result sets."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.corpus import synth_corpus
+from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
+from lucene_solr_spark.operators.search import Searcher
+
+N_DOCS = 120
+Q = "import return def"
+
+
+@pytest.fixture(scope="module")
+def seg(spark):
+    c = synth_corpus(spark, N_DOCS, partitions=4)
+    c = assign_doc_ids(c, ["repo", "path", "commit"])
+    return build_index(spark, c, out_dir=None, bucket_docs=64)
+
+
+def _hits(df):
+    return [(int(r["doc_id"]), float(r["score"])) for r in df.collect()]
+
+
+def test_search_after_pages_cover_full_ranking(spark, seg):
+    s = Searcher(spark, seg)
+    full = _hits(s.topk(Q, k=N_DOCS, mode="exhaustive"))
+    assert len(full) > 25
+    # page through with k=10 cursors; concatenation must equal full order
+    pages, cursor = [], None
+    while True:
+        page = (
+            _hits(s.topk(Q, k=10))
+            if cursor is None
+            else _hits(s.topk_after(Q, cursor, k=10))
+        )
+        if not page:
+            break
+        pages.extend(page)
+        cursor = (page[-1][1], page[-1][0])
+        if len(pages) > len(full):
+            break
+    assert pages == full
+
+
+def test_explain_matches_score(spark, seg):
+    s = Searcher(spark, seg)
+    top = _hits(s.topk(Q, k=5))
+    for doc_id, score in top:
+        ex = s.explain(Q, doc_id)
+        assert ex["score"] == score, (doc_id, ex["score"], score)
+        assert ex["matched_terms"] >= 1
+        assert abs(sum(d["contribution"] for d in ex["details"]) - score) < 1e-5
+        for d in ex["details"]:
+            assert d["freq"] >= 1 and d["idf"] > 0
+
+
+def test_explain_nonmatching_doc(spark, seg):
+    s = Searcher(spark, seg)
+    ex = s.explain("zzzqqqnever", 0)
+    assert ex["score"] == 0.0 and ex["matched_terms"] == 0
