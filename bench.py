@@ -104,6 +104,18 @@ def main() -> None:
         dq.REGISTRY[name](spark, SF_DIR).collect()
         queries[name] = round(time.time() - t0, 3)
 
+    # scaling evidence measured separately by bench_scaling.py (taskset-
+    # pinned two-level runs; methodology in BENCH.md §1) — surfaced here so
+    # the per-round record carries it
+    for mode in ("weak", "strong"):
+        p = Path(__file__).resolve().parent / f"BENCH_scaling_{mode}.json"
+        if p.exists():
+            try:
+                doc = json.loads(p.read_text())
+                extra[f"scaling_{mode}_eff"] = doc["value"]
+            except Exception:
+                pass
+
     total = round(sum(queries.values()), 3)
     print(
         json.dumps(
