@@ -45,7 +45,7 @@ sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
 
 @register(
     "dedup_exact_stats",
-    """SELECT count(*) AS n_groups, max(n_dups) AS max_group, sum(n_dups) AS n_docs
+    """SELECT count(*) AS n_groups, max(n_dups) AS max_group, sum(n_dups)::BIGINT AS n_docs
 FROM (SELECT md5(text) AS h, count(*) AS n_dups, min(doc_id) FROM documents GROUP BY 1)
 AS g(h, n_dups, keeper)""",
 )

@@ -256,16 +256,18 @@ def prefix_query_terms(spark, sf_dir):
 @register(
     "fuzzy_query_terms",
     f"""WITH {_TOKS_CTE}
-SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'sprak') <= 1 ORDER BY term""",
+SELECT DISTINCT term FROM toks WHERE levenshtein(term, 'sart') <= 1 ORDER BY term""",
 )
 def fuzzy_query_terms(spark, sf_dir):
     """FuzzyQuery (search/FuzzyQuery.java + LevenshteinAutomata): edit-distance
-    scan of the terms dict (built-in levenshtein, JVM-side)."""
+    scan of the terms dict (built-in levenshtein, JVM-side). Probe 'sart' has
+    two real <=1-edit neighbors in the corpus vocab ('part', 'sort') so the
+    result is non-vacuous."""
     toks = _tokens(spark, sf_dir)
     return (
         toks.select(F.explode("tokens").alias("term"))
         .distinct()
-        .filter(F.levenshtein(F.col("term"), F.lit("sprak")) <= 1)
+        .filter(F.levenshtein(F.col("term"), F.lit("sart")) <= 1)
         .orderBy("term")
     )
 
@@ -473,8 +475,8 @@ def facet_range(spark, sf_dir):
 @register(
     "facet_query_counts",
     """SELECT
-  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS n_high,
+  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+  sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::BIGINT AS n_high,
   count(*) AS n_total
 FROM events""",
 )
@@ -703,7 +705,7 @@ def complement_anti_join(spark, sf_dir):
 @register(
     "hash_join_enrich",
     """SELECT n.n_name AS nation, count(*) AS n_customers,
-       sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sum_bal
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1 ORDER BY 1""",
 )

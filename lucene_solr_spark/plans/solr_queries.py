@@ -25,8 +25,8 @@ from .driver_queries import _TOKS_CTE, _read, _tokens, register
     "rerank_topn",
     f"""WITH {_TOKS_CTE},
 tf AS (SELECT doc_id,
-              sum(CASE WHEN term = 'order' THEN 1 ELSE 0 END) AS tf_first,
-              sum(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS tf_second
+              sum(CASE WHEN term = 'order' THEN 1 ELSE 0 END)::BIGINT AS tf_first,
+              sum(CASE WHEN term = 'batch' THEN 1 ELSE 0 END)::BIGINT AS tf_second
        FROM toks GROUP BY doc_id),
 first_pass AS (SELECT doc_id, tf_first, tf_second,
                       row_number() OVER (ORDER BY tf_first DESC, doc_id ASC) AS rnk
