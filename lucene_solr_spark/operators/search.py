@@ -104,6 +104,26 @@ class Searcher:
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def topk_query(self, q, k: int = 10) -> DataFrame:
+        """Top-k BM25 for a Boolean query tree (operators/query.py) — the
+        IndexSearcher#search(BooleanQuery) analog. The tree (nested bool,
+        minShouldMatch, per-clause boost, MUST_NOT, FILTER) is evaluated
+        vectorized inside the per-bucket leaf; same merge/tie-break as the
+        flat path. Reference: search/BooleanQuery.java,
+        Boolean2ScorerSupplier.java, MinShouldMatchSumScorer.java."""
+        from .query import collect_terms, rewrite
+
+        q = rewrite(q)
+        terms = sorted(collect_terms(q))
+        stats = self.term_stats(terms)
+        if not stats:
+            return self.spark.createDataFrame([], _TOPK_SCHEMA)
+        idfs = {t: np.float32(stats[t].idf) for t in sorted(stats)}
+        per_bucket = score_query_postings(
+            self.postings, q, idfs, self._cache, k
+        )
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-phase retrieval: ids+scores first, docmap fields after limit."""
         hits = self.topk(query_text, k, **kw)
@@ -316,6 +336,57 @@ def score_postings(
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_bucket(
             pdf, idfs, cache, k, op, n_query_terms, avgdl, use_wand, deleted
+        )
+
+    rows = postings.filter(F.col("term").isin(matched))
+    return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+
+
+def score_query_postings(
+    postings: DataFrame,
+    q,
+    idfs: dict[str, np.float32],
+    cache: np.ndarray,
+    k: int,
+    deleted: np.ndarray | None = None,
+) -> DataFrame:
+    """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
+    Same shape as score_postings: one applyInPandas leaf per bucket, local
+    top-k out, caller merges globally."""
+    from .query import eval_node
+
+    matched = sorted(idfs)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["first_doc"].min())
+        span = int(pdf["last_doc"].max()) - base + 1
+        tscores: dict[str, np.ndarray] = {}
+        tmasks: dict[str, np.ndarray] = {}
+        for t, g in pdf.groupby("term", sort=False):
+            sarr = np.zeros(span, dtype=np.float32)
+            marr = np.zeros(span, dtype=bool)
+            for row in g.itertuples():
+                ids, freqs, norms = _decode_block(row)
+                rel = ids - base
+                sarr[rel] = bm25.score_block(freqs, norms, idfs[t], cache)
+                marr[rel] = True
+            tscores[t] = sarr
+            tmasks[t] = marr
+        mask, score = eval_node(q, tscores, tmasks, span)
+        if deleted is not None and deleted.size:
+            rel_del = deleted[(deleted >= base) & (deleted < base + span)] - base
+            mask[rel_del] = False
+        nz = np.nonzero(mask)[0]
+        if nz.size == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+        scores = score[nz]
+        order = np.lexsort((nz, -scores))[: min(k, nz.size)]
+        return pd.DataFrame(
+            {"doc_id": (nz[order] + base).astype(np.int64),
+             "score": scores[order]}
         )
 
     rows = postings.filter(F.col("term").isin(matched))

@@ -177,6 +177,131 @@ def bm25_conjunction(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Boolean query tree (search/BooleanQuery.java, Boolean2ScorerSupplier.java,
+# BoostQuery.java): MUST 'spark', SHOULD 'join'^2.0 + 'order', MUST_NOT
+# 'window'. Engine-path float32 parity is pytest-pinned (test_boolquery.py);
+# this catalog entry is the double-precision cross-engine variant.
+# ---------------------------------------------------------------------------
+
+_BOOL_TERMS = ["join", "order", "spark", "window"]
+
+
+def _contrib_cte(terms: list[str]) -> str:
+    """DuckDB CTE chain ending in scored(doc_id, term, contrib)."""
+    tl = ", ".join(f"'{t}'" for t in terms)
+    dlq = duckdb_byte4_roundtrip_sql("dl.dl")
+    return f"""{_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks WHERE term IN ({tl}) GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::DOUBLE AS dft FROM tf GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (s.n_total - dft.dft + 0.5)/(dft.dft + 0.5))
+           * tf.freq / (tf.freq + {K1} * ((1 - {B}) + {B} * ({dlq})::DOUBLE / s.avgdl)) AS contrib
+  FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s)"""
+
+
+def _contrib_spark(spark, sf_dir, terms: list[str]) -> DataFrame:
+    """Spark mirror of _contrib_cte: (doc_id, term, contrib) rows."""
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    return (
+        tf.join(dft, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", F.expr(_spark_byte4_sql("dl")).cast("double"))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(1.0 + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                * F.col("freq")
+                / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.col("avgdl")))
+            ).alias("contrib"),
+        )
+    )
+
+
+@register(
+    "bm25_boolean_tree",
+    f"""WITH {_contrib_cte(_BOOL_TERMS)},
+piv AS (SELECT doc_id,
+               sum(CASE WHEN term = 'spark' THEN contrib END) AS c_spark,
+               sum(CASE WHEN term = 'join' THEN contrib END) AS c_join,
+               sum(CASE WHEN term = 'order' THEN contrib END) AS c_order,
+               max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS has_excl
+        FROM scored GROUP BY doc_id)
+SELECT doc_id,
+       round(c_spark + coalesce(2.0 * c_join, 0.0) + coalesce(c_order, 0.0), 6) AS score
+FROM piv WHERE c_spark IS NOT NULL AND has_excl = 0
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def bm25_boolean_tree(spark, sf_dir):
+    """Nested BooleanQuery: +spark (join^2.0 order) -window."""
+    piv = (
+        _contrib_spark(spark, sf_dir, _BOOL_TERMS)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("term") == "spark", F.col("contrib"))).alias("c_spark"),
+            F.sum(F.when(F.col("term") == "join", F.col("contrib"))).alias("c_join"),
+            F.sum(F.when(F.col("term") == "order", F.col("contrib"))).alias("c_order"),
+            F.max(F.when(F.col("term") == "window", 1).otherwise(0)).alias("has_excl"),
+        )
+    )
+    return (
+        piv.filter(F.col("c_spark").isNotNull() & (F.col("has_excl") == 0))
+        .select(
+            "doc_id",
+            F.round(
+                F.col("c_spark")
+                + F.coalesce(2.0 * F.col("c_join"), F.lit(0.0))
+                + F.coalesce(F.col("c_order"), F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_MSM_TERMS = ["batch", "join", "order", "stream"]
+
+
+@register(
+    "bm25_min_should_match",
+    f"""WITH {_contrib_cte(_MSM_TERMS)}
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id HAVING count(*) >= 2
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def bm25_min_should_match(spark, sf_dir):
+    """minimumNumberShouldMatch=2 of 4 SHOULD terms
+    (search/MinShouldMatchSumScorer.java)."""
+    return (
+        _contrib_spark(spark, sf_dir, _MSM_TERMS)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"), F.count("*").alias("nmatch"))
+        .filter(F.col("nmatch") >= 2)
+        .select("doc_id", "score")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Boolean filters / term-level scans (terms-dict access paths)
 # ---------------------------------------------------------------------------
 

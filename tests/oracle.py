@@ -150,6 +150,82 @@ class OracleIndex:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    # -- Boolean query tree (scalar mirror of operators/query.py) -----------
+    # Shares only the IR dataclasses (Term/Bool) with the engine; the
+    # evaluation below is an independent per-doc Python recursion with the
+    # pinned float32 accumulation contract (MUST clauses in list order, then
+    # SHOULD clauses in list order, boost multiply after).
+
+    def _term_scores(self, term: str, boost: float) -> tuple[set, dict]:
+        postings = self.tf.get(term, {})
+        idf_t = np.float32(self.idf(term))
+        scores = {}
+        for doc_id, f in postings.items():
+            add = self.cache[self.norm_byte[doc_id]]
+            s = np.float32(idf_t * (np.float32(f) / (np.float32(f) + add)))
+            if boost != 1.0:
+                s = np.float32(s * np.float32(boost))
+            scores[doc_id] = s
+        return set(postings), scores
+
+    def eval_bool(self, node) -> tuple[set, dict]:
+        """Returns (matching doc_ids, {doc_id: float32 score})."""
+        from lucene_solr_spark.operators.query import Bool, Term
+
+        if isinstance(node, Term):
+            return self._term_scores(node.term, node.boost)
+        assert isinstance(node, Bool)
+        if not (node.must or node.should or node.filter):
+            return set(), {}
+        must_res = [self.eval_bool(c) for c in node.must]
+        should_res = [self.eval_bool(c) for c in node.should]
+
+        if node.must:
+            cand = set.intersection(*(m for m, _ in must_res))
+        elif node.filter:
+            cand = None  # determined by filter below
+        else:
+            cand = None
+        for c in node.filter:
+            m, _ = self.eval_bool(c)
+            cand = m if cand is None else (cand & m)
+        if cand is None:  # pure-should node: candidates from should matches
+            cand = set()
+            for m, _ in should_res:
+                cand |= m
+        for c in node.must_not:
+            m, _ = self.eval_bool(c)
+            cand -= m
+
+        msm = node.min_should_match
+        if not (node.must or node.filter):
+            msm = max(1, msm)
+        if msm > 0 and node.should:
+            cand = {
+                d for d in cand
+                if sum(1 for m, _ in should_res if d in m) >= msm
+            }
+        elif not node.should:
+            pass
+
+        out = {}
+        for d in sorted(cand):
+            acc = np.float32(0.0)
+            for m, s in must_res:
+                acc = np.float32(acc + s.get(d, np.float32(0.0)))
+            for m, s in should_res:
+                if d in m:
+                    acc = np.float32(acc + s[d])
+            if node.boost != 1.0:
+                acc = np.float32(acc * np.float32(node.boost))
+            out[d] = acc
+        return cand, out
+
+    def topk_bool(self, node, k: int = 10) -> list[tuple[int, float]]:
+        _, scores = self.eval_bool(node)
+        ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+        return [(d, float(s)) for d, s in ranked[:k]]
+
     def topk_conjunction(self, query_text: str, k: int = 10) -> list[tuple[int, float]]:
         """AND semantics: only docs containing ALL query terms."""
         terms = sorted(set(tokenize(query_text)))
