@@ -1,0 +1,183 @@
+"""One-off WAND-vs-exhaustive evidence at a scale where pruning matters.
+
+Round-1 bench showed WAND slower than exhaustive at sf0.1 (5k docs): with a
+handful of buckets, pruning bookkeeping costs more than block decode saves.
+This script builds the deterministic synthetic source-code corpus at
+SPARK_GRAFT_WAND_DOCS docs (default 500k — ~61 buckets of 8192 docs, hot
+Zipf terms with ~45 blocks per bucket) and measures mean top-10 latency:
+
+  - disjunction: wand vs exhaustive (block-max WAND)
+  - conjunction: wand vs exhaustive (BlockMaxConjunction candidate-range
+    skipping, rare+hot term pairs where the skip pays)
+
+Writes BENCH_wand_500k.json; bench.py surfaces the ratios per-round.
+Run: python bench_wand.py  (~5 min, dominated by the one-time index build)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+N_DOCS = int(os.environ.get("SPARK_GRAFT_WAND_DOCS", "500000"))
+REPEATS = 3
+
+DISJ_QUERIES = [
+    "import return def",
+    "public self import",
+    "getnode parseindex return",
+    "import self",
+    "def return public self",
+    # mixed rare+hot: the WAND regime — a rare high-idf term raises theta so
+    # the hot terms' blocks without rare-term docs prune away
+    "getnode import return def",
+    "parseindex public self import",
+    "mapquery def return",
+]
+
+# rare + hot pairs: the conjunction skip decodes only the hot term's blocks
+# that contain a candidate from the rare term
+CONJ_QUERIES = [
+    "getnode import",
+    "parseindex return",
+    "getnode parseindex",
+    "mapquery import return",
+]
+
+
+def bench(searcher, queries, mode, op):
+    best = float("inf")
+    for _ in range(REPEATS):
+        t0 = time.time()
+        for q in queries:
+            searcher.topk(q, k=10, mode=mode, op=op).collect()
+        best = min(best, (time.time() - t0) / len(queries))
+    return round(best, 4)
+
+
+def kernel_bench(spark, searcher, seg) -> dict:
+    """Time the per-bucket scoring KERNEL itself (driver-side, no Spark job
+    overhead) on one bucket's postings for a mixed rare+hot query — the
+    regime where block-max pruning has leverage. Also counts block decodes
+    to show what WAND skips. End-to-end local-mode latency is dominated by
+    fixed per-job cost; at cluster scale the kernel is the per-task cost
+    that dominates, so this is the honest WAND-pays signal."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.operators import bm25 as _bm25
+    from lucene_solr_spark.operators import search as S
+
+    q_terms = ["getnode", "import", "return", "def", "public", "self"]
+    stats = searcher.term_stats(q_terms)
+    idfs = {t: np.float32(s.idf) for t, s in sorted(stats.items())}
+    # hottest bucket by matched postings rows
+    hot = (
+        searcher.postings.filter(F.col("term").isin(sorted(idfs)))
+        .groupBy("bucket")
+        .count()
+        .orderBy(F.desc("count"))
+        .first()["bucket"]
+    )
+    pdf = (
+        searcher.postings.filter(
+            F.col("term").isin(sorted(idfs)) & (F.col("bucket") == hot)
+        )
+        .toPandas()
+    )
+    cache = searcher._cache
+    avgdl = searcher.stats.avgdl
+
+    decode_counts = {}
+    orig_decode = S._decode_bins
+
+    def run(use_wand, op, label):
+        n = [0]
+
+        def counting(*a):
+            n[0] += 1
+            return orig_decode(*a)
+
+        S._decode_bins = counting
+        try:
+            best = float("inf")
+            for _ in range(7):
+                t0 = time.time()
+                S._score_bucket(pdf, idfs, cache, 10, op, len(idfs), avgdl, use_wand)
+                best = min(best, time.time() - t0)
+        finally:
+            S._decode_bins = orig_decode
+        decode_counts[label] = n[0] // 7
+        return best
+
+    t_ex = run(False, "or", "exhaustive_or")
+    t_wd = run(True, "or", "wand_or")
+    t_exa = run(False, "and", "exhaustive_and")
+    t_wda = run(True, "and", "conj_and")
+    return {
+        "bucket_rows": int(len(pdf)),
+        "kernel_ms": {
+            "exhaustive_or": round(t_ex * 1e3, 2),
+            "wand_or": round(t_wd * 1e3, 2),
+            "exhaustive_and": round(t_exa * 1e3, 2),
+            "conj_and": round(t_wda * 1e3, 2),
+        },
+        "blocks_decoded": decode_counts,
+        "kernel_speedup_or": round(t_ex / t_wd, 3),
+        "kernel_speedup_and": round(t_exa / t_wda, 3),
+    }
+
+
+def main() -> None:
+    from lucene_solr_spark.corpus import synth_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.session import get_spark
+
+    n_cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 8)
+    spark = get_spark(
+        app_name="bench_wand",
+        master=f"local[{n_cpus}]",
+        shuffle_partitions=max(n_cpus * 2, 16),
+    )
+    synth = synth_corpus(spark, N_DOCS, partitions=max(n_cpus * 2, 16)).persist()
+    n = synth.count()
+    t0 = time.time()
+    seg = build_index(spark, synth, out_dir=None, bucket_docs=8192)
+    t_build = time.time() - t0
+    searcher = Searcher(spark, seg)
+    searcher.topk("import", k=10).collect()  # warm
+
+    res = {
+        "bm25_wand": bench(searcher, DISJ_QUERIES, "wand", "or"),
+        "bm25_exhaustive": bench(searcher, DISJ_QUERIES, "exhaustive", "or"),
+        "conj_wand": bench(searcher, CONJ_QUERIES, "wand", "and"),
+        "conj_exhaustive": bench(searcher, CONJ_QUERIES, "exhaustive", "and"),
+    }
+    kernel = kernel_bench(spark, searcher, seg)
+    doc = {
+        "metric": "wand_vs_exhaustive_latency",
+        "unit": "sec_per_query",
+        "n_docs": n,
+        "build_sec": round(t_build, 1),
+        "docs_per_sec": round(n / t_build, 1),
+        "parallelism": n_cpus,
+        "queries": res,
+        "wand_speedup_or": round(res["bm25_exhaustive"] / res["bm25_wand"], 3),
+        "wand_speedup_and": round(res["conj_exhaustive"] / res["conj_wand"], 3),
+        "kernel": kernel,
+        "value": kernel["kernel_speedup_or"],
+    }
+    Path(__file__).resolve().parent.joinpath("BENCH_wand_500k.json").write_text(
+        json.dumps(doc) + "\n"
+    )
+    print(json.dumps(doc))
+
+
+if __name__ == "__main__":
+    main()

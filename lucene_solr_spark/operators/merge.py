@@ -153,10 +153,26 @@ def merge_segments(
     import os
 
     root = out_dir or (catalog.root if catalog else None)
-    seg_path = os.path.join(root, seg_id) if root else None
+    # merge commit protocol (SegmentInfos analog): build the merged segment
+    # under an underscore-prefixed STAGING dir (never listed by the catalog),
+    # rename it to its final name, then publish merged-in/sources-out with
+    # ONE atomic commit-file swap — a concurrent reader sees either the old
+    # segment set or the new one, never merged docs twice. Physical source
+    # cleanup + tombstone purge happen after the commit (a crash in between
+    # leaves only unlisted orphan dirs / stale tombstones of dead ids).
+    staged = catalog is not None and root == catalog.root
+    seg_path = (
+        os.path.join(root, f"_stage-{seg_id}" if staged else seg_id)
+        if root
+        else None
+    )
     if seg_path:
         os.makedirs(seg_path, exist_ok=True)
 
+    src_ids = [s.segment_id for s in segments]
+    lineage = sorted(
+        set(src_ids) | {a for s in segments for a in (s.lineage or [])}
+    )
     merged = assemble_segment(
         spark,
         new_docmap,
@@ -166,13 +182,21 @@ def merge_segments(
         bucket_docs=bucket_docs,
         shuffle_n=shuffle_n,
         extra_phases={
-            "merged_from": [s.segment_id for s in segments],
+            "merged_from": lineage,
         },
         with_positions=has_pos,
     )
+    merged.lineage = lineage
 
+    if staged:
+        final_path = os.path.join(root, seg_id)
+        os.replace(seg_path, final_path)
+        merged.path = final_path
+        if drop_sources:
+            catalog.commit_swap(add=[seg_id], remove=src_ids)
+        else:
+            catalog.commit_swap(add=[seg_id])
     if catalog and drop_sources:
-        src_ids = [s.segment_id for s in segments]
         for sid in src_ids:
             catalog.drop(sid)
         catalog.purge_deletes(spark, src_ids)

@@ -4,26 +4,39 @@ Reference semantics being re-expressed (SURVEY.md §2.C "PhraseQuery"):
   search/PhraseQuery.java        — ordered multi-term positional match
   search/ExactPhraseMatcher.java — slop=0: positions of term_i must appear
                                    at (p + i) for a common base p
-  search/SloppyPhraseMatcher.java— slop>0 (subset supported: see below)
+  search/SloppyPhraseMatcher.java— slop>0, no-repeats case (see below)
   scoring: PhraseWeight scores like a single pseudo-term whose freq is the
-  number of phrase occurrences; idf is the SUM of the phrase terms' idfs
-  (BM25Similarity#idfExplain over the terms array, duplicates counted),
-  tf_part uses the same byte4 norm cache as TermQuery.
+  number of phrase occurrences (fractional sloppy weight for slop>0), idf is
+  the SUM of the phrase terms' idfs (BM25Similarity#idfExplain over the
+  terms array, duplicates counted), tf_part uses the same byte4 norm cache
+  as TermQuery.
 
 Spark restatement: the positions table is (term, bucket, doc_id, norm_byte,
 pos_bin) — one row per (term, doc) with delta+FOR-packed in-doc positions.
 A phrase query filters that table to its distinct terms (parquet row-group
 pruning on the range-partitioned ``term`` column) and scores per bucket in
-applyInPandas: per candidate doc, intersect shifted position sets
-(np.intersect1d chain — the vectorized leapfrog), count matches, BM25 in
-float32, local top-k, then the standard global merge.
+applyInPandas.
 
-Slop support: ``slop=0`` exact only (SloppyPhraseMatcher's full algorithm
-with repeats is deliberately out of scope; slop>0 raises). That matches the
-dominant production use (quoted phrases).
+Exact path (slop=0) is vectorized ACROSS docs: per (term,doc) rows are
+decoded once, positions concatenated with a doc-keyed offset
+(key = doc_id * M + adjusted_pos), and the n-way occurrence intersection is
+a chain of np.intersect1d over the key arrays — no per-doc Python loop.
+Matches the _tf_stage_fn discipline in operators/indexer.py.
+
+Sloppy path (slop>0): candidate docs (those containing every phrase term)
+run the classic SloppyPhraseScorer#phraseFreq min-heap walk per doc —
+matchLength = span of adjusted positions when the minimum leg is about to
+pass its successor, each match with matchLength <= slop contributes
+sloppyWeight = 1/(1 + matchLength) to the (fractional) phrase freq.
+Supported for phrases without repeated terms (SloppyPhraseMatcher's repeat
+groups are out of scope; slop>0 with repeats raises). Candidates are few
+(conjunction of all phrase terms), so the per-candidate heap walk is not
+the hot path; tests/oracle.py#topk_phrase pins the identical semantics.
 """
 
 from __future__ import annotations
+
+import heapq
 
 import numpy as np
 import pandas as pd
@@ -44,16 +57,24 @@ def phrase_topk(
     phrase_text: str,
     k: int = 10,
     slop: int = 0,
+    deleted=None,
 ) -> DataFrame:
-    """Top-k docs containing the exact phrase (pinned-tokenizer order)."""
-    if slop != 0:
-        raise NotImplementedError("only exact phrases (slop=0) are supported")
+    """Top-k docs containing the phrase (pinned-tokenizer order).
+    ``slop=0``: exact adjacency; ``slop>0``: SloppyPhraseMatcher no-repeats
+    semantics with fractional sloppy freq. ``deleted``: optional sorted
+    int64 array of tombstoned doc_ids, excluded before the local top-k
+    (liveDocs analog — same contract as score_postings)."""
     assert segment.has_table("positions"), (
         "segment was built without positions (build_index(with_positions=True))"
     )
     terms_seq = tokenize_text(phrase_text)
     if not terms_seq:
         return spark.createDataFrame([], _TOPK_SCHEMA)
+    if slop > 0 and len(set(terms_seq)) != len(terms_seq):
+        raise NotImplementedError(
+            "sloppy phrases with repeated terms are not supported "
+            "(SloppyPhraseMatcher repeat groups out of scope)"
+        )
     distinct = sorted(set(terms_seq))
 
     # stats pre-pass (Weight analog): every phrase term must exist
@@ -76,11 +97,19 @@ def phrase_topk(
         offsets_by_term.setdefault(t, []).append(i)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _phrase_score_bucket(pdf, offsets_by_term, idf_sum, cache, k)
+        return _phrase_score_bucket(
+            pdf, offsets_by_term, idf_sum, cache, k, slop, deleted
+        )
 
     rows = segment.table(spark, "positions").filter(F.col("term").isin(distinct))
     per_bucket = rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
+
+
+def _empty() -> pd.DataFrame:
+    return pd.DataFrame(
+        {"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)}
+    )
 
 
 def _phrase_score_bucket(
@@ -89,47 +118,155 @@ def _phrase_score_bucket(
     idf_sum: np.float32,
     cache: np.ndarray,
     k: int,
+    slop: int,
+    deleted=None,
 ) -> pd.DataFrame:
-    """One doc-space bucket: exact-phrase freq per doc, BM25, local top-k."""
+    """One doc-space bucket: phrase freq per doc, BM25, local top-k."""
     n_terms = len(offsets_by_term)
-    # candidate docs must contain every distinct term (conjunction gate)
-    per_doc = pdf.groupby("doc_id", sort=False)
-    out_ids, out_scores = [], []
-    for doc_id, g in per_doc:
-        if g["term"].nunique() < n_terms:
-            continue
-        pos = {
-            r.term: delta_decode(unpack_ints(r.pos_bin)).astype(np.int64)
-            for r in g.itertuples()
-        }
-        # leapfrog: start from the rarest term's (shifted) positions
-        base: np.ndarray | None = None
-        for t, offs in offsets_by_term.items():
-            p = pos[t]
-            for off in offs:
-                shifted = p - off
-                base = shifted if base is None else np.intersect1d(
-                    base, shifted, assume_unique=True
-                )
-                if base.size == 0:
-                    break
-            if base is not None and base.size == 0:
-                break
-        freq = int(base.size) if base is not None else 0
-        # phrase must start at a valid position (>= 0)
-        if freq and base[0] < 0:
-            freq = int((base >= 0).sum())
-        if freq == 0:
-            continue
-        f = np.float32(freq)
-        denom_add = cache[np.uint8(g["norm_byte"].iloc[0])]
-        out_ids.append(int(doc_id))
-        out_scores.append(np.float32(idf_sum * (f / (f + denom_add))))
-    if not out_ids:
-        return pd.DataFrame(
-            {"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)}
-        )
-    ids = np.asarray(out_ids, dtype=np.int64)
-    scores = np.asarray(out_scores, dtype=np.float32)
+
+    # conjunction gate, vectorized: docs carrying all distinct phrase terms
+    doc_ids = pdf["doc_id"].to_numpy()
+    u_docs, inv, counts = np.unique(doc_ids, return_inverse=True, return_counts=True)
+    cand_mask_per_doc = counts == n_terms  # one row per (term, doc)
+    row_keep = cand_mask_per_doc[inv]
+    if not row_keep.any():
+        return _empty()
+    sub = pdf.loc[row_keep]
+
+    # decode candidate rows once: per term -> (doc array, concatenated pos)
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    norm_by_doc: dict[int, int] = {}
+    for t, g in sub.groupby("term", sort=False):
+        docs = g["doc_id"].to_numpy()
+        plists = [delta_decode(unpack_ints(b)).astype(np.int64) for b in g["pos_bin"]]
+        lens = np.array([p.size for p in plists], dtype=np.int64)
+        per_term[t] = (docs, np.concatenate(plists) if plists else np.array([], dtype=np.int64), lens)
+        for d, nb in zip(docs, g["norm_byte"].to_numpy()):
+            norm_by_doc[int(d)] = int(nb)
+
+    if slop == 0:
+        ids, freqs = _exact_freqs(per_term, offsets_by_term)
+    else:
+        ids, freqs = _sloppy_freqs(per_term, offsets_by_term, slop)
+    if deleted is not None and len(deleted) and ids.size:
+        keep = ~np.isin(ids, np.asarray(deleted, dtype=np.int64))
+        ids, freqs = ids[keep], freqs[keep]
+    if ids.size == 0:
+        return _empty()
+
+    f = freqs.astype(np.float32)
+    norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
+    denom_add = cache[norms]
+    scores = (idf_sum * (f / (f + denom_add))).astype(np.float32)
     order = np.lexsort((ids, -scores))[: min(k, ids.size)]
     return pd.DataFrame({"doc_id": ids[order], "score": scores[order]})
+
+
+def _exact_freqs(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    offsets_by_term: dict[str, list[int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized exact-phrase occurrence counting across all candidate
+    docs at once. Each (term, phrase-offset) leg yields sorted unique keys
+    doc_id * M + (pos - offset); the intersection chain of the legs is the
+    set of phrase start keys (ExactPhraseMatcher, columnar)."""
+    max_pos = 0
+    for _, pos_all, _ in per_term.values():
+        if pos_all.size:
+            max_pos = max(max_pos, int(pos_all.max()))
+    M = max_pos + 2  # key stride: adjusted positions live in [0, M)
+
+    legs: list[np.ndarray] = []
+    for t, offs in offsets_by_term.items():
+        docs, pos_all, lens = per_term[t]
+        doc_rep = np.repeat(docs, lens)
+        for off in offs:
+            valid = pos_all >= off
+            keys = doc_rep[valid] * M + (pos_all[valid] - off)
+            legs.append(np.sort(keys))
+    legs.sort(key=lambda a: a.size)  # rarest leg first
+    base = legs[0]
+    for leg in legs[1:]:
+        if base.size == 0:
+            break
+        base = np.intersect1d(base, leg, assume_unique=True)
+    if base.size == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    docs = base // M
+    ids, freqs = np.unique(docs, return_counts=True)
+    return ids.astype(np.int64), freqs
+
+
+def sloppy_phrase_freq(adjusted: list[np.ndarray], slop: int) -> float:
+    """Classic SloppyPhraseScorer#phraseFreq (no repeats): ``adjusted[i]``
+    is the sorted array of (position - phrase_offset_i) for leg i. Returns
+    the fractional phrase freq: sum of 1/(1+matchLength) over greedy
+    matches with matchLength <= slop."""
+    if any(arr.size == 0 for arr in adjusted):
+        return 0.0
+    if len(adjusted) == 1:
+        # single-leg phrase: every occurrence is a zero-length match
+        return float(adjusted[0].size)
+    # heap of (adjusted_pos, leg); end = max current position
+    heap = [(int(arr[0]), i) for i, arr in enumerate(adjusted)]
+    idx = [0] * len(adjusted)
+    heapq.heapify(heap)
+    end = max(p for p, _ in heap)
+    freq = 0.0
+    pos, leg = heapq.heappop(heap)
+    match_length = end - pos
+    while True:
+        # advance the minimum leg
+        idx[leg] += 1
+        arr = adjusted[leg]
+        if idx[leg] >= arr.size:
+            break
+        pos = int(arr[idx[leg]])
+        end = max(end, pos)
+        next_pos = heap[0][0]
+        if pos > next_pos:
+            if match_length <= slop:
+                freq += 1.0 / (1.0 + match_length)
+            heapq.heappush(heap, (pos, leg))
+            pos, leg = heapq.heappop(heap)
+            match_length = end - pos
+        else:
+            ml = end - pos
+            if ml < match_length:
+                match_length = ml
+    if match_length <= slop:
+        freq += 1.0 / (1.0 + match_length)
+    return freq
+
+
+def _sloppy_freqs(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    offsets_by_term: dict[str, list[int]],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-candidate-doc sloppy freq (fractional). Candidates are the
+    conjunction of all phrase terms — already filtered by the caller."""
+    # split each term's concatenated positions back per doc
+    by_doc: dict[int, list[np.ndarray]] = {}
+    for t, offs in offsets_by_term.items():
+        off = offs[0]  # no repeats: exactly one offset per term
+        docs, pos_all, lens = per_term[t]
+        starts = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        for j, d in enumerate(docs):
+            by_doc.setdefault(int(d), []).append(
+                pos_all[starts[j] : starts[j + 1]] - off
+            )
+    n_terms = len(offsets_by_term)
+    ids, freqs = [], []
+    for d, legs in by_doc.items():
+        if len(legs) < n_terms:
+            continue
+        fr = sloppy_phrase_freq(legs, slop)
+        if fr > 0.0:
+            ids.append(d)
+            freqs.append(fr)
+    return (
+        np.asarray(ids, dtype=np.int64),
+        np.asarray(freqs, dtype=np.float64),
+    )

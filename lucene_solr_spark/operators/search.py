@@ -91,7 +91,7 @@ class Searcher:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
 
         idfs = {t: np.float32(stats[t].idf) for t in matched}
-        use_wand = mode == "wand" and op == "or"
+        use_wand = mode == "wand"  # "and" routes to the BlockMaxConjunction branch
         per_bucket = score_postings(
             self.postings,
             idfs,
@@ -142,8 +142,12 @@ class Searcher:
         """searchAfter deep paging (search/IndexSearcher.java#searchAfter,
         Solr cursorMark): return the k hits strictly after the cursor
         ``(score, doc_id)`` in (score desc, doc_id asc) order — keyset
-        pagination, no offset scan. Scores k + enough headroom per bucket
-        is unnecessary: the cursor filter runs before the global limit."""
+        pagination, no offset scan. The cursor predicate is applied INSIDE
+        the per-bucket scorer before its local top-k, so each bucket emits
+        at most k rows (any doc past the cursor beyond a bucket's best k
+        can never enter the page) — per-page cost stays proportional to k,
+        not corpus size. WAND stays off: its threshold prunes exactly the
+        below-cursor region a page request needs."""
         after_score, after_doc = float(after[0]), int(after[1])
         q_terms = sorted(set(tokenize_text(query_text)))
         stats = self.term_stats(q_terms)
@@ -151,28 +155,18 @@ class Searcher:
         if not matched or (op == "and" and len(matched) < len(q_terms)):
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
         idfs = {t: np.float32(stats[t].idf) for t in matched}
-        # per-bucket k must cover the page depth past the cursor; WAND's
-        # local-top-k truncation assumes a fresh top-k, so page with the
-        # exhaustive path and a bucket cap of k + cursor-safety
         per_bucket = score_postings(
             self.postings,
             idfs,
             self._cache,
-            self.stats.n_docs,
+            k,
             op,
             len(q_terms),
             self.stats.avgdl,
             use_wand=False,
+            after=(after_score, after_doc),
         )
-        after_pred = (F.col("score") < F.lit(after_score)) | (
-            (F.col("score") == F.lit(after_score))
-            & (F.col("doc_id") > F.lit(after_doc))
-        )
-        return (
-            per_bucket.filter(after_pred)
-            .orderBy(F.desc("score"), F.asc("doc_id"))
-            .limit(k)
-        )
+        return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
     def explain(self, query_text: str, doc_id: int) -> dict:
         """IndexSearcher#explain analog: per-term score breakdown for one
@@ -224,11 +218,12 @@ class Searcher:
     # -- alternative similarities (search/similarities/*.java) --------------
 
     def topk_sim(
-        self, query_text: str, similarity, k: int = 10, op: str = "or"
+        self, query_text: str, similarity, k: int = 10, op: str = "or", deleted=None
     ) -> DataFrame:
         """Top-k under a pluggable Similarity (operators/similarity.py).
         Always exhaustive: block-max impacts bound only the BM25 formula
-        (see similarity.py docstring), so WAND stays a BM25 feature."""
+        (see similarity.py docstring), so WAND stays a BM25 feature.
+        ``deleted``: optional tombstoned doc_id array (liveDocs)."""
         from .similarity import SIMILARITIES
 
         sim = SIMILARITIES[similarity]() if isinstance(similarity, str) else similarity
@@ -246,7 +241,7 @@ class Searcher:
         n_req = len(q_terms)
 
         def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-            return _score_bucket_sim(pdf, states, sim, k, op, n_req)
+            return _score_bucket_sim(pdf, states, sim, k, op, n_req, deleted)
 
         rows_df = self.postings.filter(F.col("term").isin(sorted(states)))
         per_bucket = rows_df.groupBy("bucket").applyInPandas(
@@ -262,6 +257,7 @@ class Searcher:
         wildcard: str | None = None,
         fuzzy: tuple[str, int] | None = None,
         regexp: str | None = None,
+        term_range: tuple[str | None, str | None] | None = None,
         max_expansions: int = 1024,
     ) -> list[str]:
         """Expand a pattern against the terms dictionary — the automaton
@@ -281,12 +277,27 @@ class Searcher:
             t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
         if regexp is not None:
             t = t.filter(F.col("term").rlike(regexp))
+        if term_range is not None:
+            # TermRangeQuery (search/TermRangeQuery.java): [lo, hi) over the
+            # sorted terms dict — maps straight onto parquet min/max pruning
+            lo, hi = term_range
+            if lo is not None:
+                t = t.filter(F.col("term") >= lo)
+            if hi is not None:
+                t = t.filter(F.col("term") < hi)
         return [r["term"] for r in t.orderBy("term").limit(max_expansions).collect()]
 
-    def topk_constant(self, terms: list[str], k: int = 10, boost: float = 1.0) -> DataFrame:
+    def topk_constant(
+        self,
+        terms: list[str],
+        k: int = 10,
+        boost: float = 1.0,
+        deleted=None,
+    ) -> DataFrame:
         """ConstantScoreQuery over a term-set union (the default rewrite of
         prefix/wildcard/regexp queries in the reference): every matching
-        doc scores ``boost``, tie-break doc_id asc -> top-k = first k ids."""
+        doc scores ``boost``, tie-break doc_id asc -> top-k = first k ids.
+        ``deleted``: optional tombstoned doc_id array, excluded (liveDocs)."""
         if not terms:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
         from .merge import decode_postings
@@ -296,6 +307,11 @@ class Searcher:
             .select("doc_id")
             .distinct()
         )
+        if deleted is not None and len(deleted):
+            tomb = self.spark.createDataFrame(
+                [(int(d),) for d in deleted], "doc_id long"
+            )
+            docs = docs.join(F.broadcast(tomb), "doc_id", "left_anti")
         return (
             docs.orderBy("doc_id")
             .limit(k)
@@ -314,6 +330,12 @@ class Searcher:
     def topk_regexp(self, pattern: str, k: int = 10) -> DataFrame:
         return self.topk_constant(self.expand_terms(regexp=pattern), k)
 
+    def topk_term_range(
+        self, lo: str | None, hi: str | None, k: int = 10
+    ) -> DataFrame:
+        """TermRangeQuery [lo, hi) -> constant-score union."""
+        return self.topk_constant(self.expand_terms(term_range=(lo, hi)), k)
+
 
 def score_postings(
     postings: DataFrame,
@@ -325,17 +347,20 @@ def score_postings(
     avgdl: float,
     use_wand: bool,
     deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> DataFrame:
     """Per-bucket scoring plan over a postings table (per-leaf Scorer DAG +
     TopScoreDocCollector analog). Returns an un-merged DataFrame of local
     top-k (doc_id, score) rows; caller applies the global merge/limit.
     ``deleted``: optional sorted int64 array of this segment's tombstoned
-    doc_ids, masked out BEFORE local top-k selection (liveDocs analog)."""
+    doc_ids, masked out BEFORE local top-k selection (liveDocs analog).
+    ``after``: optional (score, doc_id) cursor applied before the local
+    top-k (searchAfter paging)."""
     matched = sorted(idfs)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         return _score_bucket(
-            pdf, idfs, cache, k, op, n_query_terms, avgdl, use_wand, deleted
+            pdf, idfs, cache, k, op, n_query_terms, avgdl, use_wand, deleted, after
         )
 
     rows = postings.filter(F.col("term").isin(matched))
@@ -393,11 +418,36 @@ def score_query_postings(
     return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
 
 
-def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    ids = delta_decode(unpack_ints(row.doc_bin)).astype(np.int64)
-    freqs = unpack_ints(row.freq_bin)
-    norms = np.frombuffer(row.norm_bin, dtype=np.uint8)
+def _decode_bins(doc_bin, freq_bin, norm_bin) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    ids = delta_decode(unpack_ints(doc_bin)).astype(np.int64)
+    freqs = unpack_ints(freq_bin)
+    norms = np.frombuffer(norm_bin, dtype=np.uint8)
     return ids, freqs, norms
+
+
+def _decode_block(row) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return _decode_bins(row.doc_bin, row.freq_bin, row.norm_bin)
+
+
+def _term_arrays(g: pd.DataFrame, base: int) -> dict:
+    """One-time pandas->numpy extraction for a term's blocks in a bucket,
+    sorted by first_doc (block ranges are disjoint), so the scoring loops
+    touch no pandas objects."""
+    firsts = g["first_doc"].to_numpy() - base
+    order = np.argsort(firsts, kind="stable")
+    docs = g["doc_bin"].to_list()
+    freqs = g["freq_bin"].to_list()
+    norms = g["norm_bin"].to_list()
+    return {
+        "first": firsts[order],
+        "last": g["last_doc"].to_numpy()[order] - base,
+        "maxf": g["max_freq"].to_numpy()[order],
+        "mind": g["min_dl"].to_numpy()[order],
+        "doc": [docs[i] for i in order],
+        "freq": [freqs[i] for i in order],
+        "norm": [norms[i] for i in order],
+        "ndocs": int(g["n_docs"].sum()),
+    }
 
 
 def _score_bucket(
@@ -410,6 +460,7 @@ def _score_bucket(
     avgdl: float,
     use_wand: bool,
     deleted: np.ndarray | None = None,
+    after: tuple[float, int] | None = None,
 ) -> pd.DataFrame:
     """Score one doc-space bucket (a 'leaf'). Returns its local top-k."""
     base = int(pdf["first_doc"].min())
@@ -430,9 +481,63 @@ def _score_bucket(
             g = by_term.get(t)
             if g is None:
                 continue
-            for row in g.itertuples():
-                ids, freqs, norms = _decode_block(row)
-                decoded[t].append((ids - base, bm25.score_block(freqs, norms, idfs[t], cache)))
+            ta = _term_arrays(g, base)
+            for j in range(len(ta["first"])):
+                rel, freqs, norms = _decode_bins(
+                    ta["doc"][j], ta["freq"][j], ta["norm"][j]
+                )
+                decoded[t].append(
+                    (rel - base, bm25.score_block(freqs, norms, idfs[t], cache))
+                )
+    elif op == "and":
+        # ---- BlockMaxConjunction analog (search/BlockMaxConjunctionScorer
+        # .java): lead with the term that has the fewest postings in this
+        # bucket; every other term only decodes blocks whose [first_doc,
+        # last_doc] range contains a surviving candidate. Exact: a doc in
+        # the final conjunction is a candidate at every stage, so each of
+        # its blocks is decoded for every term — hit counts stay complete.
+        # (Lucene's score-based minCompetitiveScore feedback is doc-at-a-
+        # time; in this term-at-a-time columnar layout the candidate range
+        # skip is the safe equivalent — partial-sum thresholds are NOT
+        # valid lower bounds under AND because a partially-scored doc can
+        # still fail the conjunction.)
+        if any(by_term.get(t) is None for t in terms_sorted):
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+        arrs = {t: _term_arrays(by_term[t], base) for t in terms_sorted}
+        by_rarity = sorted(terms_sorted, key=lambda t: int(arrs[t]["ndocs"]))
+        cand: np.ndarray | None = None  # sorted rel doc ids still alive
+        for t in by_rarity:
+            ta = arrs[t]
+            if cand is None:
+                keep_idx = range(len(ta["first"]))
+            else:
+                # vectorized skip decision over ALL blocks of this term:
+                # keep a block iff any surviving candidate falls in range
+                a = np.searchsorted(cand, ta["first"], "left")
+                b = np.searchsorted(cand, ta["last"], "right")
+                keep_idx = np.nonzero(a < b)[0]
+            seen = []
+            for j in keep_idx:
+                rel, freqs, norms = _decode_bins(
+                    ta["doc"][j], ta["freq"][j], ta["norm"][j]
+                )
+                rel = rel - base
+                decoded[t].append((rel, bm25.score_block(freqs, norms, idfs[t], cache)))
+                seen.append(rel)
+            if not seen:
+                cand = np.array([], dtype=np.int64)
+            else:
+                got = np.concatenate(seen)
+                got.sort()
+                cand = got if cand is None else cand[np.isin(cand, got, assume_unique=True)]
+            if cand.size == 0:
+                return pd.DataFrame(
+                    {"doc_id": np.array([], dtype=np.int64),
+                     "score": np.array([], dtype=np.float32)}
+                )
     else:
         # ---- block-max WAND (columnar variant) -----------------------------
         # Upper bounds in float64 with a safety factor so float32 scoring can
@@ -441,41 +546,51 @@ def _score_bucket(
         # (bound of all unprocessed terms) can reach the current threshold
         # theta = k-th largest partial accumulated so far. Survivor blocks are
         # re-accumulated afterwards in lexicographic order (exact float32).
+        # Skip decisions are vectorized per term: per-block max of the
+        # partial array via np.maximum.reduceat over the (disjoint, sorted)
+        # block ranges, one comparison for all blocks at once.
         SAFETY = 1.0 + 1e-5
         term_rows = []
         for t in terms_sorted:
             g = by_term.get(t)
             if g is None:
                 continue
+            ta = _term_arrays(g, base)
             bub = (
                 float(idfs[t])
-                * (g["max_freq"].to_numpy() /
-                   (g["max_freq"].to_numpy()
-                    + bm25.K1 * (1 - bm25.B + bm25.B * g["min_dl"].to_numpy() / max(avgdl, 1e-9))))
+                * (ta["maxf"] /
+                   (ta["maxf"]
+                    + bm25.K1 * (1 - bm25.B + bm25.B * ta["mind"] / max(avgdl, 1e-9))))
             ) * SAFETY
-            term_rows.append((t, g, bub, float(bub.max())))
+            term_rows.append((t, ta, bub, float(bub.max())))
         term_rows.sort(key=lambda x: -x[3])
         ubs = [x[3] for x in term_rows]
         suffix = np.concatenate([np.cumsum(ubs[::-1])[::-1], [0.0]])
-        wacc = np.zeros(span, dtype=np.float64)  # pruning-side partials
+        # span+1 so maximum.reduceat can take last_doc+1 == span boundaries
+        wacc = np.zeros(span + 1, dtype=np.float64)  # pruning-side partials
         # tombstoned docs must never hold a top-k slot in the pruning
         # threshold theta, else a live doc could be pruned wrongly
         wacc[rel_deleted] = -np.inf
-        for i, (t, g, bub, _) in enumerate(term_rows):
+        for i, (t, ta, bub, _) in enumerate(term_rows):
             if span > 2 * k:
-                theta = np.partition(wacc, span - k)[span - k]
+                theta = np.partition(wacc[:span], span - k)[span - k]
             else:
                 theta = 0.0
             rem = suffix[i + 1]
-            firsts = g["first_doc"].to_numpy() - base
-            lasts = g["last_doc"].to_numpy() - base
-            for j, row in enumerate(g.itertuples()):
-                lo, hi = int(firsts[j]), int(lasts[j])
-                if theta > 0.0 and wacc[lo : hi + 1].max() + bub[j] + rem < theta:
-                    continue  # block skipped — never decoded
-                ids, freqs, norms = _decode_block(row)
+            if theta > 0.0:
+                idx = np.empty(2 * len(ta["first"]), dtype=np.int64)
+                idx[0::2] = ta["first"]
+                idx[1::2] = ta["last"] + 1
+                block_max = np.maximum.reduceat(wacc, idx)[0::2]
+                keep_idx = np.nonzero(block_max + bub + rem >= theta)[0]
+            else:
+                keep_idx = range(len(ta["first"]))
+            for j in keep_idx:
+                rel, freqs, norms = _decode_bins(
+                    ta["doc"][j], ta["freq"][j], ta["norm"][j]
+                )
+                rel = rel - base
                 sc = bm25.score_block(freqs, norms, idfs[t], cache)
-                rel = ids - base
                 decoded[t].append((rel, sc))
                 wacc[rel] += sc.astype(np.float64)
 
@@ -494,6 +609,17 @@ def _score_bucket(
     if nz.size == 0:
         return pd.DataFrame({"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)})
     scores = acc[nz]
+    if after is not None:
+        # searchAfter cursor: keep only hits strictly after (score, doc_id)
+        # in (score desc, doc_id asc) order — BEFORE the local top-k cap
+        a_s, a_d = np.float32(after[0]), int(after[1])
+        keep = (scores < a_s) | ((scores == a_s) & (nz + base > a_d))
+        nz, scores = nz[keep], scores[keep]
+        if nz.size == 0:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
     kk = min(k, nz.size)
     # top-k by (-score, doc_id): lexsort on (doc_id asc) then stable by -score
     order = np.lexsort((nz, -scores))[:kk]
@@ -509,6 +635,7 @@ def _score_bucket_sim(
     k: int,
     op: str,
     n_query_terms: int,
+    deleted=None,
 ) -> pd.DataFrame:
     """Per-bucket scoring under a pluggable Similarity (exhaustive).
     Same accumulation contract as the BM25 path: float32, lexicographic
@@ -529,6 +656,10 @@ def _score_bucket_sim(
             acc[rel] += sim.score_block(freqs, norms, st)
             hit[rel] += 1
     mask = (hit == n_query_terms) if op == "and" else (hit > 0)
+    if deleted is not None and len(deleted):
+        dele = np.asarray(deleted, dtype=np.int64)
+        rel_del = dele[(dele >= base) & (dele < base + span)] - base
+        mask[rel_del] = False  # liveDocs exclusion
     nz = np.nonzero(mask)[0]
     if nz.size == 0:
         return pd.DataFrame(
@@ -617,7 +748,7 @@ class MultiSearcher:
                 [], "segment_id string, doc_id long, gdoc_id long, score float"
             )
         idfs = {t: np.float32(stats[t].idf) for t in matched}
-        use_wand = mode == "wand" and op == "or"
+        use_wand = mode == "wand"  # "and" routes to the BlockMaxConjunction branch
 
         per_seg = []
         for s in self.segments:

@@ -416,6 +416,26 @@ def wildcard_query_terms(spark, sf_dir):
     )
 
 
+def _phrase_freq_col(tokens_col: str, seq: list[str]):
+    """Exact-phrase occurrence count inside one row's token array, built
+    from higher-order array functions (filter over start indices) — stays
+    in whole-stage codegen, no explode, no join."""
+    n = len(seq)
+    toks = F.col(tokens_col)
+
+    def starts_match(i):
+        c = None
+        for j, t in enumerate(seq):
+            e = F.element_at(toks, (i + F.lit(j)).cast("int")) == t
+            c = e if c is None else (c & e)
+        return c
+
+    return F.when(
+        F.size(toks) >= n,
+        F.size(F.filter(F.sequence(F.lit(1), F.size(toks) - (n - 1)), starts_match)),
+    ).otherwise(F.lit(0))
+
+
 @register(
     "phrase_query",
     f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
@@ -425,18 +445,15 @@ FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
 WHERE a.term = 'key' AND b.term = 'order'""",
 )
 def phrase_query(spark, sf_dir):
-    """PhraseQuery exact (search/PhraseQuery.java, ExactPhraseMatcher):
-    positional postings + adjacency self-join."""
+    """PhraseQuery exact (search/PhraseQuery.java, ExactPhraseMatcher).
+    Spark side: per-row array lambda over the token array — adjacency is
+    checked inside the row (higher-order functions, whole-stage codegen),
+    no posexplode self-join, no shuffle before the final count."""
     toks = _tokens(spark, sf_dir)
-    pos = toks.select(
-        "doc_id", F.posexplode("tokens").alias("pos", "term")
-    )
-    a = pos.filter(F.col("term") == "key").select("doc_id", F.col("pos").alias("pa"))
-    b = pos.filter(F.col("term") == "order").select("doc_id", F.col("pos").alias("pb"))
-    return (
-        a.join(b, "doc_id")
-        .filter(F.col("pb") == F.col("pa") + 1)
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+    return toks.agg(
+        F.sum((_phrase_freq_col("tokens", ["key", "order"]) > 0).cast("long")).alias(
+            "n_docs"
+        )
     )
 
 
@@ -466,40 +483,36 @@ def phrase_bm25_topk(spark, sf_dir):
     exact-phrase occurrences, idf = sum of the phrase terms' idfs, BM25
     tf_part on the byte4-quantized doc length. Double-precision cross-engine
     variant; the float32 engine path (positional postings table +
-    operators/phrase.py) is pinned to tests/oracle.py in pytest."""
+    operators/phrase.py) is pinned to tests/oracle.py in pytest.
+
+    Spark plan: one narrow pass computes (dl, phrase freq, term presence)
+    per row via array lambdas (whole-stage codegen); a tiny broadcast stats
+    row carries n/avgdl/dft — no posexplode, no positional self-join."""
     t0, t1 = "key", "order"
     toks = _tokens(spark, sf_dir)
-    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
-    stats = dl.agg(
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        _phrase_freq_col("tokens", [t0, t1]).cast("double").alias("freq"),
+        F.array_contains("tokens", t0).cast("long").alias("h0"),
+        F.array_contains("tokens", t1).cast("long").alias("h1"),
+    )
+    stats = base.agg(
         F.count("*").cast("double").alias("n_total"),
         (F.sum("dl") / F.count("*")).alias("avgdl"),
-    )
-    pos = toks.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
-    dft = (
-        pos.filter(F.col("term").isin([t0, t1]))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("double").alias("dft"))
-    )
-    idf = dft.crossJoin(stats).agg(
-        F.sum(
-            F.log(
-                1.0
-                + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
-            )
-        ).alias("idf_sum")
-    )
-    a = pos.filter(F.col("term") == t0).select("doc_id", F.col("pos").alias("pa"))
-    b = pos.filter(F.col("term") == t1).select("doc_id", F.col("pos").alias("pb"))
-    ph = (
-        a.join(b, "doc_id")
-        .filter(F.col("pb") == F.col("pa") + 1)
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("double").alias("freq"))
+        F.sum("h0").cast("double").alias("dft0"),
+        F.sum("h1").cast("double").alias("dft1"),
+    ).select(
+        "n_total",
+        "avgdl",
+        (
+            F.log(1.0 + (F.col("n_total") - F.col("dft0") + 0.5) / (F.col("dft0") + 0.5))
+            + F.log(1.0 + (F.col("n_total") - F.col("dft1") + 0.5) / (F.col("dft1") + 0.5))
+        ).alias("idf_sum"),
     )
     dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
     return (
-        ph.join(dl, "doc_id")
-        .crossJoin(F.broadcast(idf))
+        base.filter(F.col("freq") > 0)
         .crossJoin(F.broadcast(stats))
         .withColumn("dlq", dlq)
         .select(
@@ -514,6 +527,44 @@ def phrase_bm25_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@register(
+    "phrase_slop_match",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)
+SELECT count(DISTINCT a.doc_id) AS n_docs
+FROM pos a JOIN pos b ON a.doc_id = b.doc_id
+WHERE a.term = 'key' AND b.term = 'order' AND abs(b.pos - a.pos - 1) <= 2""",
+)
+def phrase_slop_match(spark, sf_dir):
+    """Sloppy phrase MATCHING (search/SloppyPhraseMatcher.java): docs where
+    'key' and 'order' occur with edit distance <= 2 between adjusted
+    positions (reordering costs 2, per Lucene). Match semantics only — the
+    fractional sloppy-freq SCORING path is the engine's phrase_topk(slop=n),
+    pinned to tests/oracle.py in pytest. Spark side: nested array-exists
+    lambdas inside the row, no explode/join."""
+    slop = 2
+    toks_col = F.col("tokens")
+
+    def inner(i):
+        return F.exists(
+            F.sequence(
+                F.greatest(i - 1, F.lit(1)),
+                F.least(i + F.lit(1 + slop), F.size(toks_col)),
+            ),
+            lambda j: (F.element_at(toks_col, j.cast("int")) == "order")
+            & (F.abs(j - i - 1) <= slop),
+        )
+
+    match = F.when(
+        F.size(toks_col) > 0,
+        F.exists(
+            F.sequence(F.lit(1), F.size(toks_col)),
+            lambda i: (F.element_at(toks_col, i.cast("int")) == "key") & inner(i),
+        ),
+    ).otherwise(F.lit(False))
+    return _tokens(spark, sf_dir).agg(F.sum(match.cast("long")).alias("n_docs"))
 
 
 # ---------------------------------------------------------------------------

@@ -408,3 +408,95 @@ def more_like_this(spark, sf_dir):
         .orderBy(F.desc("shared"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trivial-gap sweep (VERDICT r01 item 6): TermRangeQuery,
+# DocValuesFieldExistsQuery, facet missing/countvals, stddev/variance.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_range_query",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id) AS df FROM toks
+WHERE term >= 'scan' AND term < 'stream' GROUP BY term ORDER BY term""",
+)
+def term_range_query(spark, sf_dir):
+    """TermRangeQuery (search/TermRangeQuery.java): [lo, hi) scan of the
+    sorted terms dict + per-term df. The engine analog is
+    Searcher.topk_term_range (parquet min/max pruning on the sorted terms
+    table is the FST range-seek)."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter((F.col("term") >= "scan") & (F.col("term") < "stream"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .orderBy("term")
+    )
+
+
+@register(
+    "field_exists_query",
+    """SELECT count(*) AS n_docs
+FROM (SELECT nullif(event_type, 'error') AS attr FROM events) WHERE attr IS NOT NULL""",
+)
+def field_exists_query(spark, sf_dir):
+    """DocValuesFieldExistsQuery (search/DocValuesFieldExistsQuery.java):
+    count docs whose field is present. Testdata has no NULL columns, so both
+    engines derive the same nullable field via NULLIF first."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.select(F.nullif(F.col("event_type"), F.lit("error")).alias("attr"))
+        .filter(F.col("attr").isNotNull())
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@register(
+    "missing_countvals_agg",
+    """SELECT event_type,
+       count(v) AS countvals,
+       count(*) - count(v) AS missing
+FROM (SELECT event_type, CASE WHEN value > 90 THEN NULL ELSE value END AS v
+      FROM events) GROUP BY event_type ORDER BY event_type""",
+)
+def missing_countvals_agg(spark, sf_dir):
+    """JSON facet missing/countvals aggregates (search/facet/MissingAgg.java,
+    CountValsAgg.java) over a derived nullable field (identical CASE in both
+    engines — testdata has no native NULLs)."""
+    e = _read(spark, sf_dir, "events").select(
+        "event_type",
+        F.when(F.col("value") > 90, None).otherwise(F.col("value")).alias("v"),
+    )
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("v").alias("countvals"),
+            (F.count("*") - F.count("v")).alias("missing"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "stddev_variance_agg",
+    """SELECT event_type,
+       round(stddev_samp(value), 6) AS stddev_v,
+       round(var_samp(value), 6) AS variance_v
+FROM events GROUP BY event_type ORDER BY event_type""",
+)
+def stddev_variance_agg(spark, sf_dir):
+    """JSON facet stddev/variance aggregates (search/facet/StddevAgg.java,
+    VarianceAgg.java): sample stddev/variance per facet bucket, rounded to
+    absorb summation-order drift."""
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.stddev_samp("value"), 6).alias("stddev_v"),
+            F.round(F.var_samp("value"), 6).alias("variance_v"),
+        )
+        .orderBy("event_type")
+    )

@@ -48,12 +48,15 @@ class SegmentStats:
 @dataclass
 class Segment:
     """Handle to one immutable segment: either on-disk (path) or in-memory
-    DataFrames (tests / ephemeral driver queries)."""
+    DataFrames (tests / ephemeral driver queries). ``lineage`` carries the
+    transitive set of source segment ids this segment was merged from
+    (ingest replay uses it to skip batches already absorbed by a merge)."""
 
     segment_id: str
     stats: SegmentStats
     path: str | None = None
     dfs: dict[str, DataFrame] = field(default_factory=dict)
+    lineage: list[str] = field(default_factory=list)
 
     def table(self, spark: SparkSession, name: str) -> DataFrame:
         if name in self.dfs:
@@ -89,6 +92,7 @@ class Segment:
             segment_id=doc["segment_id"],
             stats=SegmentStats(**doc["stats"]),
             path=path,
+            lineage=list(doc.get("phases", {}).get("merged_from", [])),
         )
 
 
@@ -123,17 +127,63 @@ class Catalog:
     the owning segment is merged away or dropped.
     """
 
+    COMMIT_FILE = "_segments.json"
+
     def __init__(self, root: str):
         self.root = root
         os.makedirs(root, exist_ok=True)
 
-    def segments(self) -> list[Segment]:
+    # ---- commit point (SegmentInfos / segments_N analog) ------------------
+    # When `_segments.json` exists it is THE authoritative listing: readers
+    # see exactly the ids it names, and a merge commit (sources out, merged
+    # in) is one atomic os.replace of this file. Without it (legacy /
+    # hand-built catalogs) the directory scan below applies; staging dirs
+    # (underscore prefix) are never listed either way.
+
+    @property
+    def _commit_path(self) -> str:
+        return os.path.join(self.root, self.COMMIT_FILE)
+
+    def _committed_ids(self) -> list[str] | None:
+        if not os.path.exists(self._commit_path):
+            return None
+        with open(self._commit_path) as f:
+            return list(json.load(f)["segments"])
+
+    def commit_swap(self, add: list[str] = (), remove: list[str] = ()) -> None:
+        """Atomically publish a new segment listing: current - remove + add.
+        Mirrors IndexWriter's segments_N commit — a reader either sees the
+        old listing or the new one, never a merged segment alongside its
+        sources."""
+        current = self._committed_ids()
+        if current is None:  # bootstrap from the legacy directory scan
+            current = [s.segment_id for s in self._scan_segments()]
+        new = [i for i in current if i not in set(remove)]
+        new += [a for a in add if a not in set(new)]
+        tmp = self._commit_path + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump({"segments": new, "written_at": time.time()}, f)
+        os.replace(tmp, self._commit_path)
+
+    def _scan_segments(self) -> list[Segment]:
         out = []
         for d in sorted(os.listdir(self.root)):
             p = os.path.join(self.root, d)
+            if d.startswith(("_", ".")):
+                continue  # staging dirs / commit file / deletes table
             if os.path.isdir(p) and os.path.exists(os.path.join(p, MANIFEST)):
                 out.append(Segment.load(p))
         return out
+
+    def segments(self) -> list[Segment]:
+        ids = self._committed_ids()
+        if ids is None:
+            return self._scan_segments()
+        return [
+            Segment.load(os.path.join(self.root, i))
+            for i in ids
+            if os.path.exists(os.path.join(self.root, i, MANIFEST))
+        ]
 
     def drop(self, segment_id: str) -> None:
         p = os.path.join(self.root, segment_id)
@@ -162,17 +212,24 @@ class Catalog:
         )
 
     def purge_deletes(self, spark: SparkSession, segment_ids: list[str]) -> None:
-        """Drop tombstones owned by segments that no longer exist (post-merge)."""
+        """Drop tombstones owned by segments that no longer exist (post-merge).
+        Crash-safe: survivors are written to a tmp directory first, then
+        swapped into place (the write_table tmp+rename pattern) — a crash
+        never loses tombstones belonging to unrelated segments."""
         if not os.path.isdir(self._deletes_path):
             return
         remaining = self.deletes(spark).filter(
             ~col_in("segment_id", segment_ids)
         ).collect()
-        shutil.rmtree(self._deletes_path)
+        tmp = self._deletes_path + f".tmp-{uuid.uuid4().hex[:6]}"
         if remaining:
             spark.createDataFrame(
                 remaining, "segment_id string, doc_id long"
-            ).write.mode("overwrite").parquet(self._deletes_path)
+            ).write.mode("overwrite").parquet(tmp)
+        else:
+            os.makedirs(tmp, exist_ok=True)
+        shutil.rmtree(self._deletes_path)
+        os.replace(tmp, self._deletes_path)
 
 
 def col_in(name: str, values: list[str]):

@@ -54,22 +54,36 @@ def ingest_batch(
     batch_df: DataFrame,
     batch_id: int,
     bucket_docs: int = DEFAULT_BUCKET_DOCS,
+    stream_id: str = "",
 ) -> None:
     """foreachBatch body: micro-batch -> one new segment.
 
     Segment id is a pure function of batch_id, so a replayed batch (after a
     crash, from the streaming WAL) re-enters the same segment directory and
     the phase markers turn the replay into a cheap no-op — exactly the
-    tlog-replay recovery contract.
+    tlog-replay recovery contract. A batch whose segment was already
+    absorbed by compaction (it appears in a surviving segment's merged_from
+    lineage) is skipped entirely: without this, a crash between
+    maybe_compact and the streaming offset commit would rebuild the batch
+    segment and duplicate its docs.
+
+    ``stream_id`` namespaces the segment ids: REQUIRED (non-empty, unique
+    per stream) when more than one stream feeds the same catalog, else
+    their batch-derived segment ids collide and batches are skipped.
     """
+    seg_id = f"{stream_id}batch{batch_id:08d}"
+    live = catalog.segments()
+    if any(seg_id == s.segment_id or seg_id in (s.lineage or []) for s in live):
+        return
     if not batch_df.isEmpty():
         build_index(
             batch_df.sparkSession,
             stamp_sha256(batch_df),
             out_dir=catalog.root,
             bucket_docs=bucket_docs,
-            segment_id=f"batch{batch_id:08d}",
+            segment_id=seg_id,
         )
+        catalog.commit_swap(add=[seg_id])
 
 
 def start_indexing_stream(
@@ -80,6 +94,7 @@ def start_indexing_stream(
     compact_every: int = 0,
     trigger: dict | None = None,
     on_batch: Callable[[int], None] | None = None,
+    stream_id: str = "",
 ):
     """Wire a streaming corpus DataFrame into the catalog.
 
@@ -92,7 +107,9 @@ def start_indexing_stream(
     """
 
     def _body(batch_df: DataFrame, batch_id: int) -> None:
-        ingest_batch(catalog, batch_df, batch_id, bucket_docs=bucket_docs)
+        ingest_batch(
+            catalog, batch_df, batch_id, bucket_docs=bucket_docs, stream_id=stream_id
+        )
         if compact_every and (batch_id + 1) % compact_every == 0:
             maybe_compact(batch_df.sparkSession, catalog, bucket_docs=bucket_docs)
         if on_batch is not None:
@@ -114,11 +131,13 @@ def ingest_available(
     checkpoint_dir: str,
     bucket_docs: int = DEFAULT_BUCKET_DOCS,
     compact_every: int = 0,
+    stream_id: str = "",
 ) -> None:
     """One drain cycle: index every not-yet-seen file under ``input_dir``
     into the catalog, then stop (availableNow). Re-invoking later picks up
     only NEW files — the checkpoint is the subscriber offset (topic-stream
-    semantics)."""
+    semantics). Pass a distinct ``stream_id`` per (input_dir, checkpoint)
+    pair when several streams share one catalog."""
     q = start_indexing_stream(
         corpus_stream(spark, input_dir),
         catalog,
@@ -126,5 +145,6 @@ def ingest_available(
         bucket_docs=bucket_docs,
         compact_every=compact_every,
         trigger={"availableNow": True},
+        stream_id=stream_id,
     )
     q.awaitTermination()

@@ -126,10 +126,14 @@ class OracleIndex:
         ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
         return [(d, float(s)) for d, s in ranked[:k]]
 
-    def topk_phrase(self, phrase_text: str, k: int = 10) -> list[tuple[int, float]]:
-        """Exact-phrase BM25 (PhraseQuery analog): freq = number of phrase
-        occurrences, idf = sum over phrase positions (duplicates counted),
-        same float32 norm-cache tf_part as single terms."""
+    def topk_phrase(
+        self, phrase_text: str, k: int = 10, slop: int = 0
+    ) -> list[tuple[int, float]]:
+        """Phrase BM25 (PhraseQuery analog): freq = number of phrase
+        occurrences (slop=0 exact; slop>0 fractional sloppy freq via the
+        classic SloppyPhraseScorer greedy walk, no repeats), idf = sum over
+        phrase positions (duplicates counted), same float32 norm-cache
+        tf_part as single terms."""
         seq = tokenize(phrase_text)
         if not seq:
             return []
@@ -137,9 +141,12 @@ class OracleIndex:
         n = len(seq)
         out = []
         for doc_id, toks in self.tokens.items():
-            freq = sum(
-                1 for i in range(len(toks) - n + 1) if toks[i : i + n] == seq
-            )
+            if slop == 0:
+                freq = sum(
+                    1 for i in range(len(toks) - n + 1) if toks[i : i + n] == seq
+                )
+            else:
+                freq = self._sloppy_freq_doc(toks, seq, slop)
             if not freq:
                 continue
             add = self.cache[self.norm_byte[doc_id]]
@@ -149,6 +156,51 @@ class OracleIndex:
             out.append((doc_id, float(s)))
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
+
+    @staticmethod
+    def _sloppy_freq_doc(toks: list[str], seq: list[str], slop: int) -> float:
+        """Scalar SloppyPhraseScorer#phraseFreq walk (no repeated terms):
+        legs are (position - phrase_offset) lists; repeatedly advance the
+        minimum leg; when it passes the runner-up, a candidate match ends
+        with matchLength = end - min; matches with matchLength <= slop add
+        1/(1+matchLength)."""
+        assert len(set(seq)) == len(seq), "no-repeats case only"
+        legs = []
+        for off, term in enumerate(seq):
+            legs.append([p - off for p, t in enumerate(toks) if t == term])
+        if any(not leg for leg in legs):
+            return 0.0
+        if len(legs) == 1:
+            return float(len(legs[0]))
+        import heapq as _hq
+
+        heap = [(leg[0], i) for i, leg in enumerate(legs)]
+        _hq.heapify(heap)
+        idx = [0] * len(legs)
+        end = max(p for p, _ in heap)
+        freq = 0.0
+        pos, leg_i = _hq.heappop(heap)
+        match_length = end - pos
+        while True:
+            idx[leg_i] += 1
+            if idx[leg_i] >= len(legs[leg_i]):
+                break
+            pos = legs[leg_i][idx[leg_i]]
+            end = max(end, pos)
+            nxt = heap[0][0]
+            if pos > nxt:
+                if match_length <= slop:
+                    freq += 1.0 / (1.0 + match_length)
+                _hq.heappush(heap, (pos, leg_i))
+                pos, leg_i = _hq.heappop(heap)
+                match_length = end - pos
+            else:
+                ml = end - pos
+                if ml < match_length:
+                    match_length = ml
+        if match_length <= slop:
+            freq += 1.0 / (1.0 + match_length)
+        return freq
 
     # -- Boolean query tree (scalar mirror of operators/query.py) -----------
     # Shares only the IR dataclasses (Term/Bool) with the engine; the

@@ -70,10 +70,12 @@ def test_topk_rank_and_score_identical(built, q, mode):
         assert np.float32(s1) == np.float32(s2), f"score mismatch {q} doc {d1}: {s1} vs {s2}"
 
 
-@pytest.mark.parametrize("q", ["fast merge window", "spark join", "the table scan"])
-def test_conjunction_matches_oracle(built, q):
+@pytest.mark.parametrize("q", ["fast merge window", "spark join", "the table scan", "dup vector", "the a"])
+@pytest.mark.parametrize("mode", ["exhaustive", "wand"])
+def test_conjunction_matches_oracle(built, q, mode):
+    """exhaustive AND == BlockMaxConjunction AND == oracle (rank + float32)."""
     _, searcher, ora = built
-    got = [(r["doc_id"], np.float32(r["score"])) for r in searcher.topk(q, k=10, mode="exhaustive", op="and").collect()]
+    got = [(r["doc_id"], np.float32(r["score"])) for r in searcher.topk(q, k=10, mode=mode, op="and").collect()]
     want = [(d, np.float32(s)) for d, s in ora.topk_conjunction(q, k=10)]
     assert got == want
 

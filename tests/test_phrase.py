@@ -117,6 +117,42 @@ def test_phrase_survives_merge(spark, corpus, tmp_path, oracle, phrases):
         assert got == want, f"post-merge phrase {ph!r} mismatch"
 
 
-def test_slop_not_supported(spark, seg_pos):
+SLOPPY = [
+    ("import return", 1),
+    ("import return", 2),
+    ("return import", 2),   # reordering costs 2 — nonempty iff slop allows
+    ("import def", 3),
+    ("public self import", 2),
+    ("def return", 1),
+]
+
+
+@pytest.mark.parametrize("ph,slop", SLOPPY)
+def test_sloppy_phrase_matches_oracle(spark, seg_pos, oracle, ph, slop):
+    """SloppyPhraseMatcher no-repeats semantics: engine == scalar oracle
+    (fractional sloppy freq, float32 scores, tie doc_id asc)."""
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in phrase_topk(spark, seg_pos, ph, k=10, slop=slop).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in oracle.topk_phrase(ph, k=10, slop=slop)]
+    assert got == want, f"phrase {ph!r} slop={slop}: {got[:3]} != {want[:3]}"
+
+
+def test_sloppy_superset_of_exact(spark, seg_pos):
+    """Every exact match also matches at any slop (with freq >= exact via
+    extra sloppy matches never decreasing)."""
+    exact = {
+        int(r["doc_id"])
+        for r in phrase_topk(spark, seg_pos, "import return", k=1000).collect()
+    }
+    sloppy = {
+        int(r["doc_id"])
+        for r in phrase_topk(spark, seg_pos, "import return", k=1000, slop=2).collect()
+    }
+    assert exact <= sloppy
+
+
+def test_slop_with_repeats_not_supported(spark, seg_pos):
     with pytest.raises(NotImplementedError):
-        phrase_topk(spark, seg_pos, "import return", slop=1)
+        phrase_topk(spark, seg_pos, "import import", slop=1)
