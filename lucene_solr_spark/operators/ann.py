@@ -118,6 +118,67 @@ def lsh_topk(
     )
 
 
+def lsh_index(
+    emb: DataFrame,
+    out_path: str,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    dim: int = 64,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the classic multi-table LSH layout: ``n_tables`` copies
+    of the table, each PARTITIONED BY that table's bucket column. A probe
+    then reads exactly one partition per table (Spark partition pruning /
+    Iceberg partition transform at scale) instead of computing hashes over
+    the full dataset per query — the fix for the round-1 full-scan-filter
+    shape. Storage cost n_tables x is the standard LSH trade."""
+    for t in range(n_tables):
+        planes = lsh_planes(dim, n_planes, seed=LSH_SEED + t)
+        df = emb.withColumn(
+            "bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+        )
+        df.write.mode("overwrite").partitionBy("bucket").parquet(
+            f"{out_path}/table{t}"
+        )
+
+
+def lsh_probe(
+    spark,
+    index_path: str,
+    probe: list[float],
+    k: int = 10,
+    n_tables: int = 4,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe a materialized LSH index: per table, read ONLY the probe's
+    bucket partition (plan shows PartitionFilters, no hash computation on
+    the scan side); union candidates, dedup, exact cosine re-rank."""
+    cands = None
+    for t in range(n_tables):
+        planes = lsh_planes(len(probe), n_planes, seed=LSH_SEED + t)
+        b = _probe_bucket(probe, planes)
+        df_t = (
+            spark.read.parquet(f"{index_path}/table{t}")
+            .filter(F.col("bucket") == b)
+            .select(id_col, vec_col)
+        )
+        cands = df_t if cands is None else cands.unionByName(df_t)
+    cands = cands.dropDuplicates([id_col])
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        cands.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), p), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def ivf_assign(emb: DataFrame, centroids: list[list[float]],
                vec_col: str = "embedding") -> DataFrame:
     """Assign each vector to its nearest centroid (coarse quantizer).
@@ -147,3 +208,83 @@ def sample_centroids(emb: DataFrame, n: int = 8, vec_col: str = "embedding") -> 
     sampled k-means; interface point for a real trainer)."""
     rows = emb.orderBy("vec_id").limit(n).select(vec_col).collect()
     return [list(map(float, r[0])) for r in rows]
+
+
+def train_centroids(
+    emb: DataFrame,
+    n_cells: int = 8,
+    iters: int = 10,
+    sample_n: int = 4096,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Sample-based Lloyd's k-means coarse quantizer (the FAISS-style IVF
+    training shape: train on a bounded deterministic sample driver-side,
+    assign the full dataset distributed). Deterministic: sample = first
+    ``sample_n`` rows by id, numpy with a fixed seed, empty clusters keep
+    their previous centroid."""
+    rows = emb.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cents = X[rng.choice(len(X), size=min(n_cells, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(cents.shape[0]):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
+    return cents.tolist()
+
+
+def nearest_cells(
+    probe: list[float], centroids: list[list[float]], nprobe: int
+) -> list[int]:
+    """The nprobe nearest coarse cells to the probe (ties -> lower index)."""
+    p = np.asarray(probe, dtype=np.float64)
+    C = np.asarray(centroids, dtype=np.float64)
+    d2 = ((C - p[None, :]) ** 2).sum(axis=1)
+    return [int(i) for i in np.argsort(d2, kind="stable")[:nprobe]]
+
+
+def ivf_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    out_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: cell assignment computed ONCE at build,
+    stored partitioned by cell (the inverted-file)."""
+    ivf_assign(emb, centroids, vec_col=vec_col).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(out_path)
+
+
+def ivf_topk(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """nprobe IVF search: read only the nprobe nearest cells' partitions
+    (partition pruning), exact cosine re-rank inside them. nprobe =
+    n_cells degenerates to exact brute force."""
+    cells = nearest_cells(probe, centroids, nprobe)
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(cells))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), p), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

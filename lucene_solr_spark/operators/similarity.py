@@ -107,8 +107,65 @@ class BooleanSimilarity(Similarity):
         return np.full(len(freqs), self.boost, dtype=np.float32)
 
 
+class LMJelinekMercerSimilarity(Similarity):
+    """Jelinek-Mercer smoothed query likelihood
+    (search/similarities/LMJelinekMercerSimilarity.java):
+    score = log(1 + ((1-lambda) * freq/dl) / (lambda * p(t|C))),
+    p(t|C) = ttf/total_tokens, lambda=0.1 (the reference's short-query
+    default). Always >= 0 (log1p of a non-negative ratio)."""
+
+    name = "lmjelinekmercer"
+
+    def __init__(self, lam: float = 0.1):
+        self.lam = lam
+
+    def weight(self, df: int, ttf: int, sum_ttf: int) -> dict:
+        p_c = ttf / max(sum_ttf, 1)
+        return {"ratio": np.float32((1.0 - self.lam) / (self.lam * p_c))}
+
+    def score_block(self, freqs, norm_bytes, state):
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float32
+        )
+        f = freqs.astype(np.float32)
+        return np.log1p(state["ratio"] * f / np.maximum(dl, np.float32(1.0))).astype(
+            np.float32
+        )
+
+
+class DFRSimilarity(Similarity):
+    """Divergence-from-randomness, combo I(n)L2
+    (search/similarities/DFRSimilarity.java with BasicModelIn +
+    AfterEffectL + NormalizationH2, c=1):
+      tfn   = freq * log2(1 + c * avgdl / dl)          (H2)
+      score = (1 / (tfn + 1)) * tfn * log2((N+1)/(df+0.5))   (L * In)
+    Always >= 0."""
+
+    name = "dfr_inl2"
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def weight(self, df: int, ttf: int, sum_ttf: int) -> dict:
+        basic = math.log2((self.n_docs + 1) / (df + 0.5))
+        return {"basic": np.float32(basic)}
+
+    def score_block(self, freqs, norm_bytes, state):
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float32
+        )
+        f = freqs.astype(np.float32)
+        tfn = f * np.log2(
+            np.float32(1.0)
+            + np.float32(self.c) * np.float32(self.avgdl) / np.maximum(dl, np.float32(1.0))
+        ).astype(np.float32)
+        return (state["basic"] * tfn / (tfn + np.float32(1.0))).astype(np.float32)
+
+
 SIMILARITIES = {
     "classic": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "boolean": BooleanSimilarity,
+    "lmjelinekmercer": LMJelinekMercerSimilarity,
+    "dfr_inl2": DFRSimilarity,
 }

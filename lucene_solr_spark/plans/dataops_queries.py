@@ -13,6 +13,7 @@ Cross-engine determinism notes:
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from ..functions.analysis import duckdb_tokenize_sql
@@ -195,25 +196,135 @@ def ann_lsh_bucket_hist(spark, sf_dir):
     )
 
 
-@register("ann_lsh_topk")  # rows-only: recall-vs-bruteforce is tested in pytest
+# ---- materialized ANN indexes (built once per sf_dir under /tmp; the
+# 100 TB layout: bucket/cell partition columns written at build time, every
+# probe is a partition-pruned read — never a hash computation over the scan)
+
+_ANN_TABLES, _ANN_PLANES = 12, 3
+_ANN_CACHE: dict = {}
+
+
+def _lsh_index_path(spark, sf_dir: str) -> str:
+    key = ("lsh", sf_dir)
+    if key not in _ANN_CACHE:
+        import hashlib as _h
+
+        path = "/tmp/spark_graft_ann/" + _h.md5(sf_dir.encode()).hexdigest()[:8] + "/lsh"
+        ann.lsh_index(
+            _read(spark, sf_dir, "embeddings"),
+            path,
+            n_tables=_ANN_TABLES,
+            n_planes=_ANN_PLANES,
+            dim=64,
+        )
+        _ANN_CACHE[key] = path
+    return _ANN_CACHE[key]
+
+
+def _tbl_bucket_sql(col: str, t: int) -> str:
+    planes = ann.lsh_planes(64, _ANN_PLANES, seed=ann.LSH_SEED + t)
+    lits = _planes_sql_literal(planes)
+    return "(" + " + ".join(
+        f"(CASE WHEN list_dot_product({col}, {lits[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_ANN_PLANES)
+    ) + ")"
+
+
+_LSH_MATCH_SQL = " OR ".join(
+    f"({_tbl_bucket_sql('e.embedding::DOUBLE[]', t)} = {_tbl_bucket_sql('probe.p', t)})"
+    for t in range(_ANN_TABLES)
+)
+
+
+@register(
+    "ann_lsh_topk",
+    f"""WITH probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+cand AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS v FROM embeddings e, probe
+         WHERE {_LSH_MATCH_SQL})
+SELECT vec_id, round({_duck_cos('v', 'p')}, 6) AS cos_sim
+FROM cand, probe ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+)
 def ann_lsh_topk(spark, sf_dir):
-    """ANN: multi-table LSH candidate union + exact re-rank (100 TB scale
-    path: each table's bucket is a prunable partition key)."""
+    """ANN via the MATERIALIZED multi-table LSH index: 12 tables x 3
+    planes, each table partitioned by its bucket column; the probe reads
+    one partition per table (PartitionFilters in the plan), unions
+    candidates, exact-cosine re-ranks. The oracle recomputes the identical
+    bucket semantics inline."""
     emb = _read(spark, sf_dir, "embeddings")
     probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
-    return ann.lsh_topk(emb, probe, k=10, n_planes=3, n_tables=12)
+    path = _lsh_index_path(spark, sf_dir)
+    return ann.lsh_probe(
+        spark, path, probe, k=10, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES
+    )
 
 
-@register("ann_ivf_cells")  # rows-only: centroids come from a driver-side sample
+# IVF with import-time literal centroids (seeded gaussian): the coarse
+# quantizer is data-independent so BOTH engines share it as literals — the
+# sampled-k-means trainer (ann.train_centroids) is exercised with recall
+# gates in pytest where a scalar oracle can follow the training.
+_IVF_CELLS_N, _IVF_NPROBE = 8, 2
+_IVF_CENTS = (
+    np.random.default_rng(ann.LSH_SEED).normal(0.0, 1.0, size=(_IVF_CELLS_N, 64))
+    .round(4)
+    .tolist()
+)
+
+
+def _cents_values_sql() -> str:
+    rows = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(f"{x:.4f}" for x in c) + "]::DOUBLE[])"
+        for i, c in enumerate(_IVF_CENTS)
+    )
+    return f"cents(cell, c) AS (VALUES {rows})"
+
+
+_IVF_ASSIGN_SQL = (
+    "(SELECT cell FROM cents ORDER BY list_distance(c, e.embedding::DOUBLE[]), cell LIMIT 1)"
+)
+
+
+@register(
+    "ann_ivf_cells",
+    f"""WITH {_cents_values_sql()}
+SELECT {_IVF_ASSIGN_SQL} AS cell, count(*) AS n_vecs
+FROM embeddings e GROUP BY 1 ORDER BY 1""",
+)
 def ann_ivf_cells(spark, sf_dir):
-    """IVF coarse-quantizer assignment histogram."""
+    """IVF coarse-quantizer assignment histogram (literal centroids)."""
     emb = _read(spark, sf_dir, "embeddings")
-    cents = ann.sample_centroids(emb, n=8)
     return (
-        ann.ivf_assign(emb, cents)
+        ann.ivf_assign(emb, _IVF_CENTS)
         .groupBy("cell")
         .agg(F.count("*").alias("n_vecs"))
         .orderBy("cell")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    f"""WITH {_cents_values_sql()},
+probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+pcells AS (SELECT cell FROM cents, probe ORDER BY list_distance(c, p), cell LIMIT {_IVF_NPROBE}),
+a AS (SELECT vec_id, embedding::DOUBLE[] AS v, {_IVF_ASSIGN_SQL} AS cell FROM embeddings e)
+SELECT vec_id, round({_duck_cos('v', 'p')}, 6) AS cos_sim
+FROM a, probe WHERE a.cell IN (SELECT cell FROM pcells)
+ORDER BY cos_sim DESC, vec_id ASC LIMIT 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """nprobe IVF search over the MATERIALIZED cell-partitioned index:
+    probe reads only the nprobe nearest cells (partition pruning), exact
+    cosine re-rank inside them."""
+    emb = _read(spark, sf_dir, "embeddings")
+    key = ("ivf", sf_dir)
+    if key not in _ANN_CACHE:
+        import hashlib as _h
+
+        path = "/tmp/spark_graft_ann/" + _h.md5(sf_dir.encode()).hexdigest()[:8] + "/ivf"
+        ann.ivf_index(emb, _IVF_CENTS, path)
+        _ANN_CACHE[key] = path
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann.ivf_topk(
+        spark, _ANN_CACHE[key], _IVF_CENTS, probe, k=10, nprobe=_IVF_NPROBE
     )
 
 

@@ -500,3 +500,157 @@ def stddev_variance_agg(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternative similarities as driver rows (search/similarities/*.java):
+# double-precision cross-engine variants; the float32 engine paths
+# (operators/similarity.py) are pinned to scalar oracles in pytest.
+# dl is byte4-quantized in every formula, exactly as the engine scores.
+# ---------------------------------------------------------------------------
+
+from ..functions.smallfloat import duckdb_byte4_roundtrip_sql as _b4_sql
+from .driver_queries import _spark_byte4_sql as _b4_spark
+
+_SIM_TERMS = ["join", "order", "spark"]
+
+
+def _sim_cte(terms: list[str]) -> str:
+    tl = ", ".join(f"'{t}'" for t in terms)
+    return f"""{_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+dlq AS (SELECT doc_id, greatest({_b4_sql('dl.dl')}, 1)::DOUBLE AS dlq FROM dl),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)::DOUBLE AS total_tokens,
+                 sum(dl)::DOUBLE / count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks WHERE term IN ({tl}) GROUP BY 1, 2),
+ts AS (SELECT term, count(*)::DOUBLE AS dft, sum(freq)::DOUBLE AS ttf FROM tf GROUP BY 1),
+base AS (SELECT tf.doc_id, tf.term, tf.freq, ts.dft, ts.ttf, q.dlq,
+                s.n_total, s.total_tokens, s.avgdl
+         FROM tf JOIN ts USING (term) JOIN dlq q ON q.doc_id = tf.doc_id CROSS JOIN stats s)"""
+
+
+def _sim_base(spark, sf_dir, terms: list[str]):
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        F.sum("dl").cast("double").alias("total_tokens"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    ts = tf.groupBy("term").agg(
+        F.count("*").cast("double").alias("dft"),
+        F.sum("freq").cast("double").alias("ttf"),
+    )
+    dlq = dl.select(
+        "doc_id",
+        F.greatest(F.expr(_b4_spark("dl")), F.lit(1)).cast("double").alias("dlq"),
+    )
+    return (
+        tf.join(ts, "term")
+        .join(dlq, "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+
+
+def _sim_topk(base, score_col):
+    return (
+        base.groupBy("doc_id")
+        .agg(F.round(F.sum(score_col), 6).alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+_SIM_TAIL = """
+SELECT doc_id, round(sum(s), 6) AS score FROM scored GROUP BY doc_id
+HAVING round(sum(s), 6) > 0 ORDER BY score DESC, doc_id ASC LIMIT 10"""
+
+
+@register(
+    "sim_classic_topk",
+    f"""WITH {_sim_cte(_SIM_TERMS)},
+scored AS (SELECT doc_id, sqrt(freq) * pow(1.0 + ln((n_total + 1)/(dft + 1)), 2)
+                          / sqrt(dlq) AS s FROM base)
+{_SIM_TAIL}""",
+)
+def sim_classic_topk(spark, sf_dir):
+    """ClassicSimilarity (TFIDFSimilarity.java): sqrt(tf) * idf^2 / sqrt(dl)."""
+    base = _sim_base(spark, sf_dir, _SIM_TERMS)
+    s = (
+        F.sqrt(F.col("freq"))
+        * F.pow(1.0 + F.log((F.col("n_total") + 1) / (F.col("dft") + 1)), 2)
+        / F.sqrt(F.col("dlq"))
+    )
+    return _sim_topk(base, s)
+
+
+_MU = 2000.0
+
+
+@register(
+    "sim_lmdirichlet_topk",
+    f"""WITH {_sim_cte(_SIM_TERMS)},
+scored AS (SELECT doc_id,
+                  greatest(ln(1 + freq / ({_MU} * ttf / total_tokens))
+                           + ln({_MU} / (dlq + {_MU})), 0) AS s FROM base)
+{_SIM_TAIL}""",
+)
+def sim_lmdirichlet_topk(spark, sf_dir):
+    """LMDirichletSimilarity: Dirichlet-smoothed QL, mu=2000, clamped at 0."""
+    base = _sim_base(spark, sf_dir, _SIM_TERMS)
+    s = F.greatest(
+        F.log(1.0 + F.col("freq") / (_MU * F.col("ttf") / F.col("total_tokens")))
+        + F.log(F.lit(_MU) / (F.col("dlq") + _MU)),
+        F.lit(0.0),
+    )
+    return _sim_topk(base, s)
+
+
+_LAM = 0.1
+
+
+@register(
+    "sim_lmjelinekmercer_topk",
+    f"""WITH {_sim_cte(_SIM_TERMS)},
+scored AS (SELECT doc_id,
+                  ln(1 + ((1 - {_LAM}) * freq / dlq) / ({_LAM} * ttf / total_tokens)) AS s
+           FROM base)
+{_SIM_TAIL}""",
+)
+def sim_lmjelinekmercer_topk(spark, sf_dir):
+    """LMJelinekMercerSimilarity: JM-smoothed QL, lambda=0.1."""
+    base = _sim_base(spark, sf_dir, _SIM_TERMS)
+    s = F.log(
+        1.0
+        + ((1 - _LAM) * F.col("freq") / F.col("dlq"))
+        / (_LAM * F.col("ttf") / F.col("total_tokens"))
+    )
+    return _sim_topk(base, s)
+
+
+@register(
+    "sim_dfr_inl2_topk",
+    f"""WITH {_sim_cte(_SIM_TERMS)},
+scored AS (SELECT doc_id,
+                  (ln((n_total + 1)/(dft + 0.5)) / ln(2))
+                    * (freq * (ln(1 + avgdl / dlq) / ln(2)))
+                    / (freq * (ln(1 + avgdl / dlq) / ln(2)) + 1) AS s
+           FROM base)
+{_SIM_TAIL}""",
+)
+def sim_dfr_inl2_topk(spark, sf_dir):
+    """DFRSimilarity I(n)L2 (BasicModelIn + AfterEffectL + NormalizationH2,
+    c=1): tfn = freq*log2(1+avgdl/dl); score = In * tfn/(tfn+1)."""
+    base = _sim_base(spark, sf_dir, _SIM_TERMS)
+    ln2 = 0.6931471805599453
+    tfn = F.col("freq") * (F.log(1.0 + F.col("avgdl") / F.col("dlq")) / ln2)
+    s = (F.log((F.col("n_total") + 1) / (F.col("dft") + 0.5)) / ln2) * tfn / (tfn + 1)
+    return _sim_topk(base, s)

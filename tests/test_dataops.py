@@ -65,6 +65,63 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     assert overlap >= 0.7, f"LSH recall@10 too low: {overlap}"
 
 
+def test_lsh_index_probe_equals_filter_path(spark, tmp_path):
+    """The materialized index probe (partition-pruned reads) must return
+    exactly what the on-the-fly filter path returns — same planes, same
+    candidates, same re-rank."""
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    path = str(tmp_path / "lsh")
+    ann.lsh_index(emb, path, n_tables=12, n_planes=3, dim=64)
+    via_index = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann.lsh_probe(spark, path, probe, k=10, n_tables=12, n_planes=3).collect()
+    ]
+    via_filter = [
+        (r["vec_id"], r["cos_sim"])
+        for r in ann.lsh_topk(emb, probe, k=10, n_planes=3, n_tables=12).collect()
+    ]
+    assert via_index == via_filter
+
+
+def test_lsh_probe_plan_partition_pruned(spark, tmp_path):
+    """Scale contract: the probe's scan must carry PartitionFilters on the
+    bucket column — no hyperplane math on the scan side."""
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 1").collect()[0]["embedding"]]
+    path = str(tmp_path / "lshp")
+    ann.lsh_index(emb, path, n_tables=2, n_planes=3, dim=64)
+    df = ann.lsh_probe(spark, path, probe, k=5, n_tables=2, n_planes=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+    assert "aggregate(" not in plan.split("Scan parquet")[1][:400]
+
+
+def test_ivf_kmeans_and_nprobe_recall(spark, tmp_path):
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    cents = ann.train_centroids(emb, n_cells=8, iters=5, sample_n=500)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    # deterministic: retrain gives identical centroids
+    assert cents == ann.train_centroids(emb, n_cells=8, iters=5, sample_n=500)
+    path = str(tmp_path / "ivf")
+    ann.ivf_index(emb, cents, path)
+    brute = [r["vec_id"] for r in ann.cosine_topk(emb, probe, k=10).collect()]
+    # nprobe = all cells degenerates to exact brute force
+    full = [
+        r["vec_id"]
+        for r in ann.ivf_topk(spark, path, cents, probe, k=10, nprobe=8).collect()
+    ]
+    assert full == brute
+    # nprobe=3 keeps decent recall on this corpus
+    part = [
+        r["vec_id"]
+        for r in ann.ivf_topk(spark, path, cents, probe, k=10, nprobe=3).collect()
+    ]
+    overlap = len(set(part) & set(brute)) / 10
+    assert 0 in part and overlap >= 0.5, f"IVF recall@10 too low: {overlap}"
+
+
 def test_multimodal_binary_roundtrip(spark):
     d = spark.read.parquet(f"{SF01_DIR}/documents.parquet").limit(50)
     media = mm.synth_media(d)
