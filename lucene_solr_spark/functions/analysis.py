@@ -127,3 +127,220 @@ def char_ngrams(term_col, n: int = 3):
     return F.when(F.length(term_col) < n, F.array().cast("array<string>")).otherwise(
         F.transform(idx, lambda i: F.substring(term_col, i, n))
     )
+
+
+def edge_ngrams(term_col, min_n: int = 2, max_n: int = 5):
+    """EdgeNGramTokenFilter analog (analysis/ngram/EdgeNGramTokenFilter
+    .java): leading prefixes of length min_n..max_n (the search-as-you-type
+    index shape). JVM-side."""
+    hi = F.least(F.length(term_col).cast("int"), F.lit(max_n))
+    return F.when(
+        F.length(term_col) < min_n, F.array().cast("array<string>")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(min_n), hi),
+            lambda i: F.substring(term_col, 1, i.cast("int")),
+        )
+    )
+
+
+# ASCIIFoldingFilter analog (analysis/miscellaneous/ASCIIFoldingFilter.java):
+# the Latin-1 / Latin-Extended-A subset folded 1:1 via translate, plus the
+# common multi-char folds. The pair below is shared verbatim by the DuckDB
+# oracle mirror, so both engines fold identically by construction.
+ASCII_FOLD_FROM = "àáâãäåèéêëìíîïòóôõöùúûüýÿñçšžłđðþÀÁÂÃÄÅÈÉÊËÌÍÎÏÒÓÔÕÖÙÚÛÜÝÑÇŠŽŁĐ"
+ASCII_FOLD_TO = "aaaaaaeeeeiiiiooooouuuuyyncszldpAAAAAAEEEEIIIIOOOOOUUUUYNCSZLD"
+_FOLD_MULTI = [("æ", "ae"), ("Æ", "AE"), ("œ", "oe"), ("Œ", "OE"), ("ß", "ss")]
+
+
+def ascii_fold_col(text_col):
+    """Fold accented Latin chars to ASCII (subset documented above)."""
+    e = text_col if not isinstance(text_col, str) else F.col(text_col)
+    for src, dst in _FOLD_MULTI:
+        e = F.replace(e, F.lit(src), F.lit(dst))
+    return F.translate(e, ASCII_FOLD_FROM, ASCII_FOLD_TO)
+
+
+def duckdb_ascii_fold_sql(text_expr: str) -> str:
+    e = text_expr
+    for src, dst in _FOLD_MULTI:
+        e = f"replace({e}, '{src}', '{dst}')"
+    return f"translate({e}, '{ASCII_FOLD_FROM}', '{ASCII_FOLD_TO}')"
+
+
+# HTMLStripCharFilter analog (analysis/charfilter/HTMLStripCharFilter.java):
+# drop script/style blocks, replace tags with a space, decode the common
+# entities. Regex chain shared with the DuckDB mirror.
+# RE2 (DuckDB) has no backreferences, so script/style are separate patterns
+_HTML_STEPS = [
+    (r"<script[^>]*>.*?</script>", " "),
+    (r"<style[^>]*>.*?</style>", " "),
+    (r"<!--.*?-->", " "),
+    (r"<[^>]*>", " "),
+]
+_ENTITIES = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+    ("&#39;", "'"), ("&nbsp;", " "), ("&amp;", "&"),
+]
+
+
+def html_strip_col(text_col):
+    e = text_col if not isinstance(text_col, str) else F.col(text_col)
+    for pat, rep in _HTML_STEPS:
+        e = F.regexp_replace(e, r"(?s)" + pat, rep)
+    for ent, ch in _ENTITIES:
+        e = F.replace(e, F.lit(ent), F.lit(ch))
+    return e
+
+
+def duckdb_html_strip_sql(text_expr: str) -> str:
+    e = text_expr
+    for pat, rep in _HTML_STEPS:
+        e = f"regexp_replace({e}, '{pat}', '{rep}', 'gs')"
+    for ent, ch in _ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        e = f"replace({e}, '{ent}', '{ch_sql}')"
+    return e
+
+
+# ---------------------------------------------------------------------------
+# Porter stemmer (analysis/en/PorterStemFilter.java — the classic Porter
+# 1980 algorithm). Pure-Python per distinct token with per-batch
+# memoization (vocabulary is tiny relative to token count), exposed as a
+# pandas UDF over token arrays. No DuckDB mirror exists offline, so the
+# driver row is rows-only; the algorithm is pinned by the published
+# example vectors in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+_VOWELS = set("aeiou")
+
+
+def _is_cons(w: str, i: int) -> bool:
+    c = w[i]
+    if c in _VOWELS:
+        return False
+    if c == "y":
+        return i == 0 or not _is_cons(w, i - 1)
+    return True
+
+
+def _measure(stem: str) -> int:
+    m, prev_vowel = 0, False
+    for i in range(len(stem)):
+        v = not _is_cons(stem, i)
+        if not v and prev_vowel:
+            m += 1
+        prev_vowel = v
+    return m
+
+
+def _has_vowel(stem: str) -> bool:
+    return any(not _is_cons(stem, i) for i in range(len(stem)))
+
+
+def _ends_double_cons(w: str) -> bool:
+    return len(w) >= 2 and w[-1] == w[-2] and _is_cons(w, len(w) - 1)
+
+
+def _cvc(w: str) -> bool:
+    if len(w) < 3:
+        return False
+    return (
+        _is_cons(w, len(w) - 3)
+        and not _is_cons(w, len(w) - 2)
+        and _is_cons(w, len(w) - 1)
+        and w[-1] not in "wxy"
+    )
+
+
+def porter_stem(w: str) -> str:
+    """Classic Porter (1980) stemmer, steps 1a-5b."""
+    if len(w) <= 2:
+        return w
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif not w.endswith("ss") and w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag = False
+    if w.endswith("eed"):
+        if _measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and _has_vowel(w[:-2]):
+        w, flag = w[:-2], True
+    elif w.endswith("ing") and _has_vowel(w[:-3]):
+        w, flag = w[:-3], True
+    if flag:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif _ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif _measure(w) == 1 and _cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and _has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+        ("iviti", "ive"), ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if _measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+        "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not stem.endswith(("s", "t")):
+                break
+            if _measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = _measure(w[:-1])
+        if m > 1 or (m == 1 and not _cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if _measure(w) > 1 and _ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w
+
+
+@pandas_udf(ArrayType(StringType()))
+def porter_stem_udf(token_arrays: pd.Series) -> pd.Series:
+    memo: dict[str, str] = {}
+
+    def stem_list(toks):
+        out = []
+        if toks is None:
+            toks = []
+        for t in toks:
+            s = memo.get(t)
+            if s is None:
+                s = memo[t] = porter_stem(t)
+            out.append(s)
+        return out
+
+    return token_arrays.map(stem_list)

@@ -321,8 +321,14 @@ def build_index(
 
     shuffle_n = term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
+    if "_version_" not in corpus.columns:
+        # optimistic-concurrency version (update/processor/
+        # DistributedUpdateProcessor.java#versionAdd): fresh docs start at 1;
+        # operators/updates.py bumps it on atomic updates
+        corpus = corpus.withColumn("_version_", F.lit(1).cast("long"))
     docs = corpus.select(
-        "doc_id", "repo", "path", "commit", "lang", "content", "content_sha256"
+        "doc_id", "repo", "path", "commit", "lang", "content",
+        "content_sha256", "_version_"
     )
 
     # ---- Phase A: ONE tokenize pass. The tf stream is not cached or
@@ -337,9 +343,15 @@ def build_index(
         _tf_stage_fn(with_positions), _TF_SCHEMA
     )
 
+    # docmap KEEPS content — the stored-fields store (index/StoredFields
+    # Writer.java analog): enables field retrieval after top-k and the
+    # read-modify-write of atomic updates. The tokenize path above still
+    # reads (doc_id, content) once and shuffles only narrow tf rows; the
+    # wide column rides only the docmap range-partition write (the .fdt
+    # write in Lucene terms), not the posting build.
     return assemble_segment(
         spark,
-        docs.drop("content"),
+        docs,
         tf,
         seg_id=seg_id,
         seg_path=seg_path,

@@ -52,6 +52,37 @@ class TermStats:
     idf: float
 
 
+class FilterCache:
+    """Searcher-level filter cache — the LRUQueryCache analog
+    (search/LRUQueryCache.java): caches the MATERIALIZED doc-id set of a
+    filter per searcher, keyed by the filter's canonical form. Cached
+    entries are persisted DataFrames, so a repeated filter skips the
+    postings decode entirely (Lucene caches the built bitset the same
+    way). LRU-bounded; evicted entries are unpersisted."""
+
+    def __init__(self, max_entries: int = 32):
+        from collections import OrderedDict
+
+        self._entries: "OrderedDict[tuple, DataFrame]" = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def get_or_build(self, key: tuple, builder) -> DataFrame:
+        if key in self._entries:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            return self._entries[key]
+        self.misses += 1
+        df = builder().persist()
+        df.count()  # materialize now (cache the bitset, not the plan)
+        self._entries[key] = df
+        while len(self._entries) > self.max_entries:
+            _, old = self._entries.popitem(last=False)
+            old.unpersist()
+        return df
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, segment: Segment):
         self.spark = spark
@@ -61,6 +92,7 @@ class Searcher:
         self.terms = segment.table(spark, "terms")
         self.docmap = segment.table(spark, "docmap")
         self._cache = bm25.norm_cache(self.stats.avgdl)
+        self.filter_cache = FilterCache()
 
     # -- Weight#createWeight analog: per-query stats pre-pass ---------------
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
@@ -302,10 +334,13 @@ class Searcher:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
         from .merge import decode_postings
 
-        docs = (
-            decode_postings(self.postings.filter(F.col("term").isin(terms)))
+        docs = self.filter_cache.get_or_build(
+            ("term_set", tuple(sorted(terms))),
+            lambda: decode_postings(
+                self.postings.filter(F.col("term").isin(terms))
+            )
             .select("doc_id")
-            .distinct()
+            .distinct(),
         )
         if deleted is not None and len(deleted):
             tomb = self.spark.createDataFrame(

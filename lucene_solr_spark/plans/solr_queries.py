@@ -838,3 +838,105 @@ def multisearcher_lifecycle(spark, sf_dir):
         [(nb, sb, na, sa)],
         "n_before long, n_segments_before long, n_after long, n_segments_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Analysis-chain breadth rows (round 2): ASCIIFoldingFilter,
+# HTMLStripCharFilter, EdgeNGramTokenFilter, PorterStemFilter.
+# The corpora are pure ASCII, so folding/strip rows first SYNTHESIZE their
+# input (identical expression in both engines), then apply the filter —
+# the roundtrip equality is the cross-engine contract.
+# ---------------------------------------------------------------------------
+
+from ..functions.analysis import (
+    duckdb_ascii_fold_sql,
+    duckdb_html_strip_sql,
+    edge_ngrams,
+    ascii_fold_col,
+    html_strip_col,
+    porter_stem_udf,
+)
+
+
+@register(
+    "ascii_fold_roundtrip",
+    f"""SELECT count(*) AS n_docs,
+       sum(CASE WHEN {duckdb_ascii_fold_sql("translate(text, 'aeiou', 'àéîõü')")} = text
+                THEN 1 ELSE 0 END)::BIGINT AS n_roundtrip
+FROM documents""",
+)
+def ascii_fold_roundtrip(spark, sf_dir):
+    """ASCIIFoldingFilter (analysis/miscellaneous/ASCIIFoldingFilter.java):
+    accent text deterministically, fold it back, count exact roundtrips."""
+    d = _read(spark, sf_dir, "documents")
+    accented = F.translate(F.col("text"), "aeiou", "àéîõü")
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(ascii_fold_col(accented) == F.col("text"), 1).otherwise(0)
+        ).cast("long").alias("n_roundtrip"),
+    )
+
+
+@register(
+    "html_strip_tokens",
+    f"""WITH wrapped AS (
+  SELECT doc_id,
+         '<p class="d">' || text || '</p><script>var x=1;</script> &amp; <b>tail</b>' AS h
+  FROM documents)
+SELECT count(*) AS n_docs,
+       sum(length({duckdb_html_strip_sql('h')}))::BIGINT AS total_chars
+FROM wrapped""",
+)
+def html_strip_tokens(spark, sf_dir):
+    """HTMLStripCharFilter (analysis/charfilter/HTMLStripCharFilter.java):
+    wrap each doc in markup, strip, compare total stripped length."""
+    d = _read(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit('<p class="d">'),
+        F.col("text"),
+        F.lit("</p><script>var x=1;</script> &amp; <b>tail</b>"),
+    )
+    return d.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length(html_strip_col(wrapped))).cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "edge_ngram_terms",
+    f"""WITH {_TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM toks),
+grams AS (SELECT unnest(list_transform(range(2, least(length(term), 4) + 1),
+                                       i -> substr(term, 1, i::INT))) AS gram
+          FROM terms WHERE length(term) >= 2)
+SELECT gram, count(*) AS n_terms FROM grams GROUP BY gram ORDER BY gram""",
+)
+def edge_ngram_terms(spark, sf_dir):
+    """EdgeNGramTokenFilter (analysis/ngram/EdgeNGramTokenFilter.java):
+    2..4-char leading prefixes over the distinct terms dict (the
+    search-as-you-type index): gram -> how many terms share it."""
+    toks = _tokens(spark, sf_dir)
+    terms = toks.select(F.explode("tokens").alias("term")).distinct()
+    return (
+        terms.select(F.explode(edge_ngrams(F.col("term"), 2, 4)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy("gram")
+    )
+
+
+@register("porter_stem_top")  # rows-only: no Porter implementation exists in
+# offline DuckDB (fts extension needs network); algorithm pinned by the
+# published Porter-paper vectors in tests/test_functions.py.
+def porter_stem_top(spark, sf_dir):
+    """PorterStemFilter (analysis/en/PorterStemFilter.java): stem the token
+    stream, top-10 stems by total frequency."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode(porter_stem_udf("tokens")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("ttf"))
+        .orderBy(F.desc("ttf"), F.asc("stem"))
+        .limit(10)
+    )

@@ -155,3 +155,88 @@ def test_delta_roundtrip():
     np.testing.assert_array_equal(
         packing.delta_decode(packing.delta_encode(ids)), ids
     )
+
+
+# ---------------------------------------------------------------------------
+# Analysis-chain breadth (round 2): Porter, ASCII folding, HTML strip,
+# edge n-grams.
+# ---------------------------------------------------------------------------
+
+def test_porter_stem_vectors():
+    """End-to-end classic Porter (1980) on the published examples."""
+    from lucene_solr_spark.functions.analysis import porter_stem
+
+    vecs = {
+        "caresses": "caress", "ponies": "poni", "ties": "ti",
+        "caress": "caress", "cats": "cat", "feed": "feed", "agreed": "agre",
+        "plastered": "plaster", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky",
+        "relational": "relat", "conditional": "condit", "rational": "ration",
+        "valenci": "valenc", "hesitanci": "hesit", "digitizer": "digit",
+        "conformabli": "conform", "radicalli": "radic",
+        "differentli": "differ", "vileli": "vile", "analogousli": "analog",
+        "vietnamization": "vietnam", "predication": "predic",
+        "operator": "oper", "feudalism": "feudal", "decisiveness": "decis",
+        "hopefulness": "hope", "callousness": "callous",
+        "formaliti": "formal", "sensitiviti": "sensit",
+        "sensibiliti": "sensibl", "triplicate": "triplic",
+        "formative": "form", "formalize": "formal", "electriciti": "electr",
+        "electrical": "electr", "hopeful": "hope", "goodness": "good",
+        "revival": "reviv", "allowance": "allow", "inference": "infer",
+        "airliner": "airlin", "gyroscopic": "gyroscop",
+        "adjustable": "adjust", "defensible": "defens", "irritant": "irrit",
+        "replacement": "replac", "adjustment": "adjust",
+        "dependent": "depend", "adoption": "adopt", "communism": "commun",
+        "activate": "activ", "angulariti": "angular",
+        "homologous": "homolog", "effective": "effect",
+        "bowdlerize": "bowdler", "probate": "probat", "rate": "rate",
+        "cease": "ceas", "controll": "control", "roll": "roll",
+    }
+    bad = {w: (porter_stem(w), want) for w, want in vecs.items() if porter_stem(w) != want}
+    assert not bad, bad
+
+
+def test_porter_stem_udf(spark):
+    from lucene_solr_spark.functions.analysis import porter_stem_udf
+
+    df = spark.createDataFrame(
+        [(["motoring", "ponies", "sky"],)], "toks array<string>"
+    ).select(porter_stem_udf("toks").alias("s"))
+    assert df.collect()[0]["s"] == ["motor", "poni", "sky"]
+
+
+def test_ascii_fold(spark):
+    from lucene_solr_spark.functions.analysis import ascii_fold_col
+
+    df = spark.createDataFrame(
+        [("Café àéîõü Æon straße",)], "t string"
+    ).select(ascii_fold_col("t").alias("f"))
+    assert df.collect()[0]["f"] == "Cafe aeiou AEon strasse"
+
+
+def test_html_strip(spark):
+    from lucene_solr_spark.functions.analysis import html_strip_col
+
+    raw = '<p>Hello <b>world</b></p><script>var x=1;</script>&amp; more &lt;3'
+    df = spark.createDataFrame([(raw,)], "t string").select(
+        html_strip_col("t").alias("s")
+    )
+    out = df.collect()[0]["s"]
+    assert "script" not in out and "<" not in out.replace("<3", "") and "Hello" in out
+    assert "& more" in out and "<3" in out
+
+
+def test_edge_ngrams(spark):
+    from lucene_solr_spark.functions.analysis import edge_ngrams
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("spark",), ("ab",), ("a",)], "t string").select(
+        "t", edge_ngrams(F.col("t"), 2, 4).alias("g")
+    )
+    got = {r["t"]: r["g"] for r in df.collect()}
+    assert got["spark"] == ["sp", "spa", "spar"]
+    assert got["ab"] == ["ab"]
+    assert got["a"] == []

@@ -61,3 +61,17 @@ def test_explain_nonmatching_doc(spark, seg):
     s = Searcher(spark, seg)
     ex = s.explain("zzzqqqnever", 0)
     assert ex["score"] == 0.0 and ex["matched_terms"] == 0
+
+
+def test_filter_cache_hits(spark, seg):
+    """LRUQueryCache analog: the second identical constant-score filter is
+    served from the cache (no rebuild), results unchanged."""
+    from lucene_solr_spark.operators.search import Searcher
+
+    s = Searcher(spark, seg)
+    first = [(r["doc_id"], r["score"]) for r in s.topk_prefix("im", k=20).collect()]
+    misses0 = s.filter_cache.misses
+    second = [(r["doc_id"], r["score"]) for r in s.topk_prefix("im", k=20).collect()]
+    assert second == first
+    assert s.filter_cache.hits >= 1
+    assert s.filter_cache.misses == misses0  # no rebuild on the repeat
