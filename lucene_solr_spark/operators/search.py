@@ -156,6 +156,28 @@ class Searcher:
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
+    def search(self, query_string: str, k: int = 10) -> DataFrame:
+        """Parse a classic Lucene query string (plans/qparser.py —
+        queryparser/classic/QueryParser.jj analog) and execute it: pure
+        phrases route to the positional matcher, multi-term leaves
+        (wildcard/fuzzy/range) rewrite against the terms dict, everything
+        else runs through the Boolean-tree scorer."""
+        from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
+
+        node = parse(query_string)
+        if isinstance(node, tuple) and node[0] == "phrase":
+            from .phrase import phrase_topk
+
+            return phrase_topk(
+                self.spark, self.segment, " ".join(node[1]), k=k, slop=node[2]
+            )
+        node = resolve_multi_terms(node, self)
+        if _contains_tuple(node):
+            raise NotImplementedError(
+                "phrase clauses inside a boolean tree are not supported yet"
+            )
+        return self.topk_query(node, k=k)
+
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-phase retrieval: ids+scores first, docmap fields after limit."""
         hits = self.topk(query_text, k, **kw)

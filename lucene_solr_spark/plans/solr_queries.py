@@ -940,3 +940,133 @@ def porter_stem_top(spark, sf_dir):
         .orderBy(F.desc("ttf"), F.asc("stem"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Date math (util/DateMathParser.java): the expression is compiled
+# driver-side to a timestamp constant; the ORACLE hardcodes the
+# INDEPENDENTLY hand-derived instant, so the row fails if the parser is
+# wrong. NOW anchored explicitly (determinism).
+# ---------------------------------------------------------------------------
+
+_DM_EXPR = "NOW/DAY-5DAYS+6HOURS"
+_DM_NOW = "2024-01-20T12:34:56Z"
+# hand-derived: /DAY -> 2024-01-20T00:00, -5DAYS -> 01-15, +6HOURS -> 06:00
+
+
+@register(
+    "date_math_range",
+    """SELECT event_type, count(*) AS n_events
+FROM events WHERE ts >= TIMESTAMP '2024-01-15 06:00:00'
+GROUP BY event_type ORDER BY event_type""",
+)
+def date_math_range(spark, sf_dir):
+    """Range filter with a date-math lower bound (fq=ts:[NOW/DAY-5DAYS+6HOURS
+    TO *])."""
+    from datetime import datetime, timezone
+
+    from ..functions.datemath import parse_date_math
+
+    now = datetime(2024, 1, 20, 12, 34, 56, tzinfo=timezone.utc)
+    bound = parse_date_math(_DM_EXPR, now=now).replace(tzinfo=None)
+    e = _read(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("ts") >= F.lit(bound))
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# geodist() (solr/core/.../search/function/distance/*, Lucene SloppyMath
+# .haversinMeters): haversine distance on the mean-radius sphere
+# (6371008.7714 m, Lucene GeoUtils.EARTH_MEAN_RADIUS). Coordinates are
+# synthesized deterministically from c_custkey with IDENTICAL expressions
+# in both engines (testdata carries no geo columns).
+# ---------------------------------------------------------------------------
+
+_R_KM = 6371.0087714
+
+
+@register(
+    "geodist_nearest",
+    f"""WITH pts AS (
+  SELECT c_custkey, ((c_custkey % 179) - 89)::DOUBLE AS lat,
+         (((c_custkey * 7) % 360) - 180)::DOUBLE AS lon
+  FROM customer)
+SELECT c_custkey,
+       round(2 * {_R_KM} * asin(sqrt(
+         pow(sin(radians(lat) / 2), 2)
+         + cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(lon) / 2), 2)
+       )), 3) AS dist_km
+FROM pts ORDER BY dist_km ASC, c_custkey ASC LIMIT 10""",
+)
+def geodist_nearest(spark, sf_dir):
+    """geodist(lat, lon, 0, 0): 10 nearest synthesized points to the
+    origin, haversine on the mean-radius sphere."""
+    c = _read(spark, sf_dir, "customer")
+    pts = c.select(
+        "c_custkey",
+        ((F.col("c_custkey") % 179) - 89).cast("double").alias("lat"),
+        (((F.col("c_custkey") * 7) % 360) - 180).cast("double").alias("lon"),
+    )
+    dist = 2 * _R_KM * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("lat")) / 2), 2)
+            + F.cos(F.radians(F.col("lat")))
+            * F.cos(F.radians(F.lit(0.0)))
+            * F.pow(F.sin(F.radians(F.col("lon")) / 2), 2)
+        )
+    )
+    return (
+        pts.select("c_custkey", F.round(dist, 3).alias("dist_km"))
+        .orderBy(F.asc("dist_km"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV / JSON loaders (solr UpdateRequestHandler CSV/JSON loaders,
+# handler/loader/*.java): export a deterministic slice to both formats,
+# read back through spark.read.csv / spark.read.json with explicit
+# schemas, aggregate. Oracle reads the parquet slice directly — equality
+# proves the loader round-trip.
+# ---------------------------------------------------------------------------
+
+_LOADER_CACHE: dict = {}
+
+
+@register(
+    "csv_json_loader_roundtrip",
+    """WITH s AS (SELECT * FROM customer ORDER BY c_custkey LIMIT 200)
+SELECT (SELECT count(*) FROM s)::BIGINT AS n_csv,
+       (SELECT count(*) FROM s)::BIGINT AS n_json,
+       (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) FROM s) AS sum_bal""",
+)
+def csv_json_loader_roundtrip(spark, sf_dir):
+    """Round-trip the first 200 customers through CSV and JSON loaders."""
+    import hashlib as _h
+
+    key = sf_dir
+    if key not in _LOADER_CACHE:
+        base = "/tmp/spark_graft_load/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        s = _read(spark, sf_dir, "customer").orderBy("c_custkey").limit(200)
+        s.coalesce(1).write.mode("overwrite").option("header", True).csv(base + "/csv")
+        s.coalesce(1).write.mode("overwrite").json(base + "/json")
+        _LOADER_CACHE[key] = base
+    base = _LOADER_CACHE[key]
+    schema = _read(spark, sf_dir, "customer").schema
+    csv = spark.read.option("header", True).schema(schema).csv(base + "/csv")
+    js = spark.read.schema(schema).json(base + "/json")
+    return (
+        csv.agg(F.count("*").alias("n_csv"))
+        .crossJoin(js.agg(F.count("*").alias("n_json")))
+        .crossJoin(
+            csv.agg(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+                .cast("decimal(18,2)")
+                .alias("sum_bal")
+            )
+        )
+    )

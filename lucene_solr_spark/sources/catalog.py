@@ -150,20 +150,101 @@ class Catalog:
         with open(self._commit_path) as f:
             return list(json.load(f)["segments"])
 
+    def _commit_doc(self) -> dict | None:
+        if not os.path.exists(self._commit_path):
+            return None
+        with open(self._commit_path) as f:
+            return json.load(f)
+
     def commit_swap(self, add: list[str] = (), remove: list[str] = ()) -> None:
         """Atomically publish a new segment listing: current - remove + add.
         Mirrors IndexWriter's segments_N commit — a reader either sees the
         old listing or the new one, never a merged segment alongside its
-        sources."""
-        current = self._committed_ids()
-        if current is None:  # bootstrap from the legacy directory scan
-            current = [s.segment_id for s in self._scan_segments()]
+        sources. Every commit is also archived as ``_commits/segments_N``
+        so snapshots can pin and time-travel to it."""
+        doc = self._commit_doc()
+        if doc is None:  # bootstrap from the legacy directory scan
+            current, gen = [s.segment_id for s in self._scan_segments()], 0
+        else:
+            current, gen = list(doc["segments"]), int(doc.get("gen", 0))
         new = [i for i in current if i not in set(remove)]
         new += [a for a in add if a not in set(new)]
+        gen += 1
+        payload = {"segments": new, "gen": gen, "written_at": time.time()}
+        os.makedirs(os.path.join(self.root, "_commits"), exist_ok=True)
+        with open(
+            os.path.join(self.root, "_commits", f"segments_{gen}.json"), "w"
+        ) as f:
+            json.dump(payload, f)
         tmp = self._commit_path + f".tmp-{uuid.uuid4().hex[:6]}"
         with open(tmp, "w") as f:
-            json.dump({"segments": new, "written_at": time.time()}, f)
+            json.dump(payload, f)
         os.replace(tmp, self._commit_path)
+
+    # ---- snapshots / time travel (SnapshotDeletionPolicy analog) ----------
+    # snapshot() pins the CURRENT commit generation: segments it references
+    # survive merges physically (drop defers) until the snapshot is
+    # released, and segments(at=gen) reads the index as of that commit —
+    # index/SnapshotDeletionPolicy.java + IndexCommit, the same contract
+    # Iceberg snapshots give table readers. Tombstones are current-state
+    # only (a time-travel read sees the old segment set, today's deletes).
+
+    @property
+    def _snap_path(self) -> str:
+        return os.path.join(self.root, "_snapshots.json")
+
+    def _snap_gens(self) -> list[int]:
+        if not os.path.exists(self._snap_path):
+            return []
+        with open(self._snap_path) as f:
+            return list(json.load(f)["gens"])
+
+    def _write_snaps(self, gens: list[int]) -> None:
+        tmp = self._snap_path + f".tmp-{uuid.uuid4().hex[:6]}"
+        with open(tmp, "w") as f:
+            json.dump({"gens": sorted(set(gens))}, f)
+        os.replace(tmp, self._snap_path)
+
+    def snapshot(self) -> int:
+        """Pin the current commit; returns its generation id."""
+        doc = self._commit_doc()
+        if doc is None:
+            self.commit_swap()  # materialize a commit point first
+            doc = self._commit_doc()
+        gen = int(doc["gen"])
+        self._write_snaps(self._snap_gens() + [gen])
+        return gen
+
+    def release_snapshot(self, gen: int) -> None:
+        self._write_snaps([g for g in self._snap_gens() if g != gen])
+
+    def _gen_ids(self, gen: int) -> list[str]:
+        p = os.path.join(self.root, "_commits", f"segments_{gen}.json")
+        with open(p) as f:
+            return list(json.load(f)["segments"])
+
+    def retained_ids(self) -> set[str]:
+        out: set[str] = set()
+        for g in self._snap_gens():
+            try:
+                out |= set(self._gen_ids(g))
+            except FileNotFoundError:
+                pass
+        return out
+
+    def cleanup(self) -> list[str]:
+        """Delete segment dirs referenced by neither the live listing nor
+        any retained snapshot (IndexFileDeleter sweep). Returns removals."""
+        live = {s.segment_id for s in self.segments()} | self.retained_ids()
+        removed = []
+        for d in sorted(os.listdir(self.root)):
+            p = os.path.join(self.root, d)
+            if d.startswith(("_", ".")) or not os.path.isdir(p):
+                continue
+            if os.path.exists(os.path.join(p, MANIFEST)) and d not in live:
+                shutil.rmtree(p)
+                removed.append(d)
+        return removed
 
     def _scan_segments(self) -> list[Segment]:
         out = []
@@ -175,8 +256,11 @@ class Catalog:
                 out.append(Segment.load(p))
         return out
 
-    def segments(self) -> list[Segment]:
-        ids = self._committed_ids()
+    def segments(self, at: int | None = None) -> list[Segment]:
+        """Live segments, or the set as of commit generation ``at``
+        (time-travel — the commit must still be archived and its segments
+        pinned by a snapshot to be guaranteed on disk)."""
+        ids = self._gen_ids(at) if at is not None else self._committed_ids()
         if ids is None:
             return self._scan_segments()
         return [
@@ -186,6 +270,8 @@ class Catalog:
         ]
 
     def drop(self, segment_id: str) -> None:
+        if segment_id in self.retained_ids():
+            return  # pinned by a snapshot — deferred to cleanup()
         p = os.path.join(self.root, segment_id)
         if os.path.isdir(p):
             shutil.rmtree(p)

@@ -240,3 +240,34 @@ def test_edge_ngrams(spark):
     assert got["spark"] == ["sp", "spa", "spar"]
     assert got["ab"] == ["ab"]
     assert got["a"] == []
+
+
+def test_date_math():
+    from datetime import datetime, timezone
+
+    import pytest as _pt
+
+    from lucene_solr_spark.functions.datemath import DateMathError, parse_date_math
+
+    now = datetime(2024, 1, 20, 12, 34, 56, tzinfo=timezone.utc)
+    utc = timezone.utc
+    assert parse_date_math("NOW/DAY", now=now) == datetime(2024, 1, 20, tzinfo=utc)
+    assert parse_date_math("NOW/DAY-5DAYS+6HOURS", now=now) == datetime(
+        2024, 1, 15, 6, tzinfo=utc
+    )
+    assert parse_date_math("NOW/HOUR", now=now) == datetime(2024, 1, 20, 12, tzinfo=utc)
+    assert parse_date_math("NOW+6MONTHS", now=now) == datetime(
+        2024, 7, 20, 12, 34, 56, tzinfo=utc
+    )
+    # month-end clamping (Calendar.add semantics)
+    jan31 = datetime(2024, 1, 31, tzinfo=utc)
+    assert parse_date_math("NOW+1MONTH", now=jan31) == datetime(2024, 2, 29, tzinfo=utc)
+    # explicit anchor
+    assert parse_date_math("2024-03-05T10:30:00Z/MONTH-1DAY") == datetime(
+        2024, 2, 29, tzinfo=utc
+    )
+    assert parse_date_math("NOW/YEAR+1YEAR", now=now) == datetime(2025, 1, 1, tzinfo=utc)
+    with _pt.raises(DateMathError):
+        parse_date_math("NOW")  # no clock supplied
+    with _pt.raises(DateMathError):
+        parse_date_math("NOW/FORTNIGHT", now=now)

@@ -1,0 +1,164 @@
+"""Classic query-string parser: structure tests + end-to-end rank/score
+identity through the engine vs the scalar oracle on the parsed tree."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from lucene_solr_spark.corpus import documents_as_corpus
+from lucene_solr_spark.operators.indexer import build_index
+from lucene_solr_spark.operators.query import Bool, Term
+from lucene_solr_spark.operators.search import Searcher
+from lucene_solr_spark.plans.qparser import (
+    QueryParseError,
+    parse,
+    resolve_multi_terms,
+)
+
+from . import oracle
+from .conftest import SF_DIR
+
+
+# ---- pure structure ---------------------------------------------------------
+
+def test_parse_bare_term():
+    assert parse("spark") == Term("spark")
+
+
+def test_parse_default_or():
+    q = parse("spark join")
+    assert q == Bool(should=(Term("spark"), Term("join")))
+
+
+def test_parse_must_prohibit():
+    q = parse("+spark -window join")
+    assert q == Bool(
+        must=(Term("spark"),), must_not=(Term("window"),), should=(Term("join"),)
+    )
+
+
+def test_parse_and_marks_both_required():
+    q = parse("spark AND join")
+    assert q == Bool(must=(Term("spark"), Term("join")))
+
+
+def test_parse_not():
+    q = parse("spark NOT window")
+    assert q == Bool(should=(Term("spark"),), must_not=(Term("window"),))
+
+
+def test_parse_boost():
+    assert parse("spark^2.5") == Term("spark", 2.5)
+
+
+def test_parse_group_msm_boost():
+    q = parse("+spark (join order batch)~2^3")
+    assert q.must == (Term("spark"),)
+    g = q.should[0]
+    assert isinstance(g, Bool) and g.min_should_match == 2 and g.boost == 3.0
+    assert g.should == (Term("join"), Term("order"), Term("batch"))
+
+
+def test_parse_group_with_modifier():
+    q = parse("+(join order) -window")
+    assert isinstance(q.must[0], Bool)
+    assert q.must_not == (Term("window"),)
+
+
+def test_parse_phrase_and_slop():
+    assert parse('"key order"') == ("phrase", ["key", "order"], 0, 1.0)
+    assert parse('"key order"~2') == ("phrase", ["key", "order"], 2, 1.0)
+
+
+def test_parse_wildcard_fuzzy_range():
+    assert parse("sp*k") == ("wildcard", "sp*k", 1.0)
+    assert parse("sart~1") == ("fuzzy", "sart", 1, 1.0)
+    assert parse("[scan TO stream]") == ("range", "scan", "stream", True, True)
+    assert parse("{scan TO stream}") == ("range", "scan", "stream", False, False)
+
+
+def test_parse_analyzer_applies_to_terms():
+    # camelCase input token splits under the pinned analyzer -> phrase
+    assert parse("getNode") == ("phrase", ["get", "node"], 0, 1.0)
+    assert parse("SPARK") == Term("spark")
+
+
+def test_parse_errors():
+    with pytest.raises(QueryParseError):
+        parse("(a b")
+    with pytest.raises(QueryParseError):
+        parse("a) b")
+
+
+# ---- end-to-end through the engine -----------------------------------------
+
+QSTRINGS = [
+    "spark join order",
+    "+spark join -window",
+    "spark AND join",
+    "table AND scan AND filter",
+    "+spark (join order)~1",
+    "merge^2 batch",
+    "+table (scan filter sort)~2",
+    "spark NOT dup",
+]
+
+
+@pytest.fixture(scope="module")
+def built(spark):
+    corpus = documents_as_corpus(spark, SF_DIR)
+    seg = build_index(spark, corpus, out_dir=None, bucket_docs=128, with_positions=True)
+    searcher = Searcher(spark, seg)
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    return searcher, oracle.OracleIndex(docs)
+
+
+@pytest.mark.parametrize("q", QSTRINGS)
+def test_parsed_query_matches_oracle(built, q):
+    searcher, ora = built
+    node = resolve_multi_terms(parse(q), searcher)
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(q, k=10).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in ora.topk_bool(node, k=10)]
+    assert got == want, f"{q!r}: {got[:3]} vs {want[:3]}"
+
+
+def test_search_wildcard_and_range(built):
+    searcher, ora = built
+    # wildcard resolves via the terms dict into a disjunction
+    node = resolve_multi_terms(parse("s*k"), searcher)
+    terms = {t.term for t in node.should}
+    assert "spark" in terms
+    got = [r["doc_id"] for r in searcher.search("s*k", k=5).collect()]
+    want = [d for d, _ in ora.topk_bool(node, k=5)]
+    assert got == want
+    # inclusive range endpoints
+    node_r = resolve_multi_terms(parse("[scan TO sort]"), searcher)
+    rng = sorted(t.term for t in node_r.should)
+    assert rng[0] == "scan" and rng[-1] == "sort" and "small" in rng
+
+
+def test_search_phrase_string(built):
+    """A quoted query string routes through the positional phrase matcher
+    and matches the oracle's phrase scoring."""
+    searcher, ora = built
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in searcher.search('"key order"', k=10).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in ora.topk_phrase("key order", k=10)]
+    assert got == want
+    sloppy = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in searcher.search('"key order"~2', k=10).collect()
+    ]
+    want2 = [(d, np.float32(s)) for d, s in ora.topk_phrase("key order", k=10, slop=2)]
+    assert sloppy == want2
