@@ -92,9 +92,7 @@ def phrase_topk(
     # applied in float32 — BM25Similarity#idfExplain(collectionStats, termStats[])
     idf_sum = np.float32(sum(bm25.idf(n_docs, df_by_term[t]) for t in terms_seq))
     cache = bm25.norm_cache(segment.stats.avgdl)
-    offsets_by_term: dict[str, list[int]] = {}
-    for i, t in enumerate(terms_seq):
-        offsets_by_term.setdefault(t, []).append(i)
+    offsets_by_term = phrase_offsets(terms_seq)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         return _phrase_score_bucket(
@@ -106,23 +104,37 @@ def phrase_topk(
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
 
+def phrase_offsets(terms_seq) -> dict[str, list[int]]:
+    """term -> its phrase offsets (duplicates collected), the leg layout
+    both matchers consume."""
+    out: dict[str, list[int]] = {}
+    for i, t in enumerate(terms_seq):
+        out.setdefault(t, []).append(i)
+    return out
+
+
 def _empty() -> pd.DataFrame:
     return pd.DataFrame(
         {"doc_id": np.array([], dtype=np.int64), "score": np.array([], dtype=np.float32)}
     )
 
 
-def _phrase_score_bucket(
+def bucket_phrase_freqs(
     pdf: pd.DataFrame,
     offsets_by_term: dict[str, list[int]],
-    idf_sum: np.float32,
-    cache: np.ndarray,
-    k: int,
     slop: int,
-    deleted=None,
-) -> pd.DataFrame:
-    """One doc-space bucket: phrase freq per doc, BM25, local top-k."""
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Phrase occurrence counting for ONE doc-space bucket. ``pdf`` holds
+    this bucket's positions rows already filtered to the phrase's distinct
+    terms. Returns (doc_ids, freqs, norm_bytes) for docs with freq > 0 —
+    the per-bucket kernel shared by phrase_topk and the Boolean-tree
+    scorer's Phrase clauses (search.py#score_query_postings)."""
     n_terms = len(offsets_by_term)
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.uint8),
+    )
 
     # conjunction gate, vectorized: docs carrying all distinct phrase terms
     doc_ids = pdf["doc_id"].to_numpy()
@@ -130,7 +142,7 @@ def _phrase_score_bucket(
     cand_mask_per_doc = counts == n_terms  # one row per (term, doc)
     row_keep = cand_mask_per_doc[inv]
     if not row_keep.any():
-        return _empty()
+        return empty
     sub = pdf.loc[row_keep]
 
     # decode candidate rows once: per term -> (doc array, concatenated pos)
@@ -148,14 +160,30 @@ def _phrase_score_bucket(
         ids, freqs = _exact_freqs(per_term, offsets_by_term)
     else:
         ids, freqs = _sloppy_freqs(per_term, offsets_by_term, slop)
+    if ids.size == 0:
+        return empty
+    norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
+    return ids, freqs, norms
+
+
+def _phrase_score_bucket(
+    pdf: pd.DataFrame,
+    offsets_by_term: dict[str, list[int]],
+    idf_sum: np.float32,
+    cache: np.ndarray,
+    k: int,
+    slop: int,
+    deleted=None,
+) -> pd.DataFrame:
+    """One doc-space bucket: phrase freq per doc, BM25, local top-k."""
+    ids, freqs, norms = bucket_phrase_freqs(pdf, offsets_by_term, slop)
     if deleted is not None and len(deleted) and ids.size:
         keep = ~np.isin(ids, np.asarray(deleted, dtype=np.int64))
-        ids, freqs = ids[keep], freqs[keep]
+        ids, freqs, norms = ids[keep], freqs[keep], norms[keep]
     if ids.size == 0:
         return _empty()
 
     f = freqs.astype(np.float32)
-    norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
     denom_add = cache[norms]
     scores = (idf_sum * (f / (f + denom_add))).astype(np.float32)
     order = np.lexsort((ids, -scores))[: min(k, ids.size)]

@@ -37,7 +37,16 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-__all__ = ["Term", "Bool", "collect_terms", "rewrite", "eval_node"]
+__all__ = [
+    "Term",
+    "Phrase",
+    "Bool",
+    "collect_terms",
+    "collect_term_leaves",
+    "collect_phrases",
+    "rewrite",
+    "eval_node",
+]
 
 
 @dataclass(frozen=True)
@@ -46,6 +55,23 @@ class Term:
 
     term: str
     boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """A phrase clause inside a Boolean tree (search/PhraseQuery.java as a
+    BooleanClause). Scored like a pseudo-term: freq = (sloppy) phrase
+    occurrences, idf = sum over the phrase terms' idfs. Requires a
+    positional index; evaluated via the cogrouped scorer
+    (search.py#score_query_postings with positions)."""
+
+    terms: tuple
+    slop: int = 0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not isinstance(self.terms, tuple):
+            object.__setattr__(self, "terms", tuple(self.terms))
 
 
 @dataclass(frozen=True)
@@ -72,10 +98,40 @@ def collect_terms(node) -> set[str]:
     """All distinct terms anywhere in the tree (incl. MUST_NOT/FILTER)."""
     if isinstance(node, Term):
         return {node.term}
+    if isinstance(node, Phrase):
+        return set(node.terms)
     out: set[str] = set()
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out |= collect_terms(c)
+    return out
+
+
+def collect_term_leaves(node) -> set[str]:
+    """Distinct terms appearing as Term leaves only (phrase terms excluded
+    unless they also occur as a standalone Term) — the set whose postings
+    the Boolean scorer must decode for per-term BM25."""
+    if isinstance(node, Term):
+        return {node.term}
+    if isinstance(node, Phrase):
+        return set()
+    out: set[str] = set()
+    for part in (node.must, node.should, node.must_not, node.filter):
+        for c in part:
+            out |= collect_term_leaves(c)
+    return out
+
+
+def collect_phrases(node) -> list["Phrase"]:
+    """All Phrase leaves in the tree (order: depth-first, clause order)."""
+    if isinstance(node, Term):
+        return []
+    if isinstance(node, Phrase):
+        return [node]
+    out: list[Phrase] = []
+    for part in (node.must, node.should, node.must_not, node.filter):
+        for c in part:
+            out.extend(collect_phrases(c))
     return out
 
 
@@ -94,7 +150,7 @@ def rewrite(node):
     """BooleanQuery#rewrite analog — conservative, score-preserving in
     float32 (only boost==1 splices and exact single-clause collapses, so the
     rewritten tree is bit-identical to the original under eval_node)."""
-    if isinstance(node, Term):
+    if isinstance(node, (Term, Phrase)):
         return node
     must = tuple(rewrite(c) for c in node.must)
     should = tuple(rewrite(c) for c in node.should)
@@ -162,13 +218,17 @@ def eval_node(
     tscores: dict[str, np.ndarray],
     tmasks: dict[str, np.ndarray],
     span: int,
+    pscores: dict | None = None,
+    pmasks: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Evaluate a query tree over one bucket's dense doc space.
 
     ``tscores[t]``: float32[span] BM25 scores (0 where absent);
-    ``tmasks[t]``: bool[span] term presence. Returns (mask, score) for the
-    node. Accumulation: float32, MUST clauses in list order then SHOULD
-    clauses in list order (the pinned cross-oracle contract).
+    ``tmasks[t]``: bool[span] term presence. ``pscores``/``pmasks``: the
+    same, keyed by Phrase node (precomputed by the cogrouped scorer).
+    Returns (mask, score) for the node. Accumulation: float32, MUST
+    clauses in list order then SHOULD clauses in list order (the pinned
+    cross-oracle contract).
     """
     if isinstance(node, Term):
         s = tscores.get(node.term)
@@ -176,6 +236,14 @@ def eval_node(
         if s is None:
             z = np.zeros(span, dtype=np.float32)
             return np.zeros(span, dtype=bool), z
+        if node.boost != 1.0:
+            s = (s * np.float32(node.boost)).astype(np.float32)
+        return m, s
+    if isinstance(node, Phrase):
+        s = None if pscores is None else pscores.get(node)
+        if s is None:
+            return np.zeros(span, dtype=bool), np.zeros(span, dtype=np.float32)
+        m = pmasks[node]
         if node.boost != 1.0:
             s = (s * np.float32(node.boost)).astype(np.float32)
         return m, s
@@ -189,20 +257,20 @@ def eval_node(
     score = np.zeros(span, dtype=np.float32)
 
     for c in node.must:
-        cm, cs = eval_node(c, tscores, tmasks, span)
+        cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks)
         mask &= cm
         score += cs  # float32 in-place, clause order
     for c in node.filter:
-        cm, _ = eval_node(c, tscores, tmasks, span)
+        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks)
         mask &= cm
     for c in node.must_not:
-        cm, _ = eval_node(c, tscores, tmasks, span)
+        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks)
         mask &= ~cm
 
     if node.should:
         n_should = np.zeros(span, dtype=np.int32)
         for c in node.should:
-            cm, cs = eval_node(c, tscores, tmasks, span)
+            cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks)
             n_should += cm
             # SHOULD contributes score only where it matches; cs is already
             # 0 off-match for Terms, but a nested Bool's score must be

@@ -139,20 +139,46 @@ class Searcher:
     def topk_query(self, q, k: int = 10) -> DataFrame:
         """Top-k BM25 for a Boolean query tree (operators/query.py) — the
         IndexSearcher#search(BooleanQuery) analog. The tree (nested bool,
-        minShouldMatch, per-clause boost, MUST_NOT, FILTER) is evaluated
-        vectorized inside the per-bucket leaf; same merge/tie-break as the
-        flat path. Reference: search/BooleanQuery.java,
-        Boolean2ScorerSupplier.java, MinShouldMatchSumScorer.java."""
-        from .query import collect_terms, rewrite
+        minShouldMatch, per-clause boost, MUST_NOT, FILTER, Phrase clauses)
+        is evaluated vectorized inside the per-bucket leaf; same
+        merge/tie-break as the flat path. Reference: search/BooleanQuery.java,
+        Boolean2ScorerSupplier.java, MinShouldMatchSumScorer.java,
+        PhraseQuery.java (phrase as a BooleanClause)."""
+        from .query import collect_phrases, collect_term_leaves, collect_terms, rewrite
 
         q = rewrite(q)
-        terms = sorted(collect_terms(q))
-        stats = self.term_stats(terms)
+        phrases = collect_phrases(q)
+        for p in set(phrases):
+            if p.slop > 0 and len(set(p.terms)) != len(p.terms):
+                raise NotImplementedError(
+                    "sloppy phrases with repeated terms are not supported "
+                    "(SloppyPhraseMatcher repeat groups out of scope)"
+                )
+        stats = self.term_stats(sorted(collect_terms(q)))
         if not stats:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
-        idfs = {t: np.float32(stats[t].idf) for t in sorted(stats)}
+        leaf_terms = collect_term_leaves(q)
+        idfs = {
+            t: np.float32(stats[t].idf) for t in sorted(stats) if t in leaf_terms
+        }
+        positions = None
+        phrase_idfs: dict = {}
+        if phrases:
+            assert self.segment.has_table("positions"), (
+                "phrase clauses need a positional index "
+                "(build_index(with_positions=True))"
+            )
+            for p in set(phrases):
+                if all(t in stats for t in p.terms):
+                    # idf summed over ALL phrase positions, duplicates counted
+                    # (BM25Similarity#idfExplain over the terms array)
+                    phrase_idfs[p] = np.float32(
+                        sum(stats[t].idf for t in p.terms)
+                    )
+            positions = self.segment.table(self.spark, "positions")
         per_bucket = score_query_postings(
-            self.postings, q, idfs, self._cache, k
+            self.postings, q, idfs, self._cache, k,
+            positions=positions, phrase_idfs=phrase_idfs,
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -160,23 +186,34 @@ class Searcher:
         """Parse a classic Lucene query string (plans/qparser.py —
         queryparser/classic/QueryParser.jj analog) and execute it: pure
         phrases route to the positional matcher, multi-term leaves
-        (wildcard/fuzzy/range) rewrite against the terms dict, everything
-        else runs through the Boolean-tree scorer."""
+        (wildcard/fuzzy/range) rewrite against the terms dict, phrases
+        inside a Boolean expression become Phrase clauses of the tree
+        (cogrouped postings+positions scorer), everything else runs
+        through the Boolean-tree scorer."""
         from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
 
         node = parse(query_string)
         if isinstance(node, tuple) and node[0] == "phrase":
-            from .phrase import phrase_topk
-
-            return phrase_topk(
-                self.spark, self.segment, " ".join(node[1]), k=k, slop=node[2]
-            )
+            return self._phrase_tuple_topk(node, k)
         node = resolve_multi_terms(node, self)
-        if _contains_tuple(node):
-            raise NotImplementedError(
-                "phrase clauses inside a boolean tree are not supported yet"
-            )
+        assert not _contains_tuple(node), "unresolved leaf after rewrite"
         return self.topk_query(node, k=k)
+
+    def _phrase_tuple_topk(self, node: tuple, k: int) -> DataFrame:
+        """Standalone phrase fast path — skips the Boolean tree entirely
+        (identical scores: same freq kernel, same float32 formula)."""
+        from .phrase import phrase_topk
+
+        _, terms, slop, boost = node
+        hits = phrase_topk(
+            self.spark, self.segment, " ".join(terms), k=k, slop=slop
+        )
+        if boost != 1.0:
+            hits = hits.select(
+                "doc_id",
+                (F.col("score") * F.lit(float(boost))).cast("float").alias("score"),
+            )
+        return hits
 
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-phase retrieval: ids+scores first, docmap fields after limit."""
@@ -431,17 +468,33 @@ def score_query_postings(
     cache: np.ndarray,
     k: int,
     deleted: np.ndarray | None = None,
+    positions: DataFrame | None = None,
+    phrase_idfs: dict | None = None,
 ) -> DataFrame:
     """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
     Same shape as score_postings: one applyInPandas leaf per bucket, local
-    top-k out, caller merges globally."""
+    top-k out, caller merges globally.
+
+    Phrase clauses (operators/query.py#Phrase — PhraseQuery as a
+    BooleanClause, search/PhraseWeight.java): pass the segment's
+    ``positions`` table and ``phrase_idfs`` (Phrase node -> summed idf,
+    float32; phrases with any absent term are simply omitted and match
+    nothing). The plan becomes a COGROUP of postings and positions on
+    ``bucket`` — both tables share the build-time doc-space bucketing, so
+    each leaf still sees a self-contained doc range and no shuffle joins
+    appear anywhere; phrase freqs are computed by the same vectorized
+    bucket kernel as phrase_topk (phrase.py#bucket_phrase_freqs)."""
+    from .phrase import bucket_phrase_freqs, phrase_offsets
     from .query import eval_node
 
     matched = sorted(idfs)
+    phrase_idfs = phrase_idfs or {}
+    # per-phrase leg layout + distinct terms, computed once driver-side
+    phrase_meta = {
+        p: (phrase_offsets(p.terms), sorted(set(p.terms))) for p in phrase_idfs
+    }
 
-    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        base = int(pdf["first_doc"].min())
-        span = int(pdf["last_doc"].max()) - base + 1
+    def term_dense(pdf: pd.DataFrame, base: int, span: int):
         tscores: dict[str, np.ndarray] = {}
         tmasks: dict[str, np.ndarray] = {}
         for t, g in pdf.groupby("term", sort=False):
@@ -454,8 +507,11 @@ def score_query_postings(
                 marr[rel] = True
             tscores[t] = sarr
             tmasks[t] = marr
-        mask, score = eval_node(q, tscores, tmasks, span)
+        return tscores, tmasks
+
+    def local_topk(mask: np.ndarray, score: np.ndarray, base: int) -> pd.DataFrame:
         if deleted is not None and deleted.size:
+            span = mask.size
             rel_del = deleted[(deleted >= base) & (deleted < base + span)] - base
             mask[rel_del] = False
         nz = np.nonzero(mask)[0]
@@ -471,8 +527,62 @@ def score_query_postings(
              "score": scores[order]}
         )
 
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        base = int(pdf["first_doc"].min())
+        span = int(pdf["last_doc"].max()) - base + 1
+        tscores, tmasks = term_dense(pdf, base, span)
+        mask, score = eval_node(q, tscores, tmasks, span)
+        return local_topk(mask, score, base)
+
+    def score_bucket_cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # bucket doc range from whichever side has rows (a pure-phrase tree
+        # has no Term-leaf postings; a term-only bucket has no positions)
+        lo, hi = [], []
+        if len(left):
+            lo.append(int(left["first_doc"].min()))
+            hi.append(int(left["last_doc"].max()))
+        if len(right):
+            lo.append(int(right["doc_id"].min()))
+            hi.append(int(right["doc_id"].max()))
+        if not lo:
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+        base = min(lo)
+        span = max(hi) - base + 1
+        tscores, tmasks = term_dense(left, base, span)
+        pscores: dict = {}
+        pmasks: dict = {}
+        for p, (offs, dterms) in phrase_meta.items():
+            sarr = np.zeros(span, dtype=np.float32)
+            marr = np.zeros(span, dtype=bool)
+            if len(right):
+                sub = right[right["term"].isin(dterms)]
+                ids, freqs, norms = bucket_phrase_freqs(sub, offs, p.slop)
+                if ids.size:
+                    f = freqs.astype(np.float32)
+                    rel = ids - base
+                    # float32 op order pinned to phrase.py/_phrase_score_bucket
+                    sarr[rel] = (
+                        phrase_idfs[p] * (f / (f + cache[norms]))
+                    ).astype(np.float32)
+                    marr[rel] = True
+            pscores[p] = sarr
+            pmasks[p] = marr
+        mask, score = eval_node(q, tscores, tmasks, span, pscores, pmasks)
+        return local_topk(mask, score, base)
+
     rows = postings.filter(F.col("term").isin(matched))
-    return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+    if positions is None or not phrase_meta:
+        return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+    pos_terms = sorted({t for _, dterms in phrase_meta.values() for t in dterms})
+    posrows = positions.filter(F.col("term").isin(pos_terms))
+    return (
+        rows.groupBy("bucket")
+        .cogroup(posrows.groupBy("bucket"))
+        .applyInPandas(score_bucket_cogrouped, _TOPK_SCHEMA)
+    )
 
 
 def _decode_bins(doc_bin, freq_bin, norm_bin) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

@@ -235,9 +235,10 @@ def _contains_tuple(node) -> bool:
 def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
     """MultiTermQuery rewrite (CONSTANT_SCORE_BOOLEAN analog): expand
     wildcard/fuzzy/range leaves against the terms dictionary into
-    disjunctions of Terms; phrase tuples stay (the caller routes them to
-    phrase_topk). Expansion of an absent pattern -> empty Bool (matches
-    nothing in a MUST slot, contributes nothing as SHOULD)."""
+    disjunctions of Terms; phrase tuples become Phrase IR leaves (scored
+    inside the tree by the cogrouped postings+positions scorer). Expansion
+    of an absent pattern -> empty Bool (matches nothing in a MUST slot,
+    contributes nothing as SHOULD)."""
     if isinstance(node, Term):
         return node
     if isinstance(node, tuple):
@@ -264,7 +265,12 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
                     terms = terms + [hi]
             return Bool(should=tuple(Term(t) for t in sorted(set(terms))))
         if kind == "phrase":
-            return node  # caller decides (scoring tree cannot hold phrases yet)
+            # PhraseQuery as a BooleanClause: becomes a Phrase IR leaf,
+            # scored by the cogrouped postings+positions tree scorer
+            from ..operators.query import Phrase
+
+            _, terms, slop, boost = node
+            return Phrase(terms=tuple(terms), slop=slop, boost=boost)
         raise QueryParseError(f"unknown leaf {kind}")
     if isinstance(node, Bool):
         def rs(part):

@@ -11,7 +11,17 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..functions.analysis import duckdb_tokenize_sql, shingles, tokenize_udf
-from .driver_queries import _TOKS_CTE, _read, _tokens, register
+from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
+from .driver_queries import (
+    _TOKS_CTE,
+    _phrase_freq_col,
+    _read,
+    _spark_byte4_sql,
+    _tokens,
+    B,
+    K1,
+    register,
+)
 
 # ---------------------------------------------------------------------------
 # Re-rank (search/ReRankQParserPlugin.java; LTR re-scoring shape):
@@ -1069,4 +1079,102 @@ def csv_json_loader_roundtrip(spark, sf_dir):
                 .alias("sum_bal")
             )
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Phrase clause inside a Boolean query (search/BooleanQuery.java holding a
+# PhraseQuery.java clause): '+"key order" batch' — MUST exact phrase,
+# SHOULD term; score = phrase BM25 (freq = occurrences, idf summed over
+# phrase positions) + term BM25 when present. Double-precision
+# cross-engine variant; the float32 engine path (Phrase IR leaf +
+# cogrouped postings/positions scorer, operators/search.py
+# #score_query_postings) is pinned to tests/test_phrase_bool.py.
+# ---------------------------------------------------------------------------
+
+_BPQ_DENOM = f"{K1} * ((1 - {B}) + {B} * {duckdb_byte4_roundtrip_sql('dl.dl')} / s.avgdl)"
+
+
+@register(
+    "bool_phrase_query",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_total, avg(len(toks))::DOUBLE AS avgdl FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS dft FROM pos
+        WHERE term IN ('key', 'order', 'batch') GROUP BY term),
+idfp AS (SELECT sum(ln(1 + (s.n_total - d.dft + 0.5) / (d.dft + 0.5))) AS idf_sum
+         FROM dft d CROSS JOIN stats s WHERE d.term IN ('key', 'order')),
+idft AS (SELECT ln(1 + (s.n_total - d.dft + 0.5) / (d.dft + 0.5)) AS idf_t
+         FROM dft d CROSS JOIN stats s WHERE d.term = 'batch'),
+ph AS (SELECT a.doc_id, count(*)::DOUBLE AS freq
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'key' AND b.term = 'order' GROUP BY a.doc_id),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM pos
+       WHERE term = 'batch' GROUP BY doc_id)
+SELECT ph.doc_id AS doc_id,
+       round(i.idf_sum * ph.freq / (ph.freq + {_BPQ_DENOM})
+             + coalesce(t.idf_t * tf.freq / (tf.freq + {_BPQ_DENOM}), 0),
+             6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id
+LEFT JOIN tf ON tf.doc_id = ph.doc_id
+CROSS JOIN idfp i CROSS JOIN idft t CROSS JOIN stats s
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def bool_phrase_query(spark, sf_dir):
+    """'+"key order" batch': MUST phrase + SHOULD term in one Boolean tree.
+    Spark plan mirrors phrase_bm25_topk: one narrow pass computes (dl,
+    phrase freq, term tf, presences) per row via array lambdas
+    (whole-stage codegen, no posexplode/self-join); a broadcast stats row
+    carries n/avgdl/idfs."""
+    t0, t1, t2 = "key", "order", "batch"
+    toks = _tokens(spark, sf_dir)
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        _phrase_freq_col("tokens", [t0, t1]).cast("double").alias("freq_p"),
+        F.size(F.filter(F.col("tokens"), lambda x: x == t2))
+        .cast("double")
+        .alias("freq_t"),
+        F.array_contains("tokens", t0).cast("long").alias("h0"),
+        F.array_contains("tokens", t1).cast("long").alias("h1"),
+        F.array_contains("tokens", t2).cast("long").alias("h2"),
+    )
+
+    def _idf(dft):
+        return F.log(
+            1.0 + (F.col("n_total") - dft + 0.5) / (dft + 0.5)
+        )
+
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.sum("h0").cast("double").alias("dft0"),
+        F.sum("h1").cast("double").alias("dft1"),
+        F.sum("h2").cast("double").alias("dft2"),
+    ).select(
+        "n_total",
+        "avgdl",
+        (_idf(F.col("dft0")) + _idf(F.col("dft1"))).alias("idf_sum"),
+        _idf(F.col("dft2")).alias("idf_t"),
+    )
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    denom = lambda f: f + K1 * ((1 - B) + B * F.col("dlq") / F.col("avgdl"))  # noqa: E731
+    return (
+        base.filter(F.col("freq_p") > 0)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_sum") * F.col("freq_p") / denom(F.col("freq_p"))
+                + F.when(
+                    F.col("freq_t") > 0,
+                    F.col("idf_t") * F.col("freq_t") / denom(F.col("freq_t")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
     )

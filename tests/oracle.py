@@ -220,12 +220,41 @@ class OracleIndex:
             scores[doc_id] = s
         return set(postings), scores
 
+    def _phrase_scores(self, node) -> tuple[set, dict]:
+        """Phrase clause inside a Boolean tree: scored like a pseudo-term
+        (freq = exact/sloppy phrase occurrences, idf = sum over phrase
+        positions), boost applied after — mirrors operators/query.py
+        eval_node's Phrase branch."""
+        seq = list(node.terms)
+        if not seq:
+            return set(), {}
+        idf_sum = np.float32(sum(self.idf(t) for t in seq))
+        n = len(seq)
+        scores: dict = {}
+        for doc_id, toks in self.tokens.items():
+            if node.slop == 0:
+                freq = sum(
+                    1 for i in range(len(toks) - n + 1) if toks[i : i + n] == seq
+                )
+            else:
+                freq = self._sloppy_freq_doc(toks, seq, node.slop)
+            if not freq:
+                continue
+            add = self.cache[self.norm_byte[doc_id]]
+            s = np.float32(idf_sum * (np.float32(freq) / (np.float32(freq) + add)))
+            if node.boost != 1.0:
+                s = np.float32(s * np.float32(node.boost))
+            scores[doc_id] = s
+        return set(scores), scores
+
     def eval_bool(self, node) -> tuple[set, dict]:
         """Returns (matching doc_ids, {doc_id: float32 score})."""
-        from lucene_solr_spark.operators.query import Bool, Term
+        from lucene_solr_spark.operators.query import Bool, Phrase, Term
 
         if isinstance(node, Term):
             return self._term_scores(node.term, node.boost)
+        if isinstance(node, Phrase):
+            return self._phrase_scores(node)
         assert isinstance(node, Bool)
         if not (node.must or node.should or node.filter):
             return set(), {}
