@@ -1178,3 +1178,147 @@ def bool_phrase_query(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Span queries (search/spans/*.java — SpanNearQuery / SpanFirstQuery;
+# engine kernel: operators/spans.py, float32 path pinned to
+# tests/test_spans.py). Driver rows re-express the PINNED greedy-ordered
+# semantics in double precision on both engines: for each leading-term
+# position, the earliest following occurrence of the second term; gap =
+# slack between the two spans; matches with gap <= slop contribute
+# 1/(1+gap) to the doc's span freq (SpanScorer computeSlopFactor).
+# ---------------------------------------------------------------------------
+
+_SPAN_SLOP = 2
+
+
+@register(
+    "span_near_ordered_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_total, avg(len(toks))::DOUBLE AS avgdl FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS dft FROM pos
+        WHERE term IN ('key', 'order') GROUP BY term),
+idf AS (SELECT sum(ln(1 + (s.n_total - d.dft + 0.5) / (d.dft + 0.5))) AS idf_sum
+        FROM dft d CROSS JOIN stats s),
+lead AS (SELECT a.doc_id, a.pos AS apos, min(b.pos) AS bpos
+         FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                               AND b.term = 'order'
+         WHERE a.term = 'key' GROUP BY a.doc_id, a.pos),
+fr AS (SELECT doc_id, sum(1.0 / (1 + (bpos - apos - 1))) AS freq
+       FROM lead WHERE bpos - apos - 1 <= {_SPAN_SLOP} GROUP BY doc_id)
+SELECT fr.doc_id AS doc_id,
+       round(i.idf_sum * fr.freq
+             / (fr.freq + {K1} * ((1 - {B}) + {B} * {duckdb_byte4_roundtrip_sql('dl.dl')} / s.avgdl)),
+             6) AS score
+FROM fr JOIN dl ON dl.doc_id = fr.doc_id
+CROSS JOIN idf i CROSS JOIN stats s
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def span_near_ordered_topk(spark, sf_dir):
+    """SpanNear([key, order], slop=2, inOrder): greedy-ordered span freq,
+    BM25 with summed idf. Spark plan: per-row array lambdas build the two
+    position lists and fold the gap contributions — whole-stage codegen,
+    no posexplode, no self-join; one broadcast stats row."""
+    t0, t1 = "key", "order"
+    toks_col = F.col("tokens")
+    seq = F.sequence(F.lit(1), F.size(toks_col))
+
+    def positions_of(t):
+        return F.filter(seq, lambda i: F.element_at(toks_col, i.cast("int")) == t)
+
+    apos, opos = positions_of(t0), positions_of(t1)
+    gaps = F.transform(
+        apos,
+        lambda i: F.array_min(F.filter(opos, lambda j: j > i)) - i - 1,
+    )
+    good = F.filter(gaps, lambda g: g.isNotNull() & (g <= _SPAN_SLOP))
+    freq = F.aggregate(
+        good, F.lit(0.0), lambda acc, g: acc + 1.0 / (1.0 + g.cast("double"))
+    )
+
+    toks = _tokens(spark, sf_dir)
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        freq.alias("freq"),
+        F.array_contains("tokens", t0).cast("long").alias("h0"),
+        F.array_contains("tokens", t1).cast("long").alias("h1"),
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.sum("h0").cast("double").alias("dft0"),
+        F.sum("h1").cast("double").alias("dft1"),
+    ).select(
+        "avgdl",
+        (
+            F.log(1.0 + (F.col("n_total") - F.col("dft0") + 0.5) / (F.col("dft0") + 0.5))
+            + F.log(1.0 + (F.col("n_total") - F.col("dft1") + 0.5) / (F.col("dft1") + 0.5))
+        ).alias("idf_sum"),
+    )
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    return (
+        base.filter(F.col("freq") > 0)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_sum")
+                * F.col("freq")
+                / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "span_first_count",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)
+SELECT count(DISTINCT doc_id) AS n_docs FROM pos
+WHERE term = 'key' AND pos <= 12""",
+)
+def span_first_count(spark, sf_dir):
+    """SpanFirst(key, 12): docs where 'key' occurs in the first 12
+    positions — per-row array slice, no explode."""
+    toks = _tokens(spark, sf_dir)
+    hit = F.array_contains(F.slice(F.col("tokens"), 1, 12), "key")
+    return toks.agg(F.sum(hit.cast("long")).alias("n_docs"))
+
+
+@register(
+    "span_unordered_match",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)
+SELECT count(DISTINCT a.doc_id) AS n_docs
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+WHERE a.term = 'key' AND b.term = 'batch' AND abs(a.pos - b.pos) - 1 <= {_SPAN_SLOP}""",
+)
+def span_unordered_match(spark, sf_dir):
+    """SpanNear([key, batch], slop=2, inOrder=false) MATCH semantics:
+    a doc matches iff some window slack = |pos_a - pos_b| - 1 <= slop
+    (the walk's minimal window for two single-term clauses). Per-row
+    nested exists lambdas, codegen, no join."""
+    toks_col = F.col("tokens")
+    seq = F.sequence(F.lit(1), F.size(toks_col))
+
+    def positions_of(t):
+        return F.filter(seq, lambda i: F.element_at(toks_col, i.cast("int")) == t)
+
+    match = F.exists(
+        positions_of("key"),
+        lambda i: F.exists(
+            positions_of("batch"),
+            lambda j: F.abs(i - j) - 1 <= _SPAN_SLOP,
+        ),
+    )
+    return _tokens(spark, sf_dir).agg(
+        F.sum(F.when(F.size(toks_col) > 0, match).otherwise(F.lit(False)).cast("long")).alias("n_docs")
+    )
