@@ -231,3 +231,95 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (the vector-space analog of the textual
+# near-dup pipelines above; complements MoreLikeThis/ANN for training-data
+# curation at 100 TB).
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """EXACT embedding near-dup pairs: all (a < b) with cosine >= threshold.
+    O(n^2) — the correctness baseline / ground truth for the LSH recall
+    test, same role as ngram_jaccard_pairs for MinHash. JVM-side fold
+    (zip_with + aggregate), no Python in the pair loop."""
+    from .ann import cosine
+
+    a = emb.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )
+
+
+def embedding_near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SCALE path for embedding near-dup: sign-LSH signature (n_planes
+    bits, fixed seed) split into ``bands`` bit-bands; pairs sharing ANY
+    band bucket are candidates (banded self-join on the tiny (band,
+    band_val) key — never all-pairs); candidates are verified with the
+    exact cosine. Same band trick as minhash_lsh_candidates /
+    simhash_near_pairs. Recall < 1 by construction: a pair at cosine s
+    agrees on one plane with p = 1 - acos(s)/pi, shares a band with
+    1-(1-p^width)^bands — measured against embedding_cosine_pairs in
+    tests/test_dataops.py. At 100 TB the banded join shuffles only
+    (id, sig) pairs; vectors rejoin for the candidate set only."""
+    from .ann import lsh_bucket_col, lsh_planes
+
+    planes = lsh_planes(dim, n_planes)
+    sig = emb.select(
+        F.col(id_col).alias("doc"),
+        lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes).alias("sig"),
+    )
+    width = n_planes // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "doc",
+        F.explode(F.array(*[F.lit(i) for i in range(bands)])).alias("band"),
+        F.col("sig"),
+    ).withColumn(
+        "band_val",
+        F.expr(f"shiftright(sig, CAST(band * {width} AS INT)) & {mask}"),
+    )
+    a = banded.select("band", "band_val", F.col("doc").alias("vec_a"))
+    b = banded.select("band", "band_val", F.col("doc").alias("vec_b"))
+    cands = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    from .ann import cosine
+
+    va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).cast("array<double>").alias("va"))
+    vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        cands.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("vec_a", "vec_b", "cos_sim")
+    )

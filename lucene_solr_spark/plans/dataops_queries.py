@@ -477,3 +477,67 @@ def multimodal_resize_stats(spark, sf_dir):
         F.count("*").alias("n_media"),
         F.max(F.length("media_small")).alias("max_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicates (operators/dedup.py#embedding_cosine_pairs
+# exact baseline + #embedding_near_dup_lsh banded scale path)
+# ---------------------------------------------------------------------------
+
+_ND_THRESH = 0.4
+_PLANES16 = ann.lsh_planes(64, 16)
+_PL16_SQL = _planes_sql_literal(_PLANES16)
+_SIG16_SQL = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_PL16_SQL[j]}) > 0 THEN {1 << j} ELSE 0 END)"
+    for j in range(16)
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_duck_cos('a.v', 'b.v')}, 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round({_duck_cos('a.v', 'b.v')}, 6) >= {_ND_THRESH}
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC LIMIT 20""",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Exact embedding near-dup pairs (cosine >= 0.4), top-20 by
+    similarity — the O(n^2) ground-truth baseline."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        dedup.embedding_cosine_pairs(emb, threshold=_ND_THRESH)
+        .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )
+
+
+@register(
+    "dedup_embedding_lsh",
+    f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, ({_SIG16_SQL})::BIGINT AS sig FROM e),
+banded AS (SELECT vec_id, sig, band, (sig >> (band * 4)) & 15 AS band_val
+           FROM sig, (SELECT unnest(range(4)) AS band) bx),
+cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.band_val = b.band_val
+          AND a.vec_id < b.vec_id)
+SELECT c.vec_a, c.vec_b, round({_duck_cos('ea.v', 'eb.v')}, 6) AS cos_sim
+FROM cand c JOIN e ea ON ea.vec_id = c.vec_a JOIN e eb ON eb.vec_id = c.vec_b
+WHERE round({_duck_cos('ea.v', 'eb.v')}, 6) >= {_ND_THRESH}
+ORDER BY cos_sim DESC, vec_a ASC, vec_b ASC LIMIT 20""",
+)
+def dedup_embedding_lsh(spark, sf_dir):
+    """Banded sign-LSH near-dup (16 planes, 4 bands, verified by exact
+    cosine) — the scale path: the self-join runs on the tiny (band,
+    band_val) key, vectors rejoin for candidates only. Oracle mirrors the
+    identical plane literals, so recall loss is reproduced exactly."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return (
+        dedup.embedding_near_dup_lsh(
+            emb, threshold=_ND_THRESH, n_planes=16, bands=4, dim=64
+        )
+        .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(20)
+    )

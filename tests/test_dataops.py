@@ -139,3 +139,35 @@ def test_multimodal_binary_roundtrip(spark):
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"IMG0" + b"\0" * 20)
+
+
+def test_embedding_near_dup_lsh_vs_exact(spark):
+    """Banded sign-LSH near-dup: verified pairs are a SUBSET of the exact
+    O(n^2) pairs (verification is exact cosine) with measured recall."""
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_cosine_pairs(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r["vec_a"], r["vec_b"])
+        for r in dedup.embedding_near_dup_lsh(
+            emb, threshold=0.4, n_planes=16, bands=4
+        ).collect()
+    }
+    assert exact, "fixture broken: no exact pairs at threshold"
+    assert lsh <= exact, "LSH produced a pair the exact baseline lacks"
+    recall = len(lsh) / len(exact)
+    assert recall >= 0.5, f"embedding LSH recall too low: {recall}"
+
+
+def test_embedding_lsh_candidates_shrink(spark):
+    """The banded join must generate far fewer candidate pairs than n^2 —
+    the property that makes the scale path viable."""
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    n = emb.count()
+    sig = dedup.embedding_near_dup_lsh(emb, threshold=-1.0, n_planes=16, bands=4)
+    n_cand = sig.count()  # threshold -1 keeps every candidate pair
+    assert n_cand < (n * (n - 1) // 2) * 0.5, (
+        f"banding did not prune: {n_cand} of {n*(n-1)//2}"
+    )
