@@ -944,6 +944,69 @@ class MultiSearcher:
             u = u.unionByName(p)
         return u.orderBy(F.desc("score"), F.asc("gdoc_id")).limit(k)
 
+    def topk_query(self, q, k: int = 10) -> DataFrame:
+        """Boolean-tree (and Phrase-clause) search across the catalog —
+        the distributed IndexSearcher#search(BooleanQuery) analog. Global
+        stats (summed df / N / avgdl) feed EVERY segment's leaf scorer, so
+        scores are identical to a single merged index (ExactStatsCache);
+        per-segment liveDocs excluded; merge tie-break (score desc,
+        gdoc_id asc) as in topk."""
+        from .query import collect_phrases, collect_term_leaves, collect_terms, rewrite
+
+        q = rewrite(q)
+        phrases = collect_phrases(q)
+        for p in set(phrases):
+            if p.slop > 0 and len(set(p.terms)) != len(p.terms):
+                raise NotImplementedError(
+                    "sloppy phrases with repeated terms are not supported"
+                )
+        stats = self.term_stats(sorted(collect_terms(q)))
+        out_schema = "segment_id string, doc_id long, gdoc_id long, score float"
+        if not stats:
+            return self.spark.createDataFrame([], out_schema)
+        leaf_terms = collect_term_leaves(q)
+        idfs = {
+            t: np.float32(stats[t].idf) for t in sorted(stats) if t in leaf_terms
+        }
+        phrase_idfs: dict = {}
+        if phrases:
+            assert all(s.has_table("positions") for s in self.segments), (
+                "phrase clauses need positional indexes in every segment"
+            )
+            for p in set(phrases):
+                if all(t in stats for t in p.terms):
+                    phrase_idfs[p] = np.float32(
+                        sum(stats[t].idf for t in p.terms)
+                    )
+        per_seg = []
+        for s in self.segments:
+            positions = (
+                s.table(self.spark, "positions") if phrase_idfs else None
+            )
+            scored = score_query_postings(
+                s.table(self.spark, "postings"),
+                q,
+                idfs,
+                self._cache,
+                k,
+                deleted=self._deleted.get(s.segment_id),
+                positions=positions,
+                phrase_idfs=phrase_idfs,
+            )
+            base = self.doc_base[s.segment_id]
+            per_seg.append(
+                scored.select(
+                    F.lit(s.segment_id).alias("segment_id"),
+                    "doc_id",
+                    (F.col("doc_id") + F.lit(base)).alias("gdoc_id"),
+                    "score",
+                )
+            )
+        u = per_seg[0]
+        for p in per_seg[1:]:
+            u = u.unionByName(p)
+        return u.orderBy(F.desc("score"), F.asc("gdoc_id")).limit(k)
+
 
 def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> DataFrame:
     """All matching docs with scores (no top-k) — for tests/debug."""

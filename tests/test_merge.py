@@ -156,3 +156,85 @@ def test_find_merges_tiers():
     sizes = [[s.stats.n_docs for s in g] for g in groups]
     assert sizes == [[95, 100, 110]]
     assert find_merges([seg(100)]) == []
+
+
+# ---------------------------------------------------------------------------
+# Distributed Boolean-tree / phrase search (MultiSearcher.topk_query):
+# global stats must make the scatter-gather bit-identical to one segment.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def seg_full_pos(spark, corpus_full):
+    return build_index(
+        spark, corpus_full, out_dir=None, bucket_docs=64, with_positions=True
+    )
+
+
+@pytest.fixture(scope="module")
+def catalog_two_pos(spark, corpus_full, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("catp"))
+    cat = Catalog(root)
+    half = N_DOCS // 2
+    for i, pred in enumerate(
+        [F.col("doc_id") < half, F.col("doc_id") >= half]
+    ):
+        part = corpus_full.filter(pred).drop("doc_id")
+        build_index(
+            spark,
+            part,
+            out_dir=root,
+            bucket_docs=64,
+            segment_id=f"seg{i}",
+            with_positions=True,
+        )
+    return cat
+
+
+def test_multisearcher_tree_equals_single(spark, seg_full, catalog_two):
+    from lucene_solr_spark.operators.query import Bool, Term
+
+    single = Searcher(spark, seg_full)
+    multi = MultiSearcher.from_catalog(spark, catalog_two)
+    trees = [
+        Bool(should=(Term("import"), Term("return"), Term("def"))),
+        Bool(must=(Term("import"),), must_not=(Term("merge"),)),
+        Bool(
+            should=(Term("import"), Term("return"), Term("public")),
+            min_should_match=2,
+        ),
+        Bool(
+            must=(Bool(should=(Term("import"), Term("public"))),),
+            should=(Term("return", boost=2.0),),
+        ),
+    ]
+    for q in trees:
+        a = _hits(single.topk_query(q, k=10))
+        b = [
+            (int(r["gdoc_id"]), float(r["score"]))
+            for r in multi.topk_query(q, k=10).collect()
+        ]
+        assert a == b and a, f"multi tree != single for {q!r}"
+
+
+def test_multisearcher_phrase_tree_equals_single(spark, seg_full_pos, catalog_two_pos):
+    from lucene_solr_spark.operators.query import Bool, Phrase, Term
+
+    single = Searcher(spark, seg_full_pos)
+    multi = MultiSearcher.from_catalog(spark, catalog_two_pos)
+    corpus_pair = ("import", "return")
+    trees = [
+        Bool(must=(Phrase(corpus_pair),), should=(Term("public"),)),
+        Bool(should=(Phrase(corpus_pair, slop=2), Term("merge"))),
+        Phrase(corpus_pair),
+    ]
+    any_hits = False
+    for q in trees:
+        a = _hits(single.topk_query(q, k=10))
+        b = [
+            (int(r["gdoc_id"]), float(r["score"]))
+            for r in multi.topk_query(q, k=10).collect()
+        ]
+        assert a == b, f"multi phrase tree != single for {q!r}"
+        any_hits = any_hits or bool(a)
+    assert any_hits, "all phrase trees vacuous — fixture terms wrong"
