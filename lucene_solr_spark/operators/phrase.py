@@ -4,7 +4,7 @@ Reference semantics being re-expressed (SURVEY.md §2.C "PhraseQuery"):
   search/PhraseQuery.java        — ordered multi-term positional match
   search/ExactPhraseMatcher.java — slop=0: positions of term_i must appear
                                    at (p + i) for a common base p
-  search/SloppyPhraseMatcher.java— slop>0, no-repeats case (see below)
+  search/SloppyPhraseMatcher.java— slop>0, incl. repeat groups (see below)
   scoring: PhraseWeight scores like a single pseudo-term whose freq is the
   number of phrase occurrences (fractional sloppy weight for slop>0), idf is
   the SUM of the phrase terms' idfs (BM25Similarity#idfExplain over the
@@ -28,10 +28,11 @@ run the classic SloppyPhraseScorer#phraseFreq min-heap walk per doc —
 matchLength = span of adjusted positions when the minimum leg is about to
 pass its successor, each match with matchLength <= slop contributes
 sloppyWeight = 1/(1 + matchLength) to the (fractional) phrase freq.
-Supported for phrases without repeated terms (SloppyPhraseMatcher's repeat
-groups are out of scope; slop>0 with repeats raises). Candidates are few
-(conjunction of all phrase terms), so the per-candidate heap walk is not
-the hot path; tests/oracle.py#topk_phrase pins the identical semantics.
+Repeated phrase terms are handled by SloppyPhraseMatcher-style repeat
+groups: legs of the same term must occupy distinct raw token positions
+(see sloppy_phrase_freq_general). Candidates are few (conjunction of all
+phrase terms), so the per-candidate heap walk is not the hot path;
+tests/oracle.py#topk_phrase pins the identical semantics.
 """
 
 from __future__ import annotations
@@ -60,21 +61,16 @@ def phrase_topk(
     deleted=None,
 ) -> DataFrame:
     """Top-k docs containing the phrase (pinned-tokenizer order).
-    ``slop=0``: exact adjacency; ``slop>0``: SloppyPhraseMatcher no-repeats
-    semantics with fractional sloppy freq. ``deleted``: optional sorted
-    int64 array of tombstoned doc_ids, excluded before the local top-k
-    (liveDocs analog — same contract as score_postings)."""
+    ``slop=0``: exact adjacency; ``slop>0``: SloppyPhraseMatcher semantics
+    (incl. repeat groups) with fractional sloppy freq. ``deleted``:
+    optional sorted int64 array of tombstoned doc_ids, excluded before the
+    local top-k (liveDocs analog — same contract as score_postings)."""
     assert segment.has_table("positions"), (
         "segment was built without positions (build_index(with_positions=True))"
     )
     terms_seq = tokenize_text(phrase_text)
     if not terms_seq:
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    if slop > 0 and len(set(terms_seq)) != len(terms_seq):
-        raise NotImplementedError(
-            "sloppy phrases with repeated terms are not supported "
-            "(SloppyPhraseMatcher repeat groups out of scope)"
-        )
     distinct = sorted(set(terms_seq))
 
     # stats pre-pass (Weight analog): every phrase term must exist
@@ -230,26 +226,72 @@ def sloppy_phrase_freq(adjusted: list[np.ndarray], slop: int) -> float:
     is the sorted array of (position - phrase_offset_i) for leg i. Returns
     the fractional phrase freq: sum of 1/(1+matchLength) over greedy
     matches with matchLength <= slop."""
-    if any(arr.size == 0 for arr in adjusted):
+    return sloppy_phrase_freq_general(
+        adjusted, [0] * len(adjusted), [], slop
+    )
+
+
+def sloppy_phrase_freq_general(
+    raw_legs: list,
+    offsets: list[int],
+    groups: list[list[int]],
+    slop: int,
+) -> float:
+    """SloppyPhraseMatcher#phraseFreq WITH repeat groups: one leg per
+    phrase position; ``raw_legs[i]`` is the sorted RAW token positions of
+    leg i's term, ``offsets[i]`` its phrase offset, ``groups`` the leg
+    index lists of terms appearing in several phrase positions.
+
+    Pinned repeat semantics (SloppyPhraseMatcher's repeating-pps
+    discipline, deterministic variant): legs of the same repeat group must
+    occupy DISTINCT raw token positions at all times. At init, group legs
+    claim positions in phrase-offset order (a colliding leg advances to
+    its next free position). During the walk, an advancing leg skips any
+    raw position currently held by a sibling. The walk itself is the
+    classic min-heap over adjusted positions (position - offset): when the
+    minimal leg is about to pass the runner-up, the candidate match closes
+    with matchLength = end - min; matches with matchLength <= slop add
+    1/(1+matchLength) to the fractional freq."""
+    n = len(raw_legs)
+    if any(len(a) == 0 for a in raw_legs):
         return 0.0
-    if len(adjusted) == 1:
-        # single-leg phrase: every occurrence is a zero-length match
-        return float(adjusted[0].size)
-    # heap of (adjusted_pos, leg); end = max current position
-    heap = [(int(arr[0]), i) for i, arr in enumerate(adjusted)]
-    idx = [0] * len(adjusted)
+    if n == 1:
+        return float(len(raw_legs[0]))
+    group_of: list[tuple] = [() for _ in range(n)]
+    for g in groups:
+        for i in g:
+            group_of[i] = tuple(j for j in g if j != i)
+    idx = [0] * n
+    for g in groups:  # init: lower-offset legs keep their first positions
+        used: set[int] = set()
+        for i in g:
+            while idx[i] < len(raw_legs[i]) and int(raw_legs[i][idx[i]]) in used:
+                idx[i] += 1
+            if idx[i] >= len(raw_legs[i]):
+                return 0.0
+            used.add(int(raw_legs[i][idx[i]]))
+
+    def cur_raw(i: int) -> int:
+        return int(raw_legs[i][idx[i]])
+
+    def advance(i: int) -> bool:
+        others = {cur_raw(j) for j in group_of[i]}
+        idx[i] += 1
+        while idx[i] < len(raw_legs[i]) and cur_raw(i) in others:
+            idx[i] += 1
+        return idx[i] < len(raw_legs[i])
+
+    heap = [(cur_raw(i) - offsets[i], i) for i in range(n)]
     heapq.heapify(heap)
     end = max(p for p, _ in heap)
     freq = 0.0
     pos, leg = heapq.heappop(heap)
     match_length = end - pos
     while True:
-        # advance the minimum leg
-        idx[leg] += 1
-        arr = adjusted[leg]
-        if idx[leg] >= arr.size:
+        # advance the minimum leg (collision-aware for repeat groups)
+        if not advance(leg):
             break
-        pos = int(arr[idx[leg]])
+        pos = cur_raw(leg) - offsets[leg]
         end = max(end, pos)
         next_pos = heap[0][0]
         if pos > next_pos:
@@ -272,25 +314,36 @@ def _sloppy_freqs(
     offsets_by_term: dict[str, list[int]],
     slop: int,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Per-candidate-doc sloppy freq (fractional). Candidates are the
-    conjunction of all phrase terms — already filtered by the caller."""
-    # split each term's concatenated positions back per doc
-    by_doc: dict[int, list[np.ndarray]] = {}
-    for t, offs in offsets_by_term.items():
-        off = offs[0]  # no repeats: exactly one offset per term
+    """Per-candidate-doc sloppy freq (fractional), repeats included.
+    Candidates are the conjunction of all distinct phrase terms — already
+    filtered by the caller."""
+    # leg layout: one leg per phrase position, in phrase-offset order;
+    # legs of a repeated term share the raw position array
+    leg_specs = sorted(
+        (off, t) for t, offs in offsets_by_term.items() for off in offs
+    )
+    offsets = [off for off, _ in leg_specs]
+    leg_terms = [t for _, t in leg_specs]
+    groups = [
+        [i for i, lt in enumerate(leg_terms) if lt == t]
+        for t, offs in offsets_by_term.items()
+        if len(offs) > 1
+    ]
+    # split each term's concatenated positions back per doc (RAW positions)
+    by_doc: dict[int, dict[str, np.ndarray]] = {}
+    for t in offsets_by_term:
         docs, pos_all, lens = per_term[t]
         starts = np.zeros(lens.size + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
         for j, d in enumerate(docs):
-            by_doc.setdefault(int(d), []).append(
-                pos_all[starts[j] : starts[j + 1]] - off
-            )
+            by_doc.setdefault(int(d), {})[t] = pos_all[starts[j] : starts[j + 1]]
     n_terms = len(offsets_by_term)
     ids, freqs = [], []
-    for d, legs in by_doc.items():
-        if len(legs) < n_terms:
+    for d, raw_by_term in by_doc.items():
+        if len(raw_by_term) < n_terms:
             continue
-        fr = sloppy_phrase_freq(legs, slop)
+        raw_legs = [raw_by_term[t] for t in leg_terms]
+        fr = sloppy_phrase_freq_general(raw_legs, offsets, groups, slop)
         if fr > 0.0:
             ids.append(d)
             freqs.append(fr)

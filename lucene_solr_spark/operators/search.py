@@ -148,12 +148,6 @@ class Searcher:
 
         q = rewrite(q)
         phrases = collect_phrases(q)
-        for p in set(phrases):
-            if p.slop > 0 and len(set(p.terms)) != len(p.terms):
-                raise NotImplementedError(
-                    "sloppy phrases with repeated terms are not supported "
-                    "(SloppyPhraseMatcher repeat groups out of scope)"
-                )
         stats = self.term_stats(sorted(collect_terms(q)))
         if not stats:
             return self.spark.createDataFrame([], _TOPK_SCHEMA)
@@ -955,11 +949,6 @@ class MultiSearcher:
 
         q = rewrite(q)
         phrases = collect_phrases(q)
-        for p in set(phrases):
-            if p.slop > 0 and len(set(p.terms)) != len(p.terms):
-                raise NotImplementedError(
-                    "sloppy phrases with repeated terms are not supported"
-                )
         stats = self.term_stats(sorted(collect_terms(q)))
         out_schema = "segment_id string, doc_id long, gdoc_id long, score float"
         if not stats:

@@ -159,33 +159,53 @@ class OracleIndex:
 
     @staticmethod
     def _sloppy_freq_doc(toks: list[str], seq: list[str], slop: int) -> float:
-        """Scalar SloppyPhraseScorer#phraseFreq walk (no repeated terms):
-        legs are (position - phrase_offset) lists; repeatedly advance the
-        minimum leg; when it passes the runner-up, a candidate match ends
-        with matchLength = end - min; matches with matchLength <= slop add
-        1/(1+matchLength)."""
-        assert len(set(seq)) == len(seq), "no-repeats case only"
-        legs = []
-        for off, term in enumerate(seq):
-            legs.append([p - off for p, t in enumerate(toks) if t == term])
-        if any(not leg for leg in legs):
+        """Scalar SloppyPhraseScorer#phraseFreq walk incl. repeat groups:
+        one leg per phrase position over RAW token positions; legs of the
+        same term must occupy distinct raw positions (init claims in
+        offset order; an advancing leg skips positions held by siblings).
+        The walk advances the minimum adjusted position; when it passes
+        the runner-up, a candidate match ends with matchLength = end -
+        min; matches with matchLength <= slop add 1/(1+matchLength)."""
+        n = len(seq)
+        raw_legs = [[p for p, t in enumerate(toks) if t == term] for term in seq]
+        if any(not leg for leg in raw_legs):
             return 0.0
-        if len(legs) == 1:
-            return float(len(legs[0]))
+        if n == 1:
+            return float(len(raw_legs[0]))
+        by_term: dict[str, list[int]] = {}
+        for i, t in enumerate(seq):
+            by_term.setdefault(t, []).append(i)
+        groups = [g for g in by_term.values() if len(g) > 1]
+        group_of = {i: tuple(j for j in g if j != i) for g in groups for i in g}
+        idx = [0] * n
+        for g in groups:  # init: lower-offset legs keep their positions
+            used: set[int] = set()
+            for i in g:
+                while idx[i] < len(raw_legs[i]) and raw_legs[i][idx[i]] in used:
+                    idx[i] += 1
+                if idx[i] >= len(raw_legs[i]):
+                    return 0.0
+                used.add(raw_legs[i][idx[i]])
+
+        def advance(i: int) -> bool:
+            others = {raw_legs[j][idx[j]] for j in group_of.get(i, ())}
+            idx[i] += 1
+            while idx[i] < len(raw_legs[i]) and raw_legs[i][idx[i]] in others:
+                idx[i] += 1
+            return idx[i] < len(raw_legs[i])
+
         import heapq as _hq
 
-        heap = [(leg[0], i) for i, leg in enumerate(legs)]
+        heap = [(raw_legs[i][idx[i]] - i, i) for i in range(n)]
         _hq.heapify(heap)
-        idx = [0] * len(legs)
         end = max(p for p, _ in heap)
         freq = 0.0
         pos, leg_i = _hq.heappop(heap)
         match_length = end - pos
         while True:
-            idx[leg_i] += 1
-            if idx[leg_i] >= len(legs[leg_i]):
+            if not advance(leg_i):
                 break
-            pos = legs[leg_i][idx[leg_i]]
+            pos = raw_legs[leg_i][idx[leg_i]] - leg_i
             end = max(end, pos)
             nxt = heap[0][0]
             if pos > nxt:

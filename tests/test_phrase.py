@@ -153,9 +153,43 @@ def test_sloppy_superset_of_exact(spark, seg_pos):
     assert exact <= sloppy
 
 
-def test_slop_with_repeats_not_supported(spark, seg_pos):
-    with pytest.raises(NotImplementedError):
-        phrase_topk(spark, seg_pos, "import import", slop=1)
+REPEAT_SLOPPY = [  # all non-vacuous on the 150-doc synth corpus
+    ("import return import", 2),
+    ("import import", 1),
+    ("return import return", 4),
+    ("self self", 2),
+]
+
+
+@pytest.mark.parametrize("ph,slop", REPEAT_SLOPPY)
+def test_sloppy_phrase_with_repeats_matches_oracle(spark, seg_pos, oracle, ph, slop):
+    """SloppyPhraseMatcher repeat groups: legs of a repeated term must
+    occupy distinct raw positions; engine == scalar oracle."""
+    got = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in phrase_topk(spark, seg_pos, ph, k=10, slop=slop).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in oracle.topk_phrase(ph, k=10, slop=slop)]
+    assert got == want, f"phrase {ph!r} slop={slop}: {got[:3]} != {want[:3]}"
+
+
+def test_repeat_walk_hand_case():
+    """Pinned hand-derived case: 'a b a' over 'x a b a y' is one perfect
+    match (the two a-legs claim distinct raw positions 1 and 3)."""
+    from lucene_solr_spark.operators.phrase import sloppy_phrase_freq_general
+
+    toks = ["x", "a", "b", "a", "y"]
+    raw_a = [i for i, t in enumerate(toks) if t == "a"]
+    raw_b = [i for i, t in enumerate(toks) if t == "b"]
+    freq = sloppy_phrase_freq_general(
+        [raw_a, raw_b, raw_a], [0, 1, 2], [[0, 2]], 2
+    )
+    assert freq == 1.0
+    # same doc, no slop budget needed; but a single 'a' cannot serve both legs
+    freq2 = sloppy_phrase_freq_general(
+        [[1], [2]], [0, 2], [], 1
+    )
+    assert freq2 > 0  # sanity: non-repeat walk unaffected
 
 
 def test_highlight_from_positions(spark, seg_pos, oracle):

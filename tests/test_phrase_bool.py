@@ -144,8 +144,14 @@ def test_query_string_phrase_in_bool(searcher, oracle, vocab):
     assert got == want and got
 
 
-def test_sloppy_repeats_in_tree_raises(searcher):
-    with pytest.raises(NotImplementedError):
-        searcher.topk_query(
-            Bool(must=(Phrase(("a", "b", "a"), slop=1),)), k=5
-        )
+def test_sloppy_repeats_in_tree(searcher, oracle, vocab):
+    """A sloppy phrase with a repeated term inside a Boolean tree runs the
+    repeat-group walk and matches the scalar oracle."""
+    (a, b), *_ = vocab
+    q = Bool(must=(Phrase((a, b, a), slop=4),), should=(Term(b),))
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_query(q, k=10).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in oracle.topk_bool(q, k=10)]
+    assert got == want
