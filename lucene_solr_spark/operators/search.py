@@ -406,6 +406,35 @@ class Searcher:
             .select("doc_id", F.lit(float(boost)).cast("float").alias("score"))
         )
 
+    def spell_suggest(
+        self, term: str, max_edits: int = 2, k: int = 5, min_df: int = 1
+    ) -> DataFrame:
+        """DirectSpellChecker analog (suggest/DirectSpellChecker.java /
+        solr SpellCheckComponent): candidate corrections from the terms
+        dictionary within ``max_edits`` Levenshtein edits, ranked the way
+        the reference breaks ties — closer first, then more frequent
+        (df desc), then lexicographic."""
+        return (
+            self.terms.select("term", "df")
+            .filter(F.col("term") != term)
+            .withColumn("distance", F.levenshtein(F.col("term"), F.lit(term)))
+            .filter((F.col("distance") <= max_edits) & (F.col("df") >= min_df))
+            .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+            .limit(k)
+        )
+
+    def suggest_prefix(self, prefix: str, k: int = 10) -> DataFrame:
+        """Autocomplete suggester (suggest/analyzing/AnalyzingInfixSuggester
+        shape, weight = collection frequency): top terms with the prefix,
+        ranked ttf desc — the sorted terms dict IS the suggest index
+        (parquet min/max prune to the prefix range)."""
+        return (
+            self.terms.select("term", "ttf")
+            .filter(F.col("term").startswith(prefix))
+            .orderBy(F.desc("ttf"), F.asc("term"))
+            .limit(k)
+        )
+
     def topk_prefix(self, prefix: str, k: int = 10) -> DataFrame:
         return self.topk_constant(self.expand_terms(prefix=prefix), k)
 

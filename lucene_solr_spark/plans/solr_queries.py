@@ -1322,3 +1322,116 @@ def span_unordered_match(spark, sf_dir):
     return _tokens(spark, sf_dir).agg(
         F.sum(F.when(F.size(toks_col) > 0, match).otherwise(F.lit(False)).cast("long")).alias("n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spellcheck / suggester / elevation (suggest/DirectSpellChecker.java,
+# suggest/analyzing/AnalyzingInfixSuggester.java,
+# solr handler/component/{SpellCheck,QueryElevation}Component.java;
+# engine surface: Searcher.spell_suggest / Searcher.suggest_prefix)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "spellcheck_suggest",
+    f"""WITH {_TOKS_CTE},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term)
+SELECT term, levenshtein(term, 'ordre') AS distance, df
+FROM dict WHERE term <> 'ordre' AND levenshtein(term, 'ordre') <= 2
+ORDER BY distance ASC, df DESC, term ASC LIMIT 5""",
+)
+def spellcheck_suggest(spark, sf_dir):
+    """DirectSpellChecker: corrections for the misspelling 'ordre' ranked
+    (edit distance asc, df desc, term asc)."""
+    toks = _tokens(spark, sf_dir)
+    dic = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    return (
+        dic.filter(F.col("term") != "ordre")
+        .withColumn("distance", F.levenshtein(F.col("term"), F.lit("ordre")))
+        .filter(F.col("distance") <= 2)
+        .orderBy(F.asc("distance"), F.desc("df"), F.asc("term"))
+        .limit(5)
+    )
+
+
+@register(
+    "suggest_prefix_top",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(*) AS weight FROM toks WHERE term LIKE 'st%'
+GROUP BY term ORDER BY weight DESC, term ASC LIMIT 10""",
+)
+def suggest_prefix_top(spark, sf_dir):
+    """Autocomplete suggester: 'st' prefix completions weighted by
+    collection frequency (AnalyzingInfixSuggester weight ordering)."""
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode("tokens").alias("term"))
+        .filter(F.col("term").startswith("st"))
+        .groupBy("term")
+        .agg(F.count("*").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("term"))
+        .limit(10)
+    )
+
+
+_ELEVATED = (7, 3)  # configured elevation order for q='order'
+
+
+@register(
+    "query_elevation",
+    f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, count(*)::BIGINT AS score FROM toks
+       WHERE term = 'order' GROUP BY doc_id),
+organic AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM tf WHERE doc_id NOT IN {str(_ELEVATED)})
+SELECT doc_id, score FROM (
+  SELECT {_ELEVATED[0]}::BIGINT AS doc_id,
+         coalesce((SELECT score FROM tf WHERE doc_id = {_ELEVATED[0]}), 0) AS score,
+         0 AS grp, 1 AS rnk
+  UNION ALL
+  SELECT {_ELEVATED[1]}::BIGINT,
+         coalesce((SELECT score FROM tf WHERE doc_id = {_ELEVATED[1]}), 0),
+         0, 2
+  UNION ALL SELECT doc_id, score, 1, rn FROM organic
+) ORDER BY grp ASC, rnk ASC LIMIT 10""",
+)
+def query_elevation(spark, sf_dir):
+    """QueryElevationComponent: docs {7, 3} are pinned to the top in
+    config order (included even with score 0, as forceElevation does);
+    organic tf-ranked results follow, elevated ids excluded."""
+    toks = _tokens(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") == "order")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("score"))
+    )
+    elev = spark.createDataFrame(
+        [(int(d), i + 1) for i, d in enumerate(_ELEVATED)], "doc_id long, rnk int"
+    )
+    elevated = (
+        elev.join(tf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("score"), F.lit(0)).alias("score"),
+            F.lit(0).alias("grp"),
+            "rnk",
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    organic = (
+        tf.filter(~F.col("doc_id").isin(list(_ELEVATED)))
+        .withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "score", F.lit(1).alias("grp"), "rnk")
+    )
+    return (
+        elevated.unionByName(organic)
+        .orderBy(F.asc("grp"), F.asc("rnk"))
+        .limit(10)
+        .select("doc_id", "score")
+    )

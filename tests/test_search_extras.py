@@ -75,3 +75,23 @@ def test_filter_cache_hits(spark, seg):
     assert second == first
     assert s.filter_cache.hits >= 1
     assert s.filter_cache.misses == misses0  # no rebuild on the repeat
+
+
+def test_spell_suggest_ranked_by_distance_then_df(spark, seg):
+    """DirectSpellChecker analog: candidates from the terms dict, ranked
+    (distance asc, df desc, term asc); the input term itself excluded."""
+    s = Searcher(spark, seg)
+    rows = s.spell_suggest("improt", max_edits=2, k=5).collect()
+    assert rows, "no suggestions for a near-miss of 'import'"
+    assert rows[0]["term"] == "import"  # distance-2 transposition, high df
+    assert all(r["term"] != "improt" for r in rows)
+    keys = [(r["distance"], -r["df"], r["term"]) for r in rows]
+    assert keys == sorted(keys)
+
+
+def test_suggest_prefix_weight_order(spark, seg):
+    s = Searcher(spark, seg)
+    rows = s.suggest_prefix("re", k=10).collect()
+    assert rows and all(r["term"].startswith("re") for r in rows)
+    weights = [r["ttf"] for r in rows]
+    assert weights == sorted(weights, reverse=True)
