@@ -1435,3 +1435,95 @@ def query_elevation(spark, sf_dir):
         .limit(10)
         .select("doc_id", "score")
     )
+
+
+# ---------------------------------------------------------------------------
+# DisMax over two fields (search/DisjunctionMaxQuery.java, solr
+# DisMaxQParserPlugin): body = text, title = its first 5 tokens (heavy
+# overlap, so the tie formula is exercised); qf = body^1 title^2,
+# tie=0.3. score(doc) = sum over terms of max_f + tie*(sum_f - max_f).
+# Double-precision cross-engine mirror; the float32 engine path
+# (operators/dismax.py over per-field segments) is pinned to
+# tests/test_dismax.py.
+# ---------------------------------------------------------------------------
+
+_DM_TIE = 0.3
+_DM_TITLE = 5
+
+
+def _dm_field_cte(tag: str, boost: float) -> str:
+    src = "tokarr" if tag == "b" else "title"
+    return f"""{tag}_stats AS (SELECT avg(len(toks))::DOUBLE AS avgdl FROM {src}),
+{tag}_dl AS (SELECT doc_id, len(toks) AS dl FROM {src}),
+{tag}_pos AS (SELECT doc_id, unnest(toks) AS term FROM {src}),
+{tag}_tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM {tag}_pos
+             WHERE term IN ('key', 'order') GROUP BY 1, 2),
+{tag}_df AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS dft FROM {tag}_pos
+             WHERE term IN ('key', 'order') GROUP BY 1),
+{tag}_sc AS (SELECT tf.doc_id, tf.term,
+        {boost} * ln(1 + (n.n - d.dft + 0.5) / (d.dft + 0.5)) * tf.freq
+        / (tf.freq + {K1} * ((1 - {B}) + {B} * {duckdb_byte4_roundtrip_sql('dl.dl')} / s.avgdl)) AS s
+    FROM {tag}_tf tf JOIN {tag}_df d USING (term) JOIN {tag}_dl dl USING (doc_id)
+    CROSS JOIN nstat n CROSS JOIN {tag}_stats s)"""
+
+
+@register(
+    "dismax_query",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+title AS (SELECT doc_id, list_slice(toks, 1, {_DM_TITLE}) AS toks FROM tokarr),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM documents),
+{_dm_field_cte('b', 1.0)},
+{_dm_field_cte('t', 2.0)},
+allf AS (SELECT doc_id, term, s FROM b_sc UNION ALL SELECT doc_id, term, s FROM t_sc),
+dm AS (SELECT doc_id, term, max(s) + {_DM_TIE} * (sum(s) - max(s)) AS dmx
+       FROM allf GROUP BY 1, 2)
+SELECT doc_id, round(sum(dmx), 6) AS score FROM dm GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def dismax_query(spark, sf_dir):
+    """dismax(q='key order', qf='body^1 title^2', tie=0.3)."""
+    terms = ["key", "order"]
+    toks = _tokens(spark, sf_dir)
+    fields = {
+        "b": (toks, 1.0),
+        "t": (toks.select("doc_id", F.slice("tokens", 1, _DM_TITLE).alias("tokens")), 2.0),
+    }
+    parts = []
+    n_docs = toks.count()
+    for tag, (fdf, boost) in fields.items():
+        dl = fdf.select("doc_id", F.size("tokens").alias("dl"))
+        avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+        pos = fdf.select("doc_id", F.explode("tokens").alias("term")).filter(
+            F.col("term").isin(terms)
+        )
+        tf = pos.groupBy("doc_id", "term").agg(F.count("*").cast("double").alias("freq"))
+        df = pos.groupBy("term").agg(
+            F.countDistinct("doc_id").cast("double").alias("dft")
+        )
+        dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+        sc = (
+            tf.join(F.broadcast(df), "term")
+            .join(dl, "doc_id")
+            .withColumn("dlq", dlq)
+            .select(
+                "doc_id",
+                "term",
+                (
+                    F.lit(boost)
+                    * F.log(1.0 + (F.lit(float(n_docs)) - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                    * F.col("freq")
+                    / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.lit(avgdl)))
+                ).alias("s"),
+            )
+        )
+        parts.append(sc)
+    allf = parts[0].unionByName(parts[1])
+    dm = allf.groupBy("doc_id", "term").agg(
+        (F.max("s") + _DM_TIE * (F.sum("s") - F.max("s"))).alias("dmx")
+    )
+    return (
+        dm.groupBy("doc_id")
+        .agg(F.round(F.sum("dmx"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
