@@ -106,16 +106,34 @@ class Searcher:
             )
         return out
 
+    def fq_docs(self, fq: str) -> DataFrame:
+        """Materialize (and cache) the doc-id set of a filter query over
+        the stored fields — Solr's fq / Lucene's LRUQueryCache bitset.
+        ``fq`` is a SQL predicate over docmap columns (e.g.
+        ``"lang = 'python'"``); the set is keyed per bucket so the scorer
+        cogroups it without ever collecting it to the driver."""
+        bd = self.stats.bucket_docs
+        return self.filter_cache.get_or_build(
+            ("fq", fq),
+            lambda: self.docmap.filter(F.expr(fq)).select(
+                F.floor(F.col("doc_id") / bd).cast("long").alias("bucket"),
+                "doc_id",
+            ),
+        )
+
     def topk(
         self,
         query_text: str,
         k: int = 10,
         mode: str = "wand",
         op: str = "or",
+        fq: str | None = None,
     ) -> DataFrame:
         """Top-k BM25. ``mode``: 'wand' (block-max pruning) or 'exhaustive'.
         ``op``: 'or' (disjunction, sum of matching terms) or 'and'
-        (conjunction: doc must contain every query term)."""
+        (conjunction: doc must contain every query term). ``fq``: optional
+        filter query — SQL predicate over stored fields; restricts matches
+        without touching scores or corpus stats (Solr fq semantics)."""
         q_terms = sorted(set(tokenize_text(query_text)))
         stats = self.term_stats(q_terms)
         matched = sorted(stats)  # lexicographic — pinned summation order
@@ -133,6 +151,7 @@ class Searcher:
             len(q_terms),
             self.stats.avgdl,
             use_wand,
+            filter_docs=self.fq_docs(fq) if fq else None,
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -223,6 +242,7 @@ class Searcher:
         k: int = 10,
         mode: str = "wand",
         op: str = "or",
+        fq: str | None = None,
     ) -> DataFrame:
         """searchAfter deep paging (search/IndexSearcher.java#searchAfter,
         Solr cursorMark): return the k hits strictly after the cursor
@@ -250,6 +270,7 @@ class Searcher:
             self.stats.avgdl,
             use_wand=False,
             after=(after_score, after_doc),
+            filter_docs=self.fq_docs(fq) if fq else None,
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -465,6 +486,7 @@ def score_postings(
     use_wand: bool,
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket scoring plan over a postings table (per-leaf Scorer DAG +
     TopScoreDocCollector analog). Returns an un-merged DataFrame of local
@@ -472,7 +494,11 @@ def score_postings(
     ``deleted``: optional sorted int64 array of this segment's tombstoned
     doc_ids, masked out BEFORE local top-k selection (liveDocs analog).
     ``after``: optional (score, doc_id) cursor applied before the local
-    top-k (searchAfter paging)."""
+    top-k (searchAfter paging).
+    ``filter_docs``: optional (bucket, doc_id) DataFrame of docs passing a
+    filter query (fq). Cogrouped with the postings per bucket, so the
+    filter set never leaves the executors (the LRUQueryCache bitset
+    analog, distributed) — a bucket with no filter rows matches nothing."""
     matched = sorted(idfs)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -481,7 +507,27 @@ def score_postings(
         )
 
     rows = postings.filter(F.col("term").isin(matched))
-    return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+    if filter_docs is None:
+        return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+
+    def score_bucket_filtered(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if not len(left):
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+        base = int(left["first_doc"].min())
+        allowed_rel = right["doc_id"].to_numpy(dtype=np.int64) - base
+        return _score_bucket(
+            left, idfs, cache, k, op, n_query_terms, avgdl, use_wand,
+            deleted, after, allowed_rel=allowed_rel,
+        )
+
+    return (
+        rows.groupBy("bucket")
+        .cogroup(filter_docs.groupBy("bucket"))
+        .applyInPandas(score_bucket_filtered, _TOPK_SCHEMA)
+    )
 
 
 def score_query_postings(
@@ -651,8 +697,13 @@ def _score_bucket(
     use_wand: bool,
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
+    allowed_rel: np.ndarray | None = None,
 ) -> pd.DataFrame:
-    """Score one doc-space bucket (a 'leaf'). Returns its local top-k."""
+    """Score one doc-space bucket (a 'leaf'). Returns its local top-k.
+    ``allowed_rel``: optional bucket-relative doc ids passing a filter
+    query (fq) — docs outside it are treated exactly like tombstones
+    (never match, never hold a pruning-threshold slot; corpus stats are
+    untouched, matching Solr's fq semantics)."""
     base = int(pdf["first_doc"].min())
     span = int(pdf["last_doc"].max()) - base + 1
     acc = np.zeros(span, dtype=np.float32)
@@ -661,6 +712,13 @@ def _score_bucket(
         rel_deleted = deleted[(deleted >= base) & (deleted < base + span)] - base
     else:
         rel_deleted = np.array([], dtype=np.int64)
+    if allowed_rel is not None:
+        # fq mask -> excluded rel ids, merged into the tombstone set
+        allow_mask = np.zeros(span, dtype=bool)
+        ok = allowed_rel[(allowed_rel >= 0) & (allowed_rel < span)]
+        allow_mask[ok] = True
+        excluded = np.nonzero(~allow_mask)[0]
+        rel_deleted = np.union1d(rel_deleted, excluded)
     terms_sorted = sorted(idfs)  # lexicographic accumulation order (pinned)
     by_term = {t: g for t, g in pdf.groupby("term", sort=False)}
 

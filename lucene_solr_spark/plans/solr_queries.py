@@ -1527,3 +1527,69 @@ def dismax_query(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Filter query (Solr fq; search/LRUQueryCache.java bitset semantics):
+# results restricted to fq=lang:'en', BM25 scores and corpus stats
+# UNTOUCHED (the filter is a mask, not a query rewrite). Engine path:
+# Searcher.topk(fq=...) cogroups the cached docmap filter set per bucket
+# (tests/test_search_extras.py); this row is the double-precision
+# cross-engine mirror.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_query_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::DOUBLE AS n_total, avg(len(toks))::DOUBLE AS avgdl FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM pos WHERE term = 'order' GROUP BY doc_id),
+dft AS (SELECT count(DISTINCT doc_id)::DOUBLE AS dft FROM pos WHERE term = 'order')
+SELECT tf.doc_id AS doc_id,
+       round(ln(1 + (s.n_total - f.dft + 0.5) / (f.dft + 0.5)) * tf.freq
+             / (tf.freq + {K1} * ((1 - {B}) + {B} * {duckdb_byte4_roundtrip_sql('dl.dl')} / s.avgdl)),
+             6) AS score
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+JOIN documents d ON d.doc_id = tf.doc_id
+CROSS JOIN dft f CROSS JOIN stats s
+WHERE d.lang = 'en'
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def filter_query_topk(spark, sf_dir):
+    """q='order' with fq=lang:'en' — scores identical to the unfiltered
+    query (stats over the FULL corpus), result set masked."""
+    toks = _tokens(spark, sf_dir)
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        F.size(F.filter(F.col("tokens"), lambda x: x == "order"))
+        .cast("double")
+        .alias("freq"),
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+        F.sum((F.col("freq") > 0).cast("long")).cast("double").alias("dft"),
+    )
+    lang = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    return (
+        base.filter(F.col("freq") > 0)
+        .join(lang, "doc_id")
+        .filter(F.col("lang") == "en")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(1.0 + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+                * F.col("freq")
+                / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -95,3 +95,55 @@ def test_suggest_prefix_weight_order(spark, seg):
     assert rows and all(r["term"].startswith("re") for r in rows)
     weights = [r["ttf"] for r in rows]
     assert weights == sorted(weights, reverse=True)
+
+
+def test_fq_filters_without_changing_scores(spark, seg):
+    """Solr fq semantics: results restricted to the filter set, scores
+    and corpus stats untouched — identical to post-filtering the
+    unfiltered full ranking. Checked for BOTH wand and exhaustive (the
+    fq must also keep excluded docs out of the pruning threshold)."""
+    s = Searcher(spark, seg)
+    fq = "lang = 'python'"
+    allowed = {
+        int(r["doc_id"])
+        for r in s.docmap.filter("lang = 'python'").select("doc_id").collect()
+    }
+    assert 0 < len(allowed) < seg.stats.n_docs
+    full = _hits(s.topk(Q, k=N_DOCS, mode="exhaustive"))
+    want = [(d, sc) for d, sc in full if d in allowed][:10]
+    for mode in ("exhaustive", "wand"):
+        got = _hits(s.topk(Q, k=10, mode=mode, fq=fq))
+        assert got == want, f"fq mismatch in {mode}: {got[:3]} vs {want[:3]}"
+    assert want, "fq fixture vacuous"
+
+
+def test_fq_conjunction_and_cache(spark, seg):
+    s = Searcher(spark, seg)
+    fq = "lang = 'java' AND dl > 50"
+    misses0 = s.filter_cache.misses
+    a = _hits(s.topk(Q, k=10, op="and", fq=fq))
+    b = _hits(s.topk(Q, k=10, op="and", fq=fq))
+    assert a == b
+    assert s.filter_cache.misses == misses0 + 1  # second call hit the cache
+    allowed = {
+        int(r["doc_id"]) for r in s.docmap.filter(fq).select("doc_id").collect()
+    }
+    assert all(d in allowed for d, _ in a)
+
+
+def test_fq_empty_filter_set(spark, seg):
+    s = Searcher(spark, seg)
+    assert _hits(s.topk(Q, k=10, fq="lang = 'cobol'")) == []
+
+
+def test_fq_with_search_after(spark, seg):
+    """Deep paging under a filter: pages concatenate to the filtered
+    full ranking."""
+    s = Searcher(spark, seg)
+    fq = "lang = 'python'"
+    full = _hits(s.topk(Q, k=N_DOCS, mode="exhaustive", fq=fq))
+    assert len(full) > 10
+    page1 = _hits(s.topk(Q, k=10, fq=fq))
+    last_doc, last_score = page1[-1]
+    page2 = _hits(s.topk_after(Q, after=(last_score, last_doc), k=10, fq=fq))
+    assert page1 + page2 == full[:20]
