@@ -427,6 +427,58 @@ class Searcher:
             .select("doc_id", F.lit(float(boost)).cast("float").alias("score"))
         )
 
+    def match_docs(
+        self, query_text: str, op: str = "or", fq: str | None = None
+    ) -> DataFrame:
+        """All matching doc ids, unscored — the Solr DocSet analog
+        (search/DocSetCollector.java): the input to faceting/stats over a
+        result set. No BM25 work: postings decode + distinct, optional
+        conjunction count, optional fq semi-join."""
+        from .merge import decode_postings
+
+        q_terms = sorted(set(tokenize_text(query_text)))
+        if not q_terms:
+            return self.spark.createDataFrame([], "doc_id long")
+        rows = decode_postings(
+            self.postings.filter(F.col("term").isin(q_terms))
+        ).select("doc_id", "term")
+        if op == "and":
+            docs = (
+                rows.distinct()
+                .groupBy("doc_id")
+                .agg(F.count("*").alias("nt"))
+                .filter(F.col("nt") == len(q_terms))
+                .select("doc_id")
+            )
+        else:
+            docs = rows.select("doc_id").distinct()
+        if fq:
+            docs = docs.join(
+                self.fq_docs(fq).select("doc_id"), "doc_id", "left_semi"
+            )
+        return docs
+
+    def facet_field(
+        self,
+        query_text: str,
+        field: str,
+        k_buckets: int = 10,
+        op: str = "or",
+        fq: str | None = None,
+    ) -> DataFrame:
+        """facet.field over the q+fq RESULT SET (Solr SimpleFacets /
+        handler/component/FacetComponent.java): bucket counts of a stored
+        field among matching docs, ordered count desc then value asc
+        (facet.sort=count with the index tie-break)."""
+        docs = self.match_docs(query_text, op=op, fq=fq)
+        return (
+            docs.join(self.docmap.select("doc_id", field), "doc_id")
+            .groupBy(field)
+            .agg(F.count("*").alias("count"))
+            .orderBy(F.desc("count"), F.asc(field))
+            .limit(k_buckets)
+        )
+
     def spell_suggest(
         self, term: str, max_edits: int = 2, k: int = 5, min_df: int = 1
     ) -> DataFrame:

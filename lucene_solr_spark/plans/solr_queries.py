@@ -1593,3 +1593,70 @@ def filter_query_topk(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Faceting over a RESULT SET (Solr SimpleFacets / FacetComponent):
+# facet.field=lang over the docs matching q='order'. ENGINE-PATH row —
+# runs the real index (match_docs DocSet + docmap bucket counts), not a
+# re-expression; the oracle recomputes from raw text in SQL.
+# ---------------------------------------------------------------------------
+
+_ENGINE_SEG_CACHE: dict = {}
+
+
+def _engine_searcher(spark, sf_dir):
+    """One engine index per sf_dir, shared by engine-path driver rows."""
+    if sf_dir not in _ENGINE_SEG_CACHE:
+        from ..corpus import documents_as_corpus
+        from ..operators.indexer import build_index
+        from ..operators.search import Searcher
+
+        seg = build_index(
+            spark, documents_as_corpus(spark, sf_dir), out_dir=None
+        )
+        _ENGINE_SEG_CACHE[sf_dir] = Searcher(spark, seg)
+    return _ENGINE_SEG_CACHE[sf_dir]
+
+
+@register(
+    "facet_on_query",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order')
+SELECT d.lang AS lang, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+GROUP BY d.lang ORDER BY n_docs DESC, lang ASC LIMIT 10""",
+)
+def facet_on_query(spark, sf_dir):
+    """facet.field=lang over q='order' matches (count desc, value asc)."""
+    s = _engine_searcher(spark, sf_dir)
+    return (
+        s.facet_field("order", "lang", k_buckets=10)
+        .withColumnRenamed("count", "n_docs")
+    )
+
+
+@register(
+    "facet_on_query_filtered",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order')
+SELECT d.source AS source, count(*) AS n_docs
+FROM m JOIN documents d USING (doc_id)
+WHERE d.lang = 'en'
+GROUP BY d.source ORDER BY n_docs DESC, source ASC LIMIT 5""",
+)
+def facet_on_query_filtered(spark, sf_dir):
+    """facet.field=source over q='order' fq=lang:'en' — facet counts
+    respect the filter query. 'source' is not in the engine docmap (the
+    corpus adapter carries repo/path/lang), so the bucket column joins
+    from the raw table by doc_id — the external-field facet shape."""
+    s = _engine_searcher(spark, sf_dir)
+    docs = s.match_docs("order", fq="lang = 'en'")
+    src = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        docs.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(5)
+    )

@@ -147,3 +147,24 @@ def test_fq_with_search_after(spark, seg):
     last_doc, last_score = page1[-1]
     page2 = _hits(s.topk_after(Q, after=(last_score, last_doc), k=10, fq=fq))
     assert page1 + page2 == full[:20]
+
+
+def test_match_docs_and_facet(spark, seg):
+    """DocSet + facet.field over the result set: facet counts must equal
+    a direct recount over the matching docs."""
+    s = Searcher(spark, seg)
+    docs = {int(r["doc_id"]) for r in s.match_docs(Q, op="and").collect()}
+    per_term = [
+        {int(r["doc_id"]) for r in s.match_docs(t).collect()}
+        for t in Q.split()
+    ]
+    assert docs == set.intersection(*per_term) and docs
+    facets = s.facet_field(Q, "lang", op="and").collect()
+    want = {}
+    for r in s.docmap.select("doc_id", "lang").collect():
+        if int(r["doc_id"]) in docs:
+            want[r["lang"]] = want.get(r["lang"], 0) + 1
+    got = {r["lang"]: r["count"] for r in facets}
+    assert got == want
+    counts = [r["count"] for r in facets]
+    assert counts == sorted(counts, reverse=True)
