@@ -43,6 +43,7 @@ __all__ = [
     "Bool",
     "collect_terms",
     "collect_term_leaves",
+    "collect_fields",
     "collect_phrases",
     "rewrite",
     "eval_node",
@@ -51,10 +52,14 @@ __all__ = [
 
 @dataclass(frozen=True)
 class Term:
-    """A single-term scoring clause (search/TermQuery.java + BoostQuery)."""
+    """A single-term scoring clause (search/TermQuery.java + BoostQuery).
+    ``field=None`` means the searcher's default field; FieldedSearcher
+    rewrites fielded leaves to tagged term strings before the kernel runs,
+    so eval_node itself only ever sees plain term keys."""
 
     term: str
     boost: float = 1.0
+    field: str | None = None
 
 
 @dataclass(frozen=True)
@@ -63,11 +68,12 @@ class Phrase:
     BooleanClause). Scored like a pseudo-term: freq = (sloppy) phrase
     occurrences, idf = sum over the phrase terms' idfs. Requires a
     positional index; evaluated via the cogrouped scorer
-    (search.py#score_query_postings with positions)."""
+    (search.py#score_query_postings with positions). ``field`` as in Term."""
 
     terms: tuple
     slop: int = 0
     boost: float = 1.0
+    field: str | None = None
 
     def __post_init__(self):
         if not isinstance(self.terms, tuple):
@@ -119,6 +125,17 @@ def collect_term_leaves(node) -> set[str]:
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out |= collect_term_leaves(c)
+    return out
+
+
+def collect_fields(node) -> set:
+    """Field names used by Term/Phrase leaves (None = default field)."""
+    if isinstance(node, (Term, Phrase)):
+        return {node.field}
+    out: set = set()
+    for part in (node.must, node.should, node.must_not, node.filter):
+        for c in part:
+            out |= collect_fields(c)
     return out
 
 
@@ -200,7 +217,7 @@ def rewrite(node):
         if out.boost == 1.0:
             return lone
         if isinstance(lone, Term) and lone.boost == 1.0:
-            return Term(lone.term, out.boost)
+            return Term(lone.term, out.boost, lone.field)
         if isinstance(lone, Bool) and lone.boost == 1.0:
             return Bool(
                 must=lone.must,

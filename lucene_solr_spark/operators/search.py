@@ -163,9 +163,20 @@ class Searcher:
         merge/tie-break as the flat path. Reference: search/BooleanQuery.java,
         Boolean2ScorerSupplier.java, MinShouldMatchSumScorer.java,
         PhraseQuery.java (phrase as a BooleanClause)."""
-        from .query import collect_phrases, collect_term_leaves, collect_terms, rewrite
+        from .query import (
+            collect_fields,
+            collect_phrases,
+            collect_term_leaves,
+            collect_terms,
+            rewrite,
+        )
 
         q = rewrite(q)
+        if collect_fields(q) - {None}:
+            raise ValueError(
+                "field-scoped query on a single-field Searcher — use "
+                "operators.fields.FieldedSearcher"
+            )
         phrases = collect_phrases(q)
         stats = self.term_stats(sorted(collect_terms(q)))
         if not stats:
@@ -217,7 +228,12 @@ class Searcher:
         (identical scores: same freq kernel, same float32 formula)."""
         from .phrase import phrase_topk
 
-        _, terms, slop, boost = node
+        _, terms, slop, boost, field = node
+        if field is not None:
+            raise ValueError(
+                "field-scoped phrase on a single-field Searcher — use "
+                "operators.fields.FieldedSearcher"
+            )
         hits = phrase_topk(
             self.spark, self.segment, " ".join(terms), k=k, slop=slop
         )
@@ -591,8 +607,13 @@ def score_query_postings(
     deleted: np.ndarray | None = None,
     positions: DataFrame | None = None,
     phrase_idfs: dict | None = None,
+    caches: dict | None = None,
+    phrase_caches: dict | None = None,
 ) -> DataFrame:
     """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
+    ``caches``/``phrase_caches``: optional per-term / per-Phrase norm-cache
+    overrides (FieldedSearcher: each field has its own avgdl, so tagged
+    terms score with their field's cache; default = ``cache``).
     Same shape as score_postings: one applyInPandas leaf per bucket, local
     top-k out, caller merges globally.
 
@@ -619,12 +640,13 @@ def score_query_postings(
         tscores: dict[str, np.ndarray] = {}
         tmasks: dict[str, np.ndarray] = {}
         for t, g in pdf.groupby("term", sort=False):
+            cch = caches.get(t, cache) if caches else cache
             sarr = np.zeros(span, dtype=np.float32)
             marr = np.zeros(span, dtype=bool)
             for row in g.itertuples():
                 ids, freqs, norms = _decode_block(row)
                 rel = ids - base
-                sarr[rel] = bm25.score_block(freqs, norms, idfs[t], cache)
+                sarr[rel] = bm25.score_block(freqs, norms, idfs[t], cch)
                 marr[rel] = True
             tscores[t] = sarr
             tmasks[t] = marr
@@ -682,11 +704,12 @@ def score_query_postings(
                 sub = right[right["term"].isin(dterms)]
                 ids, freqs, norms = bucket_phrase_freqs(sub, offs, p.slop)
                 if ids.size:
+                    pcch = phrase_caches.get(p, cache) if phrase_caches else cache
                     f = freqs.astype(np.float32)
                     rel = ids - base
                     # float32 op order pinned to phrase.py/_phrase_score_bucket
                     sarr[rel] = (
-                        phrase_idfs[p] * (f / (f + cache[norms]))
+                        phrase_idfs[p] * (f / (f + pcch[norms]))
                     ).astype(np.float32)
                     marr[rel] = True
             pscores[p] = sarr

@@ -47,15 +47,17 @@ _TOKEN_RE = re.compile(
     \s*(
       \(                      # group open
     | \)                      # group close
-    | \[[^\]\}]*?\ TO\ [^\]\}]*?[\]\}]   # [a TO b] / [a TO b}
-    | \{[^\]\}]*?\ TO\ [^\]\}]*?[\]\}]   # {a TO b] / {a TO b}
-    | "[^"]*"(?:~\d+)?        # phrase with optional slop
+    | [+-]?(?:[A-Za-z_][A-Za-z0-9_]*:)?\[[^\]\}]*?\ TO\ [^\]\}]*?[\]\}]   # [a TO b] (opt. +/-, field:)
+    | [+-]?(?:[A-Za-z_][A-Za-z0-9_]*:)?\{[^\]\}]*?\ TO\ [^\]\}]*?[\]\}]   # {a TO b} (opt. +/-, field:)
+    | [+-]?(?:[A-Za-z_][A-Za-z0-9_]*:)?"[^"]*"(?:~\d+)?   # phrase (opt. +/-, field:)
     | \|\|                    # OR
     | &&                      # AND
-    | [^\s()"]+               # bare term-ish token
+    | [^\s()"]+               # bare term-ish token (may carry field:)
     )""",
     re.VERBOSE,
 )
+
+_FIELD_RE = re.compile(r"^([A-Za-z_][A-Za-z0-9_]*):(.+)$", re.DOTALL)
 
 
 class QueryParseError(ValueError):
@@ -82,22 +84,22 @@ def _split_boost(tok: str) -> tuple[str, float]:
     return tok, 1.0
 
 
-def _leaf(tok: str, boost: float):
+def _leaf(tok: str, boost: float, field: str | None = None):
     """One bare token -> leaf node or multi-term tuple."""
     # fuzzy: term~N or term~
     m = re.match(r"^([^~*?\[\]{}]+)~(\d*)$", tok)
     if m:
         edits = int(m.group(2)) if m.group(2) else 2
-        return ("fuzzy", _norm_term(m.group(1)), edits, boost)
+        return ("fuzzy", _norm_term(m.group(1)), edits, boost, field)
     if "*" in tok or "?" in tok:
-        return ("wildcard", tok.lower(), boost)
+        return ("wildcard", tok.lower(), boost, field)
     terms = tokenize_text(tok)
     if not terms:
         return None
     if len(terms) == 1:
-        return Term(terms[0], boost)
+        return Term(terms[0], boost, field)
     # analyzer split one input token (camelCase etc.) -> adjacent phrase
-    return ("phrase", terms, 0, boost)
+    return ("phrase", terms, 0, boost, field)
 
 
 def _norm_term(t: str) -> str:
@@ -172,13 +174,19 @@ def _parse_tokens(toks: list[str], i: int = 0, depth: int = 0):
             occur, body = "MUST", body[1:]
         elif body.startswith("-"):
             occur, body = "MUST_NOT", body[1:]
+        # optional field: prefix (classic `field:clause` scoping) — applies
+        # to the immediately following term/phrase/range/multi-term leaf
+        field = None
+        fm = _FIELD_RE.match(body)
+        if fm and body[0] not in "[{\"":
+            field, body = fm.group(1), fm.group(2)
         if body.startswith('"'):
             m = re.match(r'^"([^"]*)"(?:~(\d+))?$', body)
             if not m:
                 raise QueryParseError(f"bad phrase: {body!r}")
             slop = int(m.group(2)) if m.group(2) else 0
             terms = tokenize_text(m.group(1))
-            node = ("phrase", terms, slop, 1.0) if terms else None
+            node = ("phrase", terms, slop, 1.0, field) if terms else None
             push(node, occur)
             continue
         if body and body[0] in "[{":
@@ -187,10 +195,13 @@ def _parse_tokens(toks: list[str], i: int = 0, depth: int = 0):
                 raise QueryParseError(f"bad range: {body!r}")
             lo = None if m.group(2) == "*" else _norm_term(m.group(2))
             hi = None if m.group(3) == "*" else _norm_term(m.group(3))
-            push(("range", lo, hi, m.group(1) == "[", m.group(4) == "]"), occur)
+            push(
+                ("range", lo, hi, m.group(1) == "[", m.group(4) == "]", field),
+                occur,
+            )
             continue
         body, boost = _split_boost(body)
-        push(_leaf(body, boost), occur)
+        push(_leaf(body, boost, field), occur)
     if depth != 0:
         raise QueryParseError("unbalanced '('")
     return clauses, i
@@ -243,16 +254,21 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
         return node
     if isinstance(node, tuple):
         kind = node[0]
+        if kind in ("wildcard", "fuzzy", "range") and node[-1] is not None:
+            raise QueryParseError(
+                f"field-scoped {kind} queries need a per-field terms "
+                "dictionary (expand via that field's Searcher)"
+            )
         if kind == "wildcard":
-            _, pat, boost = node
+            _, pat, boost, _f = node
             terms = searcher.expand_terms(wildcard=pat, max_expansions=max_expansions)
             return Bool(should=tuple(Term(t) for t in terms), boost=boost)
         if kind == "fuzzy":
-            _, term, edits, boost = node
+            _, term, edits, boost, _f = node
             terms = searcher.expand_terms(fuzzy=(term, edits), max_expansions=max_expansions)
             return Bool(should=tuple(Term(t) for t in terms), boost=boost)
         if kind == "range":
-            _, lo, hi, inc_lo, inc_hi = node
+            _, lo, hi, inc_lo, inc_hi, _f = node
             terms = searcher.expand_terms(
                 term_range=(lo, hi), max_expansions=max_expansions
             )
@@ -269,8 +285,8 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
             # scored by the cogrouped postings+positions tree scorer
             from ..operators.query import Phrase
 
-            _, terms, slop, boost = node
-            return Phrase(terms=tuple(terms), slop=slop, boost=boost)
+            _, terms, slop, boost, field = node
+            return Phrase(terms=tuple(terms), slop=slop, boost=boost, field=field)
         raise QueryParseError(f"unknown leaf {kind}")
     if isinstance(node, Bool):
         def rs(part):

@@ -1660,3 +1660,69 @@ def facet_on_query_filtered(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("source"))
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Field-scoped query ('+title:key order' — MUST in one field, SHOULD in
+# another; queryparser/classic field scoping + per-field stats). title =
+# first 5 body tokens as in dismax_query. Double-precision cross-engine
+# mirror; the float32 engine path (operators/fields.py FieldedSearcher
+# tagged-term kernel) is pinned to tests/test_fields.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fielded_query",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+title AS (SELECT doc_id, list_slice(toks, 1, {_DM_TITLE}) AS toks FROM tokarr),
+nstat AS (SELECT count(*)::DOUBLE AS n FROM documents),
+{_dm_field_cte('b', 1.0)},
+{_dm_field_cte('t', 1.0)}
+SELECT t.doc_id AS doc_id, round(t.s + coalesce(b.s, 0), 6) AS score
+FROM (SELECT doc_id, s FROM t_sc WHERE term = 'key') t
+LEFT JOIN (SELECT doc_id, s FROM b_sc WHERE term = 'order') b USING (doc_id)
+ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def fielded_query(spark, sf_dir):
+    """'+title:key order': required term scored with the title field's
+    df/avgdl/norms, optional term with the body field's — per-field
+    Similarity stats, one ranking."""
+    toks = _tokens(spark, sf_dir)
+    fields = {
+        "b": (toks, "order"),
+        "t": (toks.select("doc_id", F.slice("tokens", 1, _DM_TITLE).alias("tokens")), "key"),
+    }
+    n_docs = toks.count()
+    scored = {}
+    for tag, (fdf, term) in fields.items():
+        dl = fdf.select("doc_id", F.size("tokens").alias("dl"))
+        avgdl = float(dl.agg(F.avg("dl")).collect()[0][0])
+        pos = fdf.select("doc_id", F.explode("tokens").alias("term")).filter(
+            F.col("term") == term
+        )
+        tf = pos.groupBy("doc_id").agg(F.count("*").cast("double").alias("freq"))
+        dft = float(tf.count())
+        dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+        scored[tag] = (
+            tf.join(dl, "doc_id")
+            .withColumn("dlq", dlq)
+            .select(
+                "doc_id",
+                (
+                    F.log(1.0 + (F.lit(float(n_docs)) - dft + 0.5) / (dft + 0.5))
+                    * F.col("freq")
+                    / (F.col("freq") + K1 * ((1 - B) + B * F.col("dlq") / F.lit(avgdl)))
+                ).alias("s"),
+            )
+        )
+    return (
+        scored["t"]
+        .withColumnRenamed("s", "ts")
+        .join(scored["b"].withColumnRenamed("s", "bs"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.round(F.col("ts") + F.coalesce(F.col("bs"), F.lit(0.0)), 6).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

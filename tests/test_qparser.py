@@ -67,20 +67,20 @@ def test_parse_group_with_modifier():
 
 
 def test_parse_phrase_and_slop():
-    assert parse('"key order"') == ("phrase", ["key", "order"], 0, 1.0)
-    assert parse('"key order"~2') == ("phrase", ["key", "order"], 2, 1.0)
+    assert parse('"key order"') == ("phrase", ["key", "order"], 0, 1.0, None)
+    assert parse('"key order"~2') == ("phrase", ["key", "order"], 2, 1.0, None)
 
 
 def test_parse_wildcard_fuzzy_range():
-    assert parse("sp*k") == ("wildcard", "sp*k", 1.0)
-    assert parse("sart~1") == ("fuzzy", "sart", 1, 1.0)
-    assert parse("[scan TO stream]") == ("range", "scan", "stream", True, True)
-    assert parse("{scan TO stream}") == ("range", "scan", "stream", False, False)
+    assert parse("sp*k") == ("wildcard", "sp*k", 1.0, None)
+    assert parse("sart~1") == ("fuzzy", "sart", 1, 1.0, None)
+    assert parse("[scan TO stream]") == ("range", "scan", "stream", True, True, None)
+    assert parse("{scan TO stream}") == ("range", "scan", "stream", False, False, None)
 
 
 def test_parse_analyzer_applies_to_terms():
     # camelCase input token splits under the pinned analyzer -> phrase
-    assert parse("getNode") == ("phrase", ["get", "node"], 0, 1.0)
+    assert parse("getNode") == ("phrase", ["get", "node"], 0, 1.0, None)
     assert parse("SPARK") == Term("spark")
 
 
