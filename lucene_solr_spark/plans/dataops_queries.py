@@ -541,3 +541,71 @@ def dedup_embedding_lsh(spark, sf_dir):
         .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization (session windows with a 30-min inactivity gap) — the
+# batch mirror of the stateful-streaming operator
+# (streaming/sessionize.py). Exact: microsecond arithmetic both sides.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "sessionize_events",
+    f"""WITH lagd AS (
+  SELECT user_id, epoch_us(ts) AS tus,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events),
+marks AS (SELECT user_id, tus,
+                 CASE WHEN prev IS NULL OR tus - prev > {_SESSION_GAP_US}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM lagd),
+sess AS (SELECT user_id, tus,
+                sum(new_s) OVER (PARTITION BY user_id ORDER BY tus
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+         FROM marks)
+SELECT user_id, count(*) AS n_events,
+       (max(tus) - min(tus))::BIGINT AS duration_us,
+       min(tus)::BIGINT AS start_us
+FROM sess GROUP BY user_id, sid
+ORDER BY n_events DESC, user_id ASC, start_us ASC LIMIT 10""",
+)
+def sessionize_events(spark, sf_dir):
+    """Top-10 sessions by event count: per-user 30-min-gap session
+    windows via lag + running sum (one shuffle on user_id; all window
+    work stays partition-local)."""
+    from pyspark.sql import Window
+
+    # ts is TIMESTAMP_NTZ; session tz is pinned UTC, so the cast matches
+    # DuckDB's naive-as-UTC epoch_us exactly
+    e = _read(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("tus"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = e.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull() | (F.col("tus") - F.col("prev") > _SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("tus").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sess = marks.withColumn("sid", F.sum("new_s").over(wcum))
+    return (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+            F.min("tus").cast("long").alias("start_us"),
+        )
+        .drop("sid")
+        .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("start_us"))
+        .limit(10)
+    )

@@ -89,3 +89,95 @@ def test_streaming_ingest_resume_and_compact(spark, corpus, tmp_path):
         a = [(r["doc_id"], r["score"]) for r in s_stream.topk(q, k=10).collect()]
         b = [(r["doc_id"], r["score"]) for r in s_ctrl.topk(q, k=10).collect()]
         assert a == b, f"streamed+compacted != batch control for {q!r}"
+
+
+def test_stateful_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session windows: closed sessions emitted
+    across three drains (time-split chunks + a watermark-advancing
+    sentinel) must equal the batch sessionization of the full event set."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from lucene_solr_spark.plans.driver_queries import _read
+    from lucene_solr_spark.streaming.sessionize import (
+        SESSION_GAP_US,
+        sessionize_available,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    events = _read(spark, sf_dir, "events")
+    mid, hi = events.selectExpr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), 0.5)",
+        "max(unix_micros(CAST(ts AS TIMESTAMP)))",
+    ).collect()[0]
+    mid = int(mid)
+
+    input_dir = str(tmp_path / "ev_in")
+    out_dir = str(tmp_path / "ev_out")
+    ckpt = str(tmp_path / "ev_ckpt")
+
+    def land(df, name):
+        tmp = tempfile.mkdtemp()
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        os.makedirs(input_dir, exist_ok=True)
+        (part,) = glob.glob(os.path.join(tmp, "part-*.parquet"))
+        shutil.move(part, os.path.join(input_dir, f"{name}.parquet"))
+        shutil.rmtree(tmp)
+
+    tus = F.unix_micros(F.col("ts").cast("timestamp"))
+    land(events.filter(tus <= mid), "c0")
+    sessionize_available(spark, input_dir, out_dir, ckpt)
+    land(events.filter(tus > mid), "c1")
+    sessionize_available(spark, input_dir, out_dir, ckpt)
+    # sentinel far past the end: watermark passes every last+gap -> all
+    # remaining open sessions time out and flush
+    sentinel = spark.createDataFrame(
+        [(10**9, None, -1, "flush", 0.0, "{}")],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    ).withColumn(
+        "ts",
+        F.timestamp_micros(F.lit(int(hi) + 100 * SESSION_GAP_US)).cast(
+            "timestamp_ntz"
+        ),
+    )
+    land(sentinel, "c2")
+    sessionize_available(spark, input_dir, out_dir, ckpt)
+    land(sentinel.withColumn("event_id", F.lit(10**9 + 1)), "c3")
+    sessionize_available(spark, input_dir, out_dir, ckpt)
+
+    got = {
+        (r["user_id"], r["start_us"], r["n_events"], r["duration_us"])
+        for r in spark.read.parquet(out_dir).filter("user_id >= 0").collect()
+    }
+    # full batch mirror (no limit) for the comparison
+    from pyspark.sql import Window
+
+    e = events.select(
+        "user_id", "event_id", tus.alias("tus"), "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marks = e.withColumn("prev", F.lag("tus").over(w)).withColumn(
+        "new_s",
+        F.when(
+            F.col("prev").isNull()
+            | (F.col("tus") - F.col("prev") > SESSION_GAP_US),
+            1,
+        ).otherwise(0),
+    )
+    wcum = Window.partitionBy("user_id").orderBy("tus").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    want = {
+        (r["user_id"], r["start_us"], r["n_events"], r["duration_us"])
+        for r in marks.withColumn("sid", F.sum("new_s").over(wcum))
+        .groupBy("user_id", "sid")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max("tus") - F.min("tus")).cast("long").alias("duration_us"),
+            F.min("tus").cast("long").alias("start_us"),
+        )
+        .collect()
+    }
+    assert got == want and got
