@@ -1726,3 +1726,78 @@ def fielded_query(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON Facet API nested facet (search/facet/FacetRequest.java,
+# FacetField.java): terms facet on lang with a stats subfacet
+# (avg n_chars) and a nested terms subfacet (top source per bucket).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_facet_nested",
+    """WITH l AS (SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_len
+          FROM documents GROUP BY lang),
+s AS (SELECT lang, source, count(*) AS c,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rn
+      FROM documents GROUP BY lang, source)
+SELECT l.lang AS lang, l.n_docs AS n_docs, l.avg_len AS avg_len,
+       s.source AS top_source, s.c AS top_source_n
+FROM l JOIN s ON s.lang = l.lang AND s.rn = 1
+ORDER BY l.n_docs DESC, l.lang ASC LIMIT 5""",
+)
+def json_facet_nested(spark, sf_dir):
+    """json.facet: terms(lang){ avg(n_chars), terms(source, limit:1) } —
+    each nesting level is one grouped agg; the subfacet's per-bucket
+    top-1 is a window row_number (two shuffles total, both on small
+    keys)."""
+    d = _read(spark, sf_dir, "documents")
+    l = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.round(F.avg("n_chars"), 6).alias("avg_len")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("source"))
+    s = (
+        d.groupBy("lang", "source")
+        .agg(F.count("*").alias("c"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "lang",
+            F.col("source").alias("top_source"),
+            F.col("c").alias("top_source_n"),
+        )
+    )
+    return (
+        l.join(s, "lang")
+        .select("lang", "n_docs", "avg_len", "top_source", "top_source_n")
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Real-time get (solr handler/component/RealTimeGetComponent.java): fetch
+# stored fields by id straight from the doc store. ENGINE-PATH row: reads
+# the engine's docmap (stored-fields store); equality of content length
+# with the raw table proves stored-field fidelity end to end.
+# ---------------------------------------------------------------------------
+
+_RTG_IDS = (1, 5, 9)
+
+
+@register(
+    "realtime_get",
+    f"""SELECT doc_id, lang, length(text) AS n_chars_stored
+FROM documents WHERE doc_id IN {str(_RTG_IDS)} ORDER BY doc_id""",
+)
+def realtime_get(spark, sf_dir):
+    """RTG by id from the stored-fields store (docmap), no search."""
+    s = _engine_searcher(spark, sf_dir)
+    return (
+        s.docmap.filter(F.col("doc_id").isin(list(_RTG_IDS)))
+        .select(
+            "doc_id", "lang", F.length("content").alias("n_chars_stored")
+        )
+        .orderBy("doc_id")
+    )
