@@ -139,19 +139,21 @@ def _doclen_partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def _docmap_with_norms(docmap_base: DataFrame, postings: DataFrame) -> DataFrame:
-    """Join dl/norm_byte (derived from posting blocks) onto the doc rows.
-    Zero-token docs have no postings -> dl=0, norm byte4(0)=0."""
-    doclen = (
+def _norms_from_postings(postings: DataFrame) -> DataFrame:
+    """Per-doc (dl, norm_byte) derived from the finished posting blocks —
+    the NormsConsumer analog, kept as its OWN narrow table (the .nvd/.nvm
+    files). Deliberately NOT joined into the stored-fields docmap at build
+    time: that join would shuffle the wide content column, which at the
+    500k-doc scaling level measurably wrecks weak-scaling efficiency on a
+    shared memory bus (and at 100 TB is pure wasted IO). Readers that need
+    dl/norm_byte get the lazily-joined view from Segment.table("docmap")."""
+    return (
         postings.select("doc_bin", "freq_bin", "norm_bin")
         .mapInPandas(_doclen_partials, "doc_id long, dl_part long, norm_byte int")
         .groupBy("doc_id")
         .agg(
             F.sum("dl_part").alias("dl"), F.max("norm_byte").alias("norm_byte")
         )
-    )
-    return docmap_base.join(doclen, "doc_id", "left").na.fill(
-        {"dl": 0, "norm_byte": 0}
     )
 
 
@@ -427,8 +429,17 @@ def assemble_segment(
                 "postings",
             )
         postings = spark.read.parquet(os.path.join(seg_path, "postings"))
+        norms = None
         if "dl" not in docmap.columns:
-            docmap = _docmap_with_norms(docmap, postings)
+            if not phase_complete(seg_path, "norms"):
+                write_table(
+                    _norms_from_postings(postings)
+                    .repartitionByRange(max(shuffle_n // 4, 1), "doc_id")
+                    .sortWithinPartitions("doc_id"),
+                    seg_path,
+                    "norms",
+                )
+            norms = spark.read.parquet(os.path.join(seg_path, "norms"))
         if not phase_complete(seg_path, "terms"):
             write_table(
                 _terms_from(postings).repartitionByRange(
@@ -457,29 +468,37 @@ def assemble_segment(
             positions = spark.read.parquet(os.path.join(seg_path, "positions"))
     else:
         postings = blocks.persist()
+        norms = None
         if "dl" not in docmap.columns:
-            docmap = _docmap_with_norms(docmap, postings)
+            norms = _norms_from_postings(postings).persist()
         terms = _terms_from(postings).persist()
+        # count BEFORE the persist mark: column pruning makes this a narrow
+        # scan of the source rows; marking persist first would force the
+        # whole stored-fields cache (content column) to materialize inside
+        # the build — the cache fills lazily on first docmap read instead
+        # (the disk path pays its stored-fields cost as the docmap parquet
+        # write above, exactly like Lucene's .fdt flush)
+        n_docs_pre = docmap.count()
         docmap = docmap.persist()
         if positions is not None:
             positions = positions.persist()
 
     # ---- stats + manifest (lineage/metrics) --------------------------------
     # all postings-derived stats come off the small cached terms dict
-    # (n_postings == sum of per-term df) — no extra scan over the blocks
-    agg = docmap.agg(
-        F.count("*").alias("n"), F.sum("dl").alias("sum_ttf")
-    ).collect()[0]
+    # (n_postings == sum of per-term df; sum_ttf == sum of per-term ttf ==
+    # sum of doc lengths) — no scan ever touches the wide stored fields
+    n_docs = n_docs_pre if not seg_path else docmap.count()
     pagg = terms.agg(
         F.sum("n_blocks").alias("nblocks"),
         F.sum("df").alias("n_postings"),
+        F.sum("ttf").alias("sum_ttf"),
         F.sum("packed_bytes").alias("packed"),
         F.count("*").alias("nterms"),
     ).collect()[0]
     nterms = int(pagg["nterms"] or 0)
     stats = SegmentStats(
-        n_docs=int(agg["n"]),
-        sum_ttf=int(agg["sum_ttf"] or 0),
+        n_docs=int(n_docs),
+        sum_ttf=int(pagg["sum_ttf"] or 0),
         n_terms=int(nterms),
         n_postings=int(pagg["n_postings"] or 0),
         packed_bytes=int(pagg["packed"] or 0),
@@ -487,6 +506,8 @@ def assemble_segment(
     )
     seg = Segment(segment_id=seg_id, stats=stats, path=seg_path)
     seg.dfs = {"docmap": docmap, "terms": terms, "postings": postings}
+    if norms is not None:
+        seg.dfs["norms"] = norms
     if positions is not None:
         seg.dfs["positions"] = positions
     if seg_path:
@@ -496,6 +517,7 @@ def assemble_segment(
                 "postings": f"complete ({int(pagg['nblocks'])} blocks)",
                 "terms": "complete",
                 "docmap": "complete",
+                **({"norms": "complete"} if norms is not None else {}),
                 **({"positions": "complete"} if positions is not None else {}),
                 "metrics": {
                     "docs_indexed": stats.n_docs,

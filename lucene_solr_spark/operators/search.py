@@ -111,15 +111,27 @@ class Searcher:
         the stored fields — Solr's fq / Lucene's LRUQueryCache bitset.
         ``fq`` is a SQL predicate over docmap columns (e.g.
         ``"lang = 'python'"``); the set is keyed per bucket so the scorer
-        cogroups it without ever collecting it to the driver."""
+        cogroups it without ever collecting it to the driver. Predicates
+        touching only stored columns run against the raw stored-fields
+        table (join-free plan); only dl/norm_byte predicates pay the lazy
+        norms join."""
         bd = self.stats.bucket_docs
-        return self.filter_cache.get_or_build(
-            ("fq", fq),
-            lambda: self.docmap.filter(F.expr(fq)).select(
+
+        def build() -> DataFrame:
+            from pyspark.errors.exceptions.base import AnalysisException
+
+            base = self.segment.stored_fields(self.spark)
+            try:
+                out = base.filter(F.expr(fq))
+                out.schema  # force analysis: unknown column -> fall back
+            except AnalysisException:
+                out = self.docmap.filter(F.expr(fq))
+            return out.select(
                 F.floor(F.col("doc_id") / bd).cast("long").alias("bucket"),
                 "doc_id",
-            ),
-        )
+            )
+
+        return self.filter_cache.get_or_build(("fq", fq), build)
 
     def topk(
         self,

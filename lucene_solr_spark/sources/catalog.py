@@ -59,10 +59,43 @@ class Segment:
     lineage: list[str] = field(default_factory=list)
 
     def table(self, spark: SparkSession, name: str) -> DataFrame:
+        if name == "docmap":
+            return self._docmap_view(spark)
         if name in self.dfs:
             return self.dfs[name]
         assert self.path, f"segment has no path and no cached df for {name}"
         return spark.read.parquet(os.path.join(self.path, name))
+
+    def _docmap_view(self, spark: SparkSession) -> DataFrame:
+        """The docmap is stored fields + per-doc norms. Norms live in their
+        own narrow table (Lucene's .nvd/.nvm files next to the .fdt stored
+        fields) so the BUILD never shuffles the wide content column; this
+        view joins them back lazily for readers that want dl/norm_byte.
+        Zero-token docs have no norms row -> dl=0, norm 0."""
+        if "_docmap_view" in self.dfs:
+            return self.dfs["_docmap_view"]
+        dm = self.stored_fields(spark)
+        if "dl" not in dm.columns and self.has_table("norms"):
+            norms = (
+                self.dfs["norms"]
+                if "norms" in self.dfs
+                else spark.read.parquet(os.path.join(self.path, "norms"))
+            )
+            dm = dm.join(norms, "doc_id", "left").na.fill(
+                {"dl": 0, "norm_byte": 0}
+            )
+            self.dfs["_docmap_view"] = dm  # cache the composed (lazy) view
+        return dm
+
+    def stored_fields(self, spark: SparkSession) -> DataFrame:
+        """The raw stored-fields table WITHOUT the norms join — for readers
+        whose predicates/projections touch only stored columns (keeps their
+        plans join-free)."""
+        dm = self.dfs.get("docmap")
+        if dm is None:
+            assert self.path, "segment has no path and no cached df for docmap"
+            dm = spark.read.parquet(os.path.join(self.path, "docmap"))
+        return dm
 
     def has_table(self, name: str) -> bool:
         if name in self.dfs:
