@@ -167,7 +167,7 @@ class Searcher:
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def topk_query(self, q, k: int = 10) -> DataFrame:
+    def topk_query(self, q, k: int = 10, fq: str | None = None) -> DataFrame:
         """Top-k BM25 for a Boolean query tree (operators/query.py) — the
         IndexSearcher#search(BooleanQuery) analog. The tree (nested bool,
         minShouldMatch, per-clause boost, MUST_NOT, FILTER, Phrase clauses)
@@ -215,10 +215,11 @@ class Searcher:
         per_bucket = score_query_postings(
             self.postings, q, idfs, self._cache, k,
             positions=positions, phrase_idfs=phrase_idfs,
+            filter_docs=self.fq_docs(fq) if fq else None,
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
-    def search(self, query_string: str, k: int = 10) -> DataFrame:
+    def search(self, query_string: str, k: int = 10, fq: str | None = None) -> DataFrame:
         """Parse a classic Lucene query string (plans/qparser.py —
         queryparser/classic/QueryParser.jj analog) and execute it: pure
         phrases route to the positional matcher, multi-term leaves
@@ -230,10 +231,17 @@ class Searcher:
 
         node = parse(query_string)
         if isinstance(node, tuple) and node[0] == "phrase":
-            return self._phrase_tuple_topk(node, k)
-        node = resolve_multi_terms(node, self)
-        assert not _contains_tuple(node), "unresolved leaf after rewrite"
-        return self.topk_query(node, k=k)
+            if fq is None:
+                return self._phrase_tuple_topk(node, k)
+            # fq-ed pure phrase: route through the tree scorer (identical
+            # scores; the tree path carries the filter cogroup)
+            from .query import Phrase
+
+            node = Phrase(tuple(node[1]), node[2], node[3], node[4])
+        else:
+            node = resolve_multi_terms(node, self)
+            assert not _contains_tuple(node), "unresolved leaf after rewrite"
+        return self.topk_query(node, k=k, fq=fq)
 
     def _phrase_tuple_topk(self, node: tuple, k: int) -> DataFrame:
         """Standalone phrase fast path — skips the Boolean tree entirely
@@ -621,8 +629,13 @@ def score_query_postings(
     phrase_idfs: dict | None = None,
     caches: dict | None = None,
     phrase_caches: dict | None = None,
+    filter_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
+    ``filter_docs``: optional (bucket, doc_id) fq set — same semantics as
+    score_postings: mask-only, stats untouched. Without phrases it rides
+    the free cogroup slot; with phrases its rows join the positions side
+    tagged with the impossible term '' and are split back in the leaf.
     ``caches``/``phrase_caches``: optional per-term / per-Phrase norm-cache
     overrides (FieldedSearcher: each field has its own avgdl, so tagged
     terms score with their field's cache; default = ``cache``).
@@ -647,6 +660,7 @@ def score_query_postings(
     phrase_meta = {
         p: (phrase_offsets(p.terms), sorted(set(p.terms))) for p in phrase_idfs
     }
+    has_filter = filter_docs is not None  # closures must not capture the DF
 
     def term_dense(pdf: pd.DataFrame, base: int, span: int):
         tscores: dict[str, np.ndarray] = {}
@@ -664,7 +678,17 @@ def score_query_postings(
             tmasks[t] = marr
         return tscores, tmasks
 
-    def local_topk(mask: np.ndarray, score: np.ndarray, base: int) -> pd.DataFrame:
+    def local_topk(
+        mask: np.ndarray,
+        score: np.ndarray,
+        base: int,
+        allowed_rel: np.ndarray | None = None,
+    ) -> pd.DataFrame:
+        if allowed_rel is not None:
+            allow = np.zeros(mask.size, dtype=bool)
+            ok = allowed_rel[(allowed_rel >= 0) & (allowed_rel < mask.size)]
+            allow[ok] = True
+            mask = mask & allow
         if deleted is not None and deleted.size:
             span = mask.size
             rel_del = deleted[(deleted >= base) & (deleted < base + span)] - base
@@ -706,6 +730,11 @@ def score_query_postings(
             )
         base = min(lo)
         span = max(hi) - base + 1
+        allowed_rel = None
+        if has_filter:
+            fmask = right["term"] == ""
+            allowed_rel = right.loc[fmask, "doc_id"].to_numpy(dtype=np.int64) - base
+            right = right.loc[~fmask]
         tscores, tmasks = term_dense(left, base, span)
         pscores: dict = {}
         pmasks: dict = {}
@@ -727,13 +756,44 @@ def score_query_postings(
             pscores[p] = sarr
             pmasks[p] = marr
         mask, score = eval_node(q, tscores, tmasks, span, pscores, pmasks)
-        return local_topk(mask, score, base)
+        return local_topk(mask, score, base, allowed_rel)
+
+    def score_bucket_filtered(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # no phrases: the free cogroup slot carries the fq doc set
+        if not len(left):
+            return pd.DataFrame(
+                {"doc_id": np.array([], dtype=np.int64),
+                 "score": np.array([], dtype=np.float32)}
+            )
+        base = int(left["first_doc"].min())
+        span = int(left["last_doc"].max()) - base + 1
+        tscores, tmasks = term_dense(left, base, span)
+        mask, score = eval_node(q, tscores, tmasks, span)
+        allowed_rel = right["doc_id"].to_numpy(dtype=np.int64) - base
+        return local_topk(mask, score, base, allowed_rel)
 
     rows = postings.filter(F.col("term").isin(matched))
     if positions is None or not phrase_meta:
-        return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+        if filter_docs is None:
+            return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+        return (
+            rows.groupBy("bucket")
+            .cogroup(filter_docs.groupBy("bucket"))
+            .applyInPandas(score_bucket_filtered, _TOPK_SCHEMA)
+        )
     pos_terms = sorted({t for _, dterms in phrase_meta.values() for t in dterms})
     posrows = positions.filter(F.col("term").isin(pos_terms))
+    if filter_docs is not None:
+        markers = filter_docs.select(
+            F.lit("").alias("term"),
+            "bucket",
+            "doc_id",
+            F.lit(0).alias("norm_byte"),
+            F.lit(None).cast("binary").alias("pos_bin"),
+        )
+        posrows = posrows.select(
+            "term", "bucket", "doc_id", "norm_byte", "pos_bin"
+        ).unionByName(markers)
     return (
         rows.groupBy("bucket")
         .cogroup(posrows.groupBy("bucket"))

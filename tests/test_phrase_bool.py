@@ -155,3 +155,61 @@ def test_sloppy_repeats_in_tree(searcher, oracle, vocab):
     ]
     want = [(d, np.float32(s)) for d, s in oracle.topk_bool(q, k=10)]
     assert got == want
+
+
+def test_tree_fq_equals_post_filter(searcher, vocab):
+    """fq on Boolean trees (with and without phrase clauses): identical to
+    post-filtering the unfiltered full ranking — scores untouched."""
+    (a, b), _, _, c1, _ = vocab
+    fq = "lang = 'python'"
+    allowed = {
+        int(r["doc_id"])
+        for r in searcher.docmap.filter(fq).select("doc_id").collect()
+    }
+    assert allowed
+    trees = [
+        Bool(should=(Term(a), Term(c1))),
+        Bool(must=(Phrase((a, b)),), should=(Term(c1),)),
+        Phrase((a, b)),
+    ]
+    for q in trees:
+        full = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.topk_query(q, k=100000).collect()
+        ]
+        want = [(d, s) for d, s in full if d in allowed][:10]
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in searcher.topk_query(q, k=10, fq=fq).collect()
+        ]
+        assert got == want, f"{q}: {got[:3]} vs {want[:3]}"
+    assert want is not None
+
+
+def test_search_string_with_fq(searcher, vocab):
+    (a, b), _, _, c1, _ = vocab
+    fq = "lang = 'java'"
+    qs = f'+"{a} {b}" {c1}'
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(qs, k=10, fq=fq).collect()
+    ]
+    allowed = {
+        int(r["doc_id"])
+        for r in searcher.docmap.filter(fq).select("doc_id").collect()
+    }
+    unfiltered = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(qs, k=100000).collect()
+    ]
+    assert got == [(d, s) for d, s in unfiltered if d in allowed][:10]
+    # pure-phrase string with fq routes through the tree scorer
+    ph = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(f'"{a} {b}"', k=10, fq=fq).collect()
+    ]
+    ph_full = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.search(f'"{a} {b}"', k=100000).collect()
+    ]
+    assert ph == [(d, s) for d, s in ph_full if d in allowed][:10]
