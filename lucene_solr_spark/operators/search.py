@@ -115,23 +115,9 @@ class Searcher:
         touching only stored columns run against the raw stored-fields
         table (join-free plan); only dl/norm_byte predicates pay the lazy
         norms join."""
-        bd = self.stats.bucket_docs
-
-        def build() -> DataFrame:
-            from pyspark.errors.exceptions.base import AnalysisException
-
-            base = self.segment.stored_fields(self.spark)
-            try:
-                out = base.filter(F.expr(fq))
-                out.schema  # force analysis: unknown column -> fall back
-            except AnalysisException:
-                out = self.docmap.filter(F.expr(fq))
-            return out.select(
-                F.floor(F.col("doc_id") / bd).cast("long").alias("bucket"),
-                "doc_id",
-            )
-
-        return self.filter_cache.get_or_build(("fq", fq), build)
+        return self.filter_cache.get_or_build(
+            ("fq", fq), lambda: build_fq_docs(self.spark, self.segment, fq)
+        )
 
     def topk(
         self,
@@ -561,6 +547,25 @@ class Searcher:
     ) -> DataFrame:
         """TermRangeQuery [lo, hi) -> constant-score union."""
         return self.topk_constant(self.expand_terms(term_range=(lo, hi)), k)
+
+
+def build_fq_docs(spark: SparkSession, segment: Segment, fq: str) -> DataFrame:
+    """(bucket, doc_id) set of one segment's docs passing an fq predicate.
+    Stored-column predicates run join-free against the raw stored-fields
+    table; dl/norm_byte predicates fall back to the composed docmap view."""
+    from pyspark.errors.exceptions.base import AnalysisException
+
+    bd = segment.stats.bucket_docs
+    base = segment.stored_fields(spark)
+    try:
+        out = base.filter(F.expr(fq))
+        out.schema  # force analysis: unknown column -> fall back
+    except AnalysisException:
+        out = segment.table(spark, "docmap").filter(F.expr(fq))
+    return out.select(
+        F.floor(F.col("doc_id") / bd).cast("long").alias("bucket"),
+        "doc_id",
+    )
 
 
 def score_postings(
@@ -1134,7 +1139,14 @@ class MultiSearcher:
             )
         return out
 
-    def topk(self, query_text: str, k: int = 10, mode: str = "wand", op: str = "or") -> DataFrame:
+    def topk(
+        self,
+        query_text: str,
+        k: int = 10,
+        mode: str = "wand",
+        op: str = "or",
+        fq: str | None = None,
+    ) -> DataFrame:
         q_terms = sorted(set(tokenize_text(query_text)))
         stats = self.term_stats(q_terms)
         matched = sorted(stats)
@@ -1157,6 +1169,7 @@ class MultiSearcher:
                 self.avgdl,
                 use_wand,
                 deleted=self._deleted.get(s.segment_id),
+                filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
             )
             base = self.doc_base[s.segment_id]
             per_seg.append(
@@ -1172,7 +1185,7 @@ class MultiSearcher:
             u = u.unionByName(p)
         return u.orderBy(F.desc("score"), F.asc("gdoc_id")).limit(k)
 
-    def topk_query(self, q, k: int = 10) -> DataFrame:
+    def topk_query(self, q, k: int = 10, fq: str | None = None) -> DataFrame:
         """Boolean-tree (and Phrase-clause) search across the catalog —
         the distributed IndexSearcher#search(BooleanQuery) analog. Global
         stats (summed df / N / avgdl) feed EVERY segment's leaf scorer, so
@@ -1215,6 +1228,7 @@ class MultiSearcher:
                 deleted=self._deleted.get(s.segment_id),
                 positions=positions,
                 phrase_idfs=phrase_idfs,
+                filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
             )
             base = self.doc_base[s.segment_id]
             per_seg.append(

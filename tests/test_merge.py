@@ -238,3 +238,26 @@ def test_multisearcher_phrase_tree_equals_single(spark, seg_full_pos, catalog_tw
         assert a == b, f"multi phrase tree != single for {q!r}"
         any_hits = any_hits or bool(a)
     assert any_hits, "all phrase trees vacuous — fixture terms wrong"
+
+
+def test_multisearcher_fq_equals_single(spark, seg_full, catalog_two):
+    """Distributed q+fq: MultiSearcher with an fq must equal the
+    single-segment fq result (global ids line up by construction)."""
+    from lucene_solr_spark.operators.query import Bool, Term
+
+    single = Searcher(spark, seg_full)
+    multi = MultiSearcher.from_catalog(spark, catalog_two)
+    fq = "lang = 'python'"
+    a = _hits(single.topk("import return", k=10, fq=fq))
+    b = [
+        (int(r["gdoc_id"]), float(r["score"]))
+        for r in multi.topk("import return", k=10, fq=fq).collect()
+    ]
+    assert a == b and a
+    q = Bool(must=(Term("import"),), should=(Term("public"),))
+    c = _hits(single.topk_query(q, k=10, fq=fq))
+    d = [
+        (int(r["gdoc_id"]), float(r["score"]))
+        for r in multi.topk_query(q, k=10, fq=fq).collect()
+    ]
+    assert c == d and c
