@@ -25,6 +25,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from lucene_solr_spark.plans.driver_queries import ORACLES, REGISTRY  # noqa: E402
 import lucene_solr_spark.plans.dataops_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.solr_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.extra_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
