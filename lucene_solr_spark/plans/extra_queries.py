@@ -367,3 +367,181 @@ def char_filter_tokens(spark, sf_dir):
         .crossJoin(n_filt.select(F.col("n").alias("n_terms_filtered")))
         .crossJoin(n_tok.select(F.col("n").alias("n_tokens")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition filters (Rae et al. 2021 "Scaling Language Models:
+# ... Gopher" §A1.1; the standard pre-training repetition gates). The corpus
+# is single-line, so the line-based rules are expressed at token level:
+#   - top-2-gram fraction: tokens covered by the most frequent bigram
+#   - duplicate-3-gram fraction: 3-gram occurrences whose gram repeats
+#   - unique-token ratio
+# A doc fails if ANY rule trips (thresholds pinned below).
+# ---------------------------------------------------------------------------
+
+_REP_TOP2, _REP_DUP3, _REP_UNIQ = 0.18, 0.02, 0.32
+
+
+@register(
+    "repetition_filter_stats",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+base AS (SELECT doc_id, len(t) AS n_tokens,
+                len(list_distinct(t))::DOUBLE / len(t) AS uniq_ratio
+         FROM tokarr WHERE len(t) > 0),
+bi AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+       FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i + 1 <= len(t)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g),
+top2 AS (SELECT doc_id, max(c) AS mx FROM bic GROUP BY doc_id),
+tri AS (SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+        FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i + 2 <= len(t)),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY doc_id, g),
+dup3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS frac
+         FROM tric GROUP BY doc_id),
+cls AS (SELECT b.doc_id,
+               (2.0 * top2.mx / b.n_tokens) > {_REP_TOP2} AS f_top2,
+               coalesce(dup3.frac, 0.0) > {_REP_DUP3} AS f_dup3,
+               b.uniq_ratio < {_REP_UNIQ} AS f_uniq
+        FROM base b LEFT JOIN top2 ON top2.doc_id = b.doc_id
+                    LEFT JOIN dup3 ON dup3.doc_id = b.doc_id)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN f_top2 THEN 1 ELSE 0 END)::BIGINT AS n_fail_top2gram,
+       sum(CASE WHEN f_dup3 THEN 1 ELSE 0 END)::BIGINT AS n_fail_dup3gram,
+       sum(CASE WHEN f_uniq THEN 1 ELSE 0 END)::BIGINT AS n_fail_uniq,
+       sum(CASE WHEN NOT (f_top2 OR f_dup3 OR f_uniq) THEN 1 ELSE 0 END)::BIGINT AS n_pass
+FROM cls""",
+)
+def repetition_filter_stats(spark, sf_dir):
+    """Gopher repetition gates over token n-grams: pass/fail census.
+
+    Scale shape: n-gram construction is an array transform (no shuffle);
+    the per-(doc, gram) counts shuffle on doc-partitioned keys only — at
+    100 TB this is one map-combined aggregation per rule, and the final
+    census is a scalar agg.
+    """
+    toks = _tokens(spark, sf_dir).filter(F.size("tokens") > 0)
+    t = F.col("tokens")
+    base = toks.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("uniq_ratio"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+            ),
+        ).alias("bi"),
+        F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i.cast("int")),
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("tri"),
+    )
+    bic = (
+        base.select("doc_id", F.explode("bi").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+    )
+    top2 = bic.groupBy("doc_id").agg(F.max("count").alias("mx"))
+    tric = (
+        base.select("doc_id", F.explode("tri").alias("g"))
+        .groupBy("doc_id", "g")
+        .count()
+    )
+    dup3 = tric.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
+            / F.sum("count")
+        ).alias("frac")
+    )
+    cls = (
+        base.select("doc_id", "n_tokens", "uniq_ratio")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            (2.0 * F.col("mx") / F.col("n_tokens") > _REP_TOP2).alias("f_top2"),
+            (F.coalesce(F.col("frac"), F.lit(0.0)) > _REP_DUP3).alias("f_dup3"),
+            (F.col("uniq_ratio") < _REP_UNIQ).alias("f_uniq"),
+        )
+    )
+    return cls.agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("f_top2").cast("long")).alias("n_fail_top2gram"),
+        F.sum(F.col("f_dup3").cast("long")).alias("n_fail_dup3gram"),
+        F.sum(F.col("f_uniq").cast("long")).alias("n_fail_uniq"),
+        F.sum(
+            (~(F.col("f_top2") | F.col("f_dup3") | F.col("f_uniq"))).cast("long")
+        ).alias("n_pass"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-catalog replication (solr/core/.../handler/ReplicationHandler.java
+# pull model + CdcrReplicator.java target-side checkpoint) — ENGINE-PATH
+# row: leader (2 segments + tombstones) -> replicate -> follower must serve
+# identical results; a second pass ships nothing (checkpointed no-op).
+# ---------------------------------------------------------------------------
+
+_REPL_CACHE: dict = {}
+
+
+@register(
+    "replication_sync",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order'),
+live AS (SELECT count(*) AS c FROM m JOIN documents d USING (doc_id)
+         WHERE d.lang <> 'fr')
+SELECT c::BIGINT AS n_leader, c::BIGINT AS n_follower,
+       2::BIGINT AS n_shipped_first, 0::BIGINT AS n_shipped_second
+FROM live""",
+)
+def replication_sync(spark, sf_dir):
+    """Leader->follower segment shipping: identical live results on both
+    sides, incremental second pass is a checkpointed no-op."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.merge import delete_by_query
+    from ..operators.search import MultiSearcher
+    from ..sources.catalog import Catalog
+    from ..streaming.replicate import replicate
+
+    key = sf_dir
+    if key not in _REPL_CACHE:
+        tag = _h.md5(sf_dir.encode()).hexdigest()[:8]
+        lroot = f"/tmp/spark_graft_repl/{tag}/leader"
+        froot = f"/tmp/spark_graft_repl/{tag}/follower"
+        shutil.rmtree(f"/tmp/spark_graft_repl/{tag}", ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        n = docs.count()
+        half = n // 2
+        leader = Catalog(lroot)
+        for i, pred in enumerate([F.col("doc_id") < half, F.col("doc_id") >= half]):
+            build_index(
+                spark, docs.filter(pred), out_dir=lroot, segment_id=f"part{i}"
+            )
+            leader.commit_swap(add=[f"part{i}"])
+        delete_by_query(spark, leader, F.col("lang") == "fr")
+        follower = Catalog(froot)
+        first = replicate(spark, leader, follower)
+        second = replicate(spark, leader, follower)
+        n_leader = MultiSearcher.from_catalog(spark, leader).topk("order", k=n).count()
+        n_follower = (
+            MultiSearcher.from_catalog(spark, follower).topk("order", k=n).count()
+        )
+        _REPL_CACHE[key] = (
+            n_leader, n_follower, len(first["shipped"]), len(second["shipped"]),
+        )
+    nl, nf, s1, s2 = _REPL_CACHE[key]
+    return spark.createDataFrame(
+        [(nl, nf, s1, s2)],
+        "n_leader long, n_follower long, n_shipped_first long, n_shipped_second long",
+    )
