@@ -344,3 +344,232 @@ def porter_stem_udf(token_arrays: pd.Series) -> pd.Series:
         return out
 
     return token_arrays.map(stem_list)
+
+
+# ---------------------------------------------------------------------------
+# Snowball English stemmer ("Porter2", analysis/snowball/SnowballFilter.java
+# with EnglishStemmer — the algorithm published at snowballstem.org).
+# Same vectorization shape as porter_stem_udf: pure-Python per DISTINCT
+# token, memoized per Arrow batch. Pinned by hand-derived vectors in
+# tests/test_functions.py (no network copy of the sample vocabulary).
+# ---------------------------------------------------------------------------
+
+_P2_VOWELS = set("aeiouy")
+_P2_DOUBLES = ("bb", "dd", "ff", "gg", "mm", "nn", "pp", "rr", "tt")
+_P2_LI_END = set("cdeghkmnrt")
+
+_P2_EXC1 = {
+    "skis": "ski", "skies": "sky", "dying": "die", "lying": "lie",
+    "tying": "tie", "idly": "idl", "gently": "gentl", "ugly": "ugli",
+    "early": "earli", "only": "onli", "singly": "singl",
+    "sky": "sky", "news": "news", "howe": "howe", "atlas": "atlas",
+    "cosmos": "cosmos", "bias": "bias", "andes": "andes",
+}
+_P2_EXC2 = {
+    "inning", "outing", "canning", "herring", "earring",
+    "proceed", "exceed", "succeed",
+}
+
+
+def _p2_is_vowel(w: str, i: int) -> bool:
+    return w[i] in _P2_VOWELS  # 'Y' (marked consonant y) is not in the set
+
+
+def _p2_regions(w: str) -> tuple[int, int]:
+    """(r1, r2) start indices. R1 = after the first non-vowel following a
+    vowel (special-cased gener/commun/arsen prefixes); R2 = same rule
+    applied after R1."""
+    n = len(w)
+
+    def region_after(start: int) -> int:
+        for i in range(start, n - 1):
+            if _p2_is_vowel(w, i) and not _p2_is_vowel(w, i + 1):
+                return i + 2
+        return n
+
+    if w.startswith(("gener", "commun", "arsen")):
+        r1 = 6 if w.startswith("commun") else 5
+        r1 = min(r1, n)
+    else:
+        r1 = region_after(0)
+    r2 = region_after(r1)
+    return r1, r2
+
+
+def _p2_ends_short_syllable(w: str) -> bool:
+    n = len(w)
+    if n == 2:
+        return _p2_is_vowel(w, 0) and not _p2_is_vowel(w, 1)
+    if n < 3:
+        return False
+    return (
+        not _p2_is_vowel(w, n - 3)
+        and _p2_is_vowel(w, n - 2)
+        and not _p2_is_vowel(w, n - 1)
+        and w[n - 1] not in "wxY"
+    )
+
+
+def _p2_is_short(w: str) -> bool:
+    r1, _ = _p2_regions(w)
+    return r1 >= len(w) and _p2_ends_short_syllable(w)
+
+
+def snowball_stem(word: str) -> str:
+    """Snowball English (Porter2) stemmer."""
+    w = word
+    if len(w) <= 2:
+        return w
+    w = w.replace("'", "")
+    if len(w) <= 2:
+        return w
+    if w in _P2_EXC1:
+        return _P2_EXC1[w]
+    # mark consonant-y: initial y, or y after a vowel
+    chars = list(w)
+    if chars[0] == "y":
+        chars[0] = "Y"
+    for i in range(1, len(chars)):
+        if chars[i] == "y" and chars[i - 1] in _P2_VOWELS:
+            chars[i] = "Y"
+    w = "".join(chars)
+
+    # step 0: longest of 's / 's' / ' (already stripped apostrophes above)
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith(("ied", "ies")):
+        w = w[:-2] if len(w) > 4 else w[:-1]
+    elif w.endswith(("us", "ss")):
+        pass
+    elif w.endswith("s"):
+        if any(_p2_is_vowel(w, i) for i in range(len(w) - 2)):
+            w = w[:-1]
+
+    if w.lower() in _P2_EXC2:
+        return w.replace("Y", "y")
+
+    # step 1b
+    r1, r2 = _p2_regions(w)
+    if w.endswith("eedly"):
+        if len(w) - 5 >= r1:
+            w = w[:-3]
+    elif w.endswith("eed"):
+        if len(w) - 3 >= r1:
+            w = w[:-1]
+    else:
+        for suf in ("ingly", "edly", "ing", "ed"):
+            if w.endswith(suf):
+                stem = w[: -len(suf)]
+                if any(_p2_is_vowel(stem, i) for i in range(len(stem))):
+                    w = stem
+                    if w.endswith(("at", "bl", "iz")):
+                        w += "e"
+                    elif w.endswith(_P2_DOUBLES):
+                        w = w[:-1]
+                    elif _p2_is_short(w):
+                        w += "e"
+                break
+
+    # step 1c
+    if (
+        len(w) > 2
+        and w[-1] in "yY"
+        and not _p2_is_vowel(w, len(w) - 2)
+    ):
+        w = w[:-1] + "i"
+
+    r1, r2 = _p2_regions(w)
+
+    # step 2 (longest suffix among:, condition = suffix in R1)
+    step2 = (
+        ("ization", "ize"), ("ational", "ate"), ("fulness", "ful"),
+        ("ousness", "ous"), ("iveness", "ive"), ("tional", "tion"),
+        ("biliti", "ble"), ("lessli", "less"), ("entli", "ent"),
+        ("ation", "ate"), ("alism", "al"), ("aliti", "al"),
+        ("ousli", "ous"), ("iviti", "ive"), ("fulli", "ful"),
+        ("enci", "ence"), ("anci", "ance"), ("abli", "able"),
+        ("izer", "ize"), ("ator", "ate"), ("alli", "al"),
+        ("ogi", "og"), ("bli", "ble"), ("li", ""),
+    )
+    for suf, rep in step2:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ogi":
+                    if w.endswith("logi"):
+                        w = w[:-1]
+                elif suf == "li":
+                    if len(w) >= 3 and w[-3] in _P2_LI_END:
+                        w = w[:-2]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # step 3 (condition = suffix in R1; ative additionally in R2)
+    step3 = (
+        ("ational", "ate"), ("tional", "tion"), ("alize", "al"),
+        ("icate", "ic"), ("iciti", "ic"), ("ative", ""),
+        ("ical", "ic"), ("ness", ""), ("ful", ""),
+    )
+    for suf, rep in step3:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r1:
+                if suf == "ative":
+                    if len(w) - len(suf) >= r2:
+                        w = w[: -len(suf)]
+                else:
+                    w = w[: -len(suf)] + rep
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # step 4 (condition = suffix in R2)
+    step4 = (
+        "ement", "ance", "ence", "able", "ible", "ment",
+        "ant", "ent", "ism", "ate", "iti", "ous", "ive", "ize",
+        "ion", "al", "er", "ic",
+    )
+    for suf in step4:
+        if w.endswith(suf):
+            if len(w) - len(suf) >= r2:
+                if suf == "ion":
+                    if len(w) >= 4 and w[-4] in "st":
+                        w = w[:-3]
+                else:
+                    w = w[: -len(suf)]
+            break
+
+    r1, r2 = _p2_regions(w)
+
+    # step 5
+    if w.endswith("e"):
+        if len(w) - 1 >= r2 or (
+            len(w) - 1 >= r1 and not _p2_ends_short_syllable(w[:-1])
+        ):
+            w = w[:-1]
+    elif w.endswith("l"):
+        if len(w) - 1 >= r2 and len(w) >= 2 and w[-2] == "l":
+            w = w[:-1]
+
+    return w.replace("Y", "y")
+
+
+@pandas_udf(ArrayType(StringType()))
+def snowball_stem_udf(token_arrays: pd.Series) -> pd.Series:
+    memo: dict[str, str] = {}
+
+    def stem_list(toks):
+        out = []
+        if toks is None:
+            toks = []
+        for t in toks:
+            s = memo.get(t)
+            if s is None:
+                s = memo[t] = snowball_stem(t)
+            out.append(s)
+        return out
+
+    return token_arrays.map(stem_list)

@@ -545,3 +545,26 @@ def replication_sync(spark, sf_dir):
         [(nl, nf, s1, s2)],
         "n_leader long, n_follower long, n_shipped_first long, n_shipped_second long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Snowball English stemmer (analysis/snowball/SnowballFilter.java with
+# EnglishStemmer — "Porter2"). Rows-only like porter_stem_top: no stemmer
+# exists in offline DuckDB; the algorithm is pinned by hand-derived vectors
+# in tests/test_functions.py.
+# ---------------------------------------------------------------------------
+
+
+@register("snowball_stem_top")
+def snowball_stem_top(spark, sf_dir):
+    """SnowballFilter(English): stem the token stream, top-10 stems by ttf."""
+    from ..functions.analysis import snowball_stem_udf
+
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select(F.explode(snowball_stem_udf("tokens")).alias("stem"))
+        .groupBy("stem")
+        .agg(F.count("*").alias("ttf"))
+        .orderBy(F.desc("ttf"), F.asc("stem"))
+        .limit(10)
+    )

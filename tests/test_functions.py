@@ -271,3 +271,54 @@ def test_date_math():
         parse_date_math("NOW")  # no clock supplied
     with _pt.raises(DateMathError):
         parse_date_math("NOW/FORTNIGHT", now=now)
+
+
+def test_snowball_stem_vectors():
+    """Snowball English (Porter2) on hand-derived vectors: 1a plural rules,
+    eed/R1, 1b fixups (at/bl/iz +e, undoubling, short-word +e), 1c y->i,
+    exceptional forms, gener- R1 prefix, step-2/3/4 region gating."""
+    from lucene_solr_spark.functions.analysis import snowball_stem as s
+
+    vecs = {
+        "caresses": "caress", "ponies": "poni", "ties": "tie",
+        "cries": "cri", "gas": "gas", "gaps": "gap", "kiwis": "kiwi",
+        "agreed": "agre", "feed": "feed", "plastered": "plaster",
+        "bled": "bled", "motoring": "motor", "sing": "sing",
+        "conflated": "conflat", "troubled": "troubl", "sized": "size",
+        "hopping": "hop", "tanned": "tan", "falling": "fall",
+        "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+        "filing": "file", "happy": "happi", "sky": "sky", "crying": "cri",
+        "say": "say", "by": "by", "generating": "generat",
+        "generate": "generat", "dying": "die", "skies": "sky",
+        "inning": "inning", "proceed": "proceed", "beautiful": "beauti",
+        "nationality": "nation", "hoping": "hope", "news": "news",
+        "early": "earli", "rational": "ration", "ugly": "ugli",
+        "luxuriated": "luxuri", "owing": "owe", "controlling": "control",
+        "this": "this", "hiss": "hiss", "dry": "dri",
+        "generously": "generous", "lying": "lie", "singly": "singl",
+        "gently": "gentl", "exceed": "exceed", "herring": "herring",
+        "possibly": "possibl",
+    }
+    bad = {w: (s(w), want) for w, want in vecs.items() if s(w) != want}
+    assert not bad, bad
+
+
+def test_snowball_differs_from_porter_where_expected(spark):
+    """The headline Porter1 vs Porter2 divergences: ties/cries plurals,
+    exceptional forms, and the y-consonant prelude."""
+    from lucene_solr_spark.functions.analysis import porter_stem, snowball_stem
+
+    assert porter_stem("ties") == "ti" and snowball_stem("ties") == "tie"
+    assert porter_stem("dying") == "dy" and snowball_stem("dying") == "die"
+    assert porter_stem("early") == "earli" and snowball_stem("early") == "earli"
+    assert snowball_stem("sky") == "sky"
+
+
+def test_snowball_stem_udf(spark):
+    from lucene_solr_spark.functions.analysis import snowball_stem_udf
+
+    df = spark.createDataFrame(
+        [(["cries", "hopping", "generously"],)], "tokens: array<string>"
+    )
+    out = df.select(snowball_stem_udf("tokens").alias("s")).collect()[0]["s"]
+    assert out == ["cri", "hop", "generous"]
