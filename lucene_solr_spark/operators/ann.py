@@ -288,3 +288,195 @@ def ivf_topk(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (FAISS IndexIVFPQ shape; Jégou et al. 2011 "Product
+# Quantization for Nearest Neighbor Search"). The embedding is split into
+# ``m`` subvectors; each is vector-quantized against its own ``ksub``-entry
+# codebook -> an m-byte code replaces the 4*dim-byte vector (32x at
+# m=8/dim=64). Search = ADC: the probe precomputes a per-subspace lookup
+# table of distances to every codebook entry (driver-side, m*ksub floats);
+# a candidate's approximate distance is the sum of m table lookups — pure
+# JVM column math over the code column, never touching the raw vectors.
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    emb: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 10,
+    sample_n: int = 4096,
+    seed: int = LSH_SEED,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd's k-means on a bounded deterministic sample
+    (the FAISS training shape). Returns codebooks[m][ksub][dsub]."""
+    rows = emb.orderBy(id_col).limit(sample_n).select(vec_col).collect()
+    X = np.array([list(map(float, r[0])) for r in rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        cents = S[rng.choice(len(S), size=min(ksub, len(S)), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(cents.shape[0]):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = S[mask].mean(axis=0)
+        books.append(cents.tolist())
+    return books
+
+
+def _sub_dist(vec_col_expr, j: int, dsub: int, cent: list[float]):
+    """Euclidean distance of subvector j to one codebook centroid —
+    sqrt-of-fold, the same operation order as DuckDB's list_distance
+    (cross-engine bit determinism for the oracle rows)."""
+    sub = F.slice(vec_col_expr, j * dsub + 1, dsub)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                sub,
+                F.array(*[F.lit(float(x)) for x in cent]),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def pq_encode(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``code`` (array<int>, length m): per-subspace argmin centroid.
+    All JVM-side; ties break to the lower cell id."""
+    v = F.col(vec_col).cast("array<double>")
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    code = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _sub_dist(v, j, dsub, cent).alias("d"),
+                            F.lit(c).alias("cell"),
+                        )
+                        for c, cent in enumerate(codebooks[j])
+                    ]
+                )
+            )["cell"]
+            for j in range(m)
+        ]
+    )
+    return emb.withColumn("code", code)
+
+
+def pq_adc_quantized(
+    coded: DataFrame, codebooks: list[list[list[float]]], probe: list[float]
+) -> DataFrame:
+    """Add ``adc_q``: integer-quantized asymmetric distance
+    sum_j round(1e6 * dist(probe_j, codebook_j[code_j])). Integer so the
+    cross-subspace sum is order-independent (exact cross-engine equality);
+    the LUT is computed driver-side and inlined as literals."""
+    p = np.asarray(probe, dtype=np.float64)
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    luts = []
+    for j in range(m):
+        sub = p[j * dsub : (j + 1) * dsub]
+        # same op order as the engine/oracle: sqrt of sequential fold
+        row = []
+        for cent in codebooks[j]:
+            acc = 0.0
+            for x, y in zip(sub, cent):
+                acc = acc + (x - y) * (x - y)
+            row.append(float(np.sqrt(acc)))
+        luts.append(row)
+    adc = None
+    for j in range(m):
+        lut = F.array(*[F.lit(x) for x in luts[j]])
+        term = F.round(
+            F.element_at(lut, F.element_at(F.col("code"), j + 1) + 1) * 1e6, 0
+        ).cast("long")
+        adc = term if adc is None else adc + term
+    return coded.withColumn("adc_q", adc)
+
+
+def pq_topk(
+    emb: DataFrame,
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over PQ codes (no raw-vector math on the scan side)."""
+    coded = pq_encode(emb, codebooks, vec_col=vec_col)
+    return (
+        pq_adc_quantized(coded, codebooks, probe)
+        .select(id_col, "adc_q")
+        .orderBy(F.asc("adc_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivfpq_index(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    out_path: str,
+    vec_col: str = "embedding",
+) -> None:
+    """IVF-PQ layout: coarse cell partition + PQ code column, raw vector
+    retained for the optional exact re-rank tail (FAISS's refine stage).
+    At 100 TB the codes column is what the ADC scan reads — 32x smaller
+    than the vectors; column pruning keeps the vectors on disk."""
+    df = pq_encode(ivf_assign(emb, centroids, vec_col=vec_col), codebooks, vec_col)
+    df.write.mode("overwrite").partitionBy("cell").parquet(out_path)
+
+
+def ivfpq_topk(
+    spark,
+    index_path: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    probe: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """nprobe IVF-PQ search: partition-pruned cell reads, ADC ranking over
+    the code column only; optionally exact-cosine re-rank the top ``rerank``
+    ADC candidates (reads the vector column for those rows alone)."""
+    cells = nearest_cells(probe, centroids, nprobe)
+    scan = spark.read.parquet(index_path).filter(F.col("cell").isin(cells))
+    adc = (
+        pq_adc_quantized(scan.select(id_col, "code"), codebooks, probe)
+        .orderBy(F.asc("adc_q"), F.asc(id_col))
+        .limit(max(k, rerank))
+    )
+    if not rerank:
+        return adc.select(id_col, "adc_q").limit(k)
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    cand = adc.select(id_col).join(scan.select(id_col, vec_col), id_col)
+    return (
+        cand.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col).cast("array<double>"), p), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

@@ -568,3 +568,182 @@ def snowball_stem_top(spark, sf_dir):
         .orderBy(F.desc("ttf"), F.asc("stem"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (the standard pre-training hygiene pass; e.g.
+# GPT-3 appendix C / PaLM §C: flag training docs sharing long n-grams with
+# an evaluation set). Benchmark = a pinned doc-id set standing in for eval
+# data; contamination = sharing >= _DECON_MIN distinct 4-gram shingles
+# (real pipelines use 8-13-grams; the synthetic corpus is random word soup,
+# so 4 is the longest n with any cross-doc collisions to detect).
+# ---------------------------------------------------------------------------
+
+_BENCH_DOCS = (3, 7, 11, 19)   # the "evaluation set"
+_DECON_N, _DECON_MIN = 4, 1
+
+
+@register(
+    "decontaminate_overlap",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+gr AS (SELECT DISTINCT doc_id,
+              t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS g
+       FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i + {_DECON_N} - 1 <= len(t)),
+bench AS (SELECT DISTINCT g FROM gr WHERE doc_id IN {_BENCH_DOCS}),
+hits AS (SELECT gr.doc_id, count(DISTINCT gr.g)::BIGINT AS n_shared
+         FROM gr JOIN bench USING (g)
+         WHERE gr.doc_id NOT IN {_BENCH_DOCS}
+         GROUP BY gr.doc_id)
+SELECT doc_id, n_shared FROM hits WHERE n_shared >= {_DECON_MIN}
+ORDER BY n_shared DESC, doc_id ASC LIMIT 20""",
+)
+def decontaminate_overlap(spark, sf_dir):
+    """Decontamination: training docs sharing >= K distinct 4-grams with
+    the benchmark set.
+
+    Scale shape: the benchmark shingle set is tiny -> broadcast semi-join
+    against the (doc, shingle) stream; one map-combined count. Never an
+    all-pairs comparison.
+    """
+    t = F.col("tokens")
+    grams = F.array_distinct(
+        F.when(
+            F.size(t) >= _DECON_N,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (_DECON_N - 1)),
+                lambda i: F.concat_ws(
+                    " ",
+                    *[F.element_at(t, (i + j).cast("int")) for j in range(_DECON_N)],
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    )
+    toks = _tokens(spark, sf_dir)
+    gr = toks.select("doc_id", F.explode(grams).alias("g"))
+    bench = (
+        gr.filter(F.col("doc_id").isin(*_BENCH_DOCS)).select("g").distinct()
+    )
+    return (
+        gr.filter(~F.col("doc_id").isin(*_BENCH_DOCS))
+        .join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared"))
+        .filter(F.col("n_shared") >= _DECON_MIN)
+        .orderBy(F.desc("n_shared"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-weighted sampling (domain mixing — the Pile /
+# DoReMi-style per-source sampling rates, made reproducible): keep a doc iff
+# hash(doc_id) mod 1000 < 1000 * rate(source). Hash = first 15 hex chars of
+# md5 (the repo-wide cross-engine convention) -> identical keep set in both
+# engines, stable under reruns and repartitioning.
+# ---------------------------------------------------------------------------
+
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+_MIX_DEFAULT = 0.05
+
+
+def _mix_rate_sql() -> str:
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN {r}" for s, r in _MIX_RATES.items()
+    )
+    return f"(CASE {whens} ELSE {_MIX_DEFAULT} END)"
+
+
+@register(
+    "source_weighted_sample",
+    f"""WITH keyed AS (SELECT doc_id, source,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000 AS slot
+         FROM documents),
+kept AS (SELECT doc_id, source FROM keyed
+         WHERE slot < 1000 * {_mix_rate_sql()})
+SELECT source, count(*)::BIGINT AS n_kept,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM kept GROUP BY source ORDER BY source""",
+)
+def source_weighted_sample(spark, sf_dir):
+    """Reproducible per-source downsampling: census of the kept set.
+
+    Scale shape: a stateless map over the scan (hash + compare, no shuffle
+    except the final tiny census agg); the keep decision is a pure function
+    of (doc_id, source) so any executor, retry, or rerun keeps the same
+    rows — the property that makes the mix auditable at 100 TB.
+    """
+    d = _read(spark, sf_dir, "documents")
+    rate = F.lit(_MIX_DEFAULT)
+    for s, r in reversed(list(_MIX_RATES.items())):
+        rate = F.when(F.col("source") == s, F.lit(r)).otherwise(rate)
+    slot = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    ) % 1000
+    return (
+        d.select("doc_id", "source", slot.alias("slot"), rate.alias("rate"))
+        .filter(F.col("slot") < 1000 * F.col("rate"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization / ADC (FAISS IndexPQ; Jégou et al. 2011). Like the
+# IVF rows: import-time literal codebooks (seeded gaussian scaled to the
+# embedding range) so BOTH engines share them; the sampled-k-means TRAINED
+# codebooks are exercised with recall gates in pytest
+# (tests/test_extra_queries.py) where a numpy oracle can follow training.
+# The ADC sum is integer-quantized per subspace (sum of BIGINTs) so the
+# cross-subspace total is addition-order independent — exact equality.
+# ---------------------------------------------------------------------------
+
+import numpy as _np
+
+from ..operators.ann import LSH_SEED as _PQ_SEED
+
+_PQ_M, _PQ_KSUB, _PQ_DSUB = 8, 16, 8
+_PQ_BOOKS = (
+    _np.random.default_rng(_PQ_SEED + 7)
+    .normal(0.0, 0.18, size=(_PQ_M, _PQ_KSUB, _PQ_DSUB))
+    .round(4)
+    .tolist()
+)
+
+
+def _pq_cb_values_sql() -> str:
+    rows = ", ".join(
+        f"({j}, {c}, [" + ", ".join(f"{x:.4f}" for x in cent) + "]::DOUBLE[])"
+        for j, book in enumerate(_PQ_BOOKS)
+        for c, cent in enumerate(book)
+    )
+    return f"cb(sub, cell, cent) AS (VALUES {rows})"
+
+
+@register(
+    "ann_pq_adc_topk",
+    f"""WITH {_pq_cb_values_sql()},
+probe AS (SELECT embedding::DOUBLE[] AS p FROM embeddings WHERE vec_id = 0),
+dists AS (SELECT e.vec_id, cb.sub, cb.cell,
+                 list_distance(e.embedding[cb.sub*{_PQ_DSUB}+1 : cb.sub*{_PQ_DSUB}+{_PQ_DSUB}]::DOUBLE[], cb.cent) AS d,
+                 list_distance(probe.p[cb.sub*{_PQ_DSUB}+1 : cb.sub*{_PQ_DSUB}+{_PQ_DSUB}], cb.cent) AS pd
+          FROM embeddings e, probe, cb),
+codes AS (SELECT vec_id, sub, pd FROM
+          (SELECT vec_id, sub, pd,
+                  row_number() OVER (PARTITION BY vec_id, sub ORDER BY d ASC, cell ASC) AS rn
+           FROM dists) x WHERE rn = 1),
+adc AS (SELECT vec_id, sum(CAST(round(pd * 1000000) AS BIGINT)) AS adc_q
+        FROM codes GROUP BY vec_id)
+SELECT vec_id, adc_q FROM adc ORDER BY adc_q ASC, vec_id ASC LIMIT 10""",
+)
+def ann_pq_adc_topk(spark, sf_dir):
+    """PQ/ADC top-k: m-byte codes replace 4*dim-byte vectors (32x); the
+    probe's distance LUT is driver-computed literals and ranking is m
+    integer lookups per row — the scan never touches raw vectors."""
+    emb = _read(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
+    return ann.pq_topk(emb, _PQ_BOOKS, probe, k=10)

@@ -121,3 +121,58 @@ def test_significant_terms_score_monotone_in_rarity(spark):
         for (bg1, s1), (bg2, s2) in zip(pairs, pairs[1:]):
             if bg1 < bg2:
                 assert s1 >= s2
+
+
+def test_ivfpq_trained_recall_and_compression(spark, tmp_path):
+    """IVF-PQ with TRAINED codebooks (sampled k-means per subspace):
+    ADC-ranked + exact-reranked top-k must recover most of the brute-force
+    top-k (recall gate), candidate scan must shrink, and codes must be a
+    fraction of the vector bytes."""
+    from lucene_solr_spark.operators.ann import (
+        cosine_topk,
+        ivfpq_index,
+        ivfpq_topk,
+        pq_encode,
+        train_centroids,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    probe = [float(x) for x in emb.filter("vec_id = 3").collect()[0]["embedding"]]
+
+    cents = train_centroids(emb, n_cells=4, iters=5)
+    books = train_pq_codebooks(emb, m=8, ksub=16, iters=5)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_index(emb, cents, books, path)
+
+    truth = [r["vec_id"] for r in cosine_topk(emb, probe, k=10).collect()]
+    got = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            spark, path, cents, books, probe, k=10, nprobe=2, rerank=50
+        ).collect()
+    ]
+    recall = len(set(truth) & set(got)) / 10
+    assert recall >= 0.6, (recall, truth, got)
+
+    # candidate shrink: nprobe=2 of 4 cells reads < the full table
+    scanned = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(ann.nearest_cells(probe, cents, 2)))
+        .count()
+    )
+    assert scanned < n
+
+    # compression: m=8 int codes vs 64 float32 lanes
+    code = pq_encode(emb, books).select("code").first()["code"]
+    assert len(code) == 8 and all(0 <= c < 16 for c in code)
+
+    # nprobe = n_cells + rerank >= n degenerates to exact brute force
+    full = [
+        r["vec_id"]
+        for r in ivfpq_topk(
+            spark, path, cents, books, probe, k=10, nprobe=4, rerank=n
+        ).collect()
+    ]
+    assert full == truth
