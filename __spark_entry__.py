@@ -26,6 +26,7 @@ from lucene_solr_spark.plans.driver_queries import ORACLES, REGISTRY  # noqa: E4
 import lucene_solr_spark.plans.dataops_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.solr_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.extra_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.coverage_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

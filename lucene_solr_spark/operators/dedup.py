@@ -323,3 +323,72 @@ def embedding_near_dup_lsh(
         .filter(F.col("cos_sim") >= threshold)
         .select("vec_a", "vec_b", "cos_sim")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Cluster verified near-dup pairs into connected components:
+    component id = min doc id reachable through the pair graph.
+
+    This is the step the LSH pipelines stop short of: pair lists
+    ((a,b), (b,c)) must collapse to groups ({a,b,c}) before "keep one
+    per group" can run. Iterative min-label propagation: each round,
+    every node takes the min of its own label and its neighbors'
+    labels; converges in O(graph diameter) rounds (near-dup components
+    are short chains in practice; the Kang/CIKM "hash-to-min" and
+    large-star/small-star variants give O(log n) rounds if diameter
+    ever bites at 100 TB — same join shape, so the swap is local).
+
+    Scale design: each round is ONE shuffle join keyed by node id over
+    the (src, dst) edge list — no adjacency collected to the driver;
+    convergence is checked with a count() of changed labels (a cheap
+    map-side-combined action); ``localCheckpoint`` truncates the plan
+    so lineage doesn't grow per round. Reference: Solr has no CC
+    operator — this mirrors the dedup clustering stage of web-scale
+    corpus pipelines (e.g. the MinHash dedup in Gopher/RefinedWeb).
+
+    Returns (doc_id, component) for every node that appears in a pair.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # label(x) starts at min(x, min neighbor) — one round folded in
+    labels = (
+        edges.groupBy("src")
+        .agg(F.min("dst").alias("nmin"))
+        .select(
+            F.col("src").alias("node"),
+            F.least(F.col("src"), F.col("nmin")).alias("label"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_iters):
+        # neighbor labels -> node, take global min with own label
+        msgs = edges.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        new_labels = (
+            msgs.union(labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("label", "old"), "node"
+            )
+            .filter(F.col("label") != F.col("old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))

@@ -171,3 +171,35 @@ def test_embedding_lsh_candidates_shrink(spark):
     assert n_cand < (n * (n - 1) // 2) * 0.5, (
         f"banding did not prune: {n_cand} of {n*(n-1)//2}"
     )
+
+
+def test_connected_components_chain_and_clique(spark):
+    """Min-label propagation: a 6-node chain (needs several rounds), a
+    triangle, and an isolated pair all collapse to min-id components."""
+    pairs = spark.createDataFrame(
+        # chain 1-2-3-4-5-6, triangle 10-11-12 (as pairs), pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6),
+         (10, 11), (11, 12), (10, 12), (20, 21)],
+        "doc_a long, doc_b long",
+    )
+    comp = {
+        r["doc_id"]: r["component"]
+        for r in dedup.connected_components(pairs).collect()
+    }
+    assert {k for k in comp} == {1, 2, 3, 4, 5, 6, 10, 11, 12, 20, 21}
+    assert all(comp[n] == 1 for n in (1, 2, 3, 4, 5, 6))
+    assert all(comp[n] == 10 for n in (10, 11, 12))
+    assert comp[20] == comp[21] == 20
+
+
+def test_connected_components_converges_under_iteration_cap(spark):
+    """A path graph of length > default rounds still converges because
+    labels hop one edge per round from the min end — cap is a backstop,
+    not a correctness bound, for diameters seen in dedup graphs."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a long, doc_b long"
+    )
+    comp = dedup.connected_components(pairs, max_iters=25).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1
