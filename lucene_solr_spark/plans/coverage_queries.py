@@ -15,9 +15,15 @@ import math
 
 from pyspark.sql import functions as F
 
+from ..functions.analysis import duckdb_tokenize_sql
 from ..operators import dedup
 from .dataops_queries import _MINHASH_SQL
 from .driver_queries import _read, _tokens, register
+
+_TOKS_CTE = (
+    f"toks AS (SELECT doc_id, unnest({duckdb_tokenize_sql('text')}) AS term "
+    "FROM documents)"
+)
 
 # ---------------------------------------------------------------------------
 # Spatial: coordinates synthesized deterministically from c_custkey with
@@ -308,4 +314,225 @@ def dedup_connected_components(spark, sf_dir):
             (F.count("*") - F.lit(1)).alias("n_removable"),
         )
         .orderBy("component")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Atomic updates + optimistic concurrency as a driver-visible row
+# (update/processor/AtomicUpdateDocumentMerger.java 'set' op,
+# DistributedUpdateProcessor.java#versionAdd conflict semantics — the
+# engine path in operators/updates.py, previously pytest-only). Exact
+# counts make the row oracle-able: the oracle derives the same numbers
+# arithmetically from the base table.
+# ---------------------------------------------------------------------------
+
+_AU_CACHE: dict = {}
+
+
+@register(
+    "atomic_update_conflicts",
+    """SELECT count(*) FILTER (WHERE doc_id % 7 = 0)::BIGINT AS n_updated,
+       count(*) FILTER (WHERE doc_id % 7 = 1)::BIGINT AS n_rejected,
+       count(*) FILTER (WHERE doc_id % 7 = 0)::BIGINT AS n_lang_xx,
+       count(*)::BIGINT AS n_live
+FROM documents""",
+)
+def atomic_update_conflicts(spark, sf_dir):
+    """Atomic 'set lang' batch: doc_id%7==0 sends the correct
+    _expected_version_ (1, accepted; version bumps, old doc tombstoned,
+    merged doc lands in a fresh segment); doc_id%7==1 sends a stale
+    version (99, rejected). Live stored-field counts prove replace-not-add
+    semantics."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.updates import _live_docs, atomic_update
+    from ..sources.catalog import Catalog
+
+    key = sf_dir
+    if key not in _AU_CACHE:
+        root = "/tmp/spark_graft_au/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        cat = Catalog(root)
+        build_index(spark, docs, out_dir=root, segment_id="base")
+        cat.commit_swap(add=["base"])
+        upd_ok = docs.filter(F.col("doc_id") % 7 == 0).select(
+            "repo", "path", "commit",
+            F.lit("xx").alias("lang"),
+            F.lit(1).cast("long").alias("_expected_version_"),
+        )
+        upd_stale = docs.filter(F.col("doc_id") % 7 == 1).select(
+            "repo", "path", "commit",
+            F.lit("xx").alias("lang"),
+            F.lit(99).cast("long").alias("_expected_version_"),
+        )
+        res = atomic_update(
+            spark, cat, upd_ok.unionByName(upd_stale), set_fields=["lang"]
+        )
+        live = _live_docs(spark, cat)
+        n_xx = live.filter(F.col("lang") == "xx").count()
+        n_live = live.count()
+        _AU_CACHE[key] = (res.n_updated, res.n_rejected, n_xx, n_live)
+    nu, nr, nx, nl = _AU_CACHE[key]
+    return spark.createDataFrame(
+        [(nu, nr, nx, nl)],
+        "n_updated long, n_rejected long, n_lang_xx long, n_live long",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Watermarked tumbling-window streaming aggregation, driver-visible
+# (streaming/windowed.py). Three availableNow drains: events before
+# Jan 15 -> the rest -> one LATE duplicate of the oldest event. The
+# parquet sink then holds exactly the windows the final watermark
+# (max ts - 1h) closed, and the late row was dropped — both facts are
+# what the oracle checks (a leaked late row would bump a count; an
+# unemitted/duplicated window would change the row set).
+# ---------------------------------------------------------------------------
+
+_WIN_US = 21_600_000_000  # 6 hours
+_WM_US = 3_600_000_000  # 1 hour watermark delay
+
+_SW_CACHE: dict = {}
+
+
+@register(
+    "stream_tumbling_watermark",
+    f"""WITH wm AS (SELECT max(epoch_us(ts)) - {_WM_US} AS wm_us FROM events),
+agg AS (SELECT (epoch_us(ts) // {_WIN_US}) * {_WIN_US} AS win_us, event_type,
+               count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1, 2)
+SELECT win_us::BIGINT AS window_start_us, event_type, n_events
+FROM agg, wm WHERE win_us + {_WIN_US} <= wm.wm_us
+ORDER BY window_start_us, event_type""",
+)
+def stream_tumbling_watermark(spark, sf_dir):
+    """Incremental (window, event_type) counts: append-mode emission of
+    watermark-closed windows across resumed drains, late input dropped."""
+    import hashlib as _h
+    import shutil
+
+    from ..streaming.windowed import tumbling_counts_available
+
+    key = sf_dir
+    if key not in _SW_CACHE:
+        root = "/tmp/spark_graft_sw/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _read(spark, sf_dir, "events")
+        batches = [
+            ev.filter(F.col("ts") < "2024-01-15"),
+            ev.filter(F.col("ts") >= "2024-01-15"),
+            ev.orderBy("ts").limit(1),  # late: below the restored watermark
+        ]
+        for b in batches:
+            b.coalesce(1).write.mode("append").parquet(root + "/in")
+            tumbling_counts_available(
+                spark, root + "/in", root + "/out", root + "/ckpt"
+            )
+        _SW_CACHE[key] = root
+    out = spark.read.parquet(_SW_CACHE[key] + "/out")
+    return (
+        out.select(
+            F.unix_micros(F.col("window.start")).alias("window_start_us"),
+            "event_type",
+            F.col("count").alias("n_events"),
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Terms component (solr/core/.../handler/component/TermsComponent.java:
+# terms.prefix + terms.limit enumeration with docFreq/totalTermFreq) —
+# ENGINE-PATH row: reads the built segment's terms dictionary, so the
+# index's per-term stats are checked directly against raw-text SQL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "terms_component_enum",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM toks WHERE term LIKE 'sp%'
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
+)
+def terms_component_enum(spark, sf_dir):
+    """terms.prefix=sp: enumerate matching terms from the terms dict with
+    docFreq and totalTermFreq (no postings decode — dictionary-only)."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    terms = s.segment.table(spark, "terms")
+    return (
+        terms.filter(F.col("term").startswith("sp"))
+        .select("term", "df", "ttf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index metadata / Luke handler (solr/core/.../handler/admin/LukeRequestHandler
+# .java; lucene CheckIndex stats): corpus-level invariants read from the
+# segment manifest + terms dict, checked against raw-text SQL. ENGINE-PATH.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "index_metadata_stats",
+    f"""WITH {_TOKS_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS sum_ttf,
+       (SELECT max(df) FROM (SELECT count(DISTINCT doc_id) AS df FROM toks GROUP BY term) t)::BIGINT AS max_df
+FROM toks""",
+)
+def index_metadata_stats(spark, sf_dir):
+    """Luke-style index overview: numDocs, numTerms, sumTotalTermFreq,
+    max docFreq — manifest stats + one terms-dict aggregation."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    terms = s.segment.table(spark, "terms")
+    return terms.agg(
+        F.lit(s.stats.n_docs).cast("long").alias("n_docs"),
+        F.count("*").alias("n_terms"),
+        F.sum("ttf").cast("long").alias("sum_ttf"),
+        F.max("df").cast("long").alias("max_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split (training-data pipeline op): hash-based
+# stratification — split membership is a pure function of the doc key, so
+# any partitioning / cluster size yields the same split (no sampling RNG).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_test_split_stats",
+    """WITH tagged AS (
+  SELECT source,
+         CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+              THEN 'train' ELSE 'test' END AS split
+  FROM documents)
+SELECT source, split, count(*)::BIGINT AS n_docs
+FROM tagged GROUP BY source, split ORDER BY source, split""",
+)
+def train_test_split_stats(spark, sf_dir):
+    """90/10 train/test split by md5(doc_id) bucket, counts per source —
+    deterministic, shuffle-free tagging (the split survives any repartition)."""
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10).cast("long") % 100
+    return (
+        d.select(
+            "source",
+            F.when(bucket < 90, "train").otherwise("test").alias("split"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("source", "split")
     )

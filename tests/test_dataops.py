@@ -203,3 +203,18 @@ def test_connected_components_converges_under_iteration_cap(spark):
     comp = dedup.connected_components(pairs, max_iters=25).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_embedding_cosine_pairs_block_invariance(spark):
+    """The blocked-outer-product kernel must return the identical pair set
+    for ANY block size (pairs can straddle blocks in either id order)."""
+    emb = spark.read.parquet(f"{SF01_DIR}/embeddings.parquet")
+    ref = sorted(
+        map(tuple, dedup.embedding_cosine_pairs(emb, threshold=0.4, block_size=10_000).collect())
+    )
+    assert ref, "fixture broken: no pairs"
+    for bs in (7, 64, 251):
+        got = sorted(
+            map(tuple, dedup.embedding_cosine_pairs(emb, threshold=0.4, block_size=bs).collect())
+        )
+        assert got == ref, f"block_size={bs}: {len(got)} vs {len(ref)} pairs"
