@@ -536,3 +536,181 @@ def train_test_split_stats(spark, sf_dir):
         .agg(F.count("*").alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+# Reverse search / percolation (lucene/monitor/.../Monitor.java,
+# TermFilteredPresearcher): a REGISTERED SET OF QUERIES is matched against
+# a stream of documents. The presearcher trick is re-expressed Spark-first:
+# a (query, term) table inner-joins the exploded doc tokens to produce
+# candidates (docs sharing >=1 query term — never all (doc, query) pairs),
+# then the full predicate (AND / OR / adjacency phrase) verifies candidates
+# only, from the token array.
+# ---------------------------------------------------------------------------
+
+_MONITOR_QUERIES = [
+    ("q_and", ["spark", "join"], "and", None),
+    ("q_or", ["merge", "stream"], "or", None),
+    ("q_phrase", ["order", "batch"], "phrase", ("order", "batch")),
+]
+
+
+def _monitor_oracle_sql() -> str:
+    parts = []
+    for qid, terms, op, phrase in _MONITOR_QUERIES:
+        if op == "and":
+            pred = " AND ".join(f"list_contains(t, '{t_}')" for t_ in terms)
+        elif op == "or":
+            pred = " OR ".join(f"list_contains(t, '{t_}')" for t_ in terms)
+        else:
+            a, b = phrase
+            pred = (
+                f"EXISTS (SELECT 1 FROM unnest(range(1, len(t))) ix(i) "
+                f"WHERE t[i] = '{a}' AND t[i+1] = '{b}')"
+            )
+        parts.append(
+            f"SELECT '{qid}' AS qid, count(*)::BIGINT AS n_docs FROM tokarr WHERE {pred}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "monitor_reverse_search",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+per_q AS ({_monitor_oracle_sql()})
+SELECT qid, n_docs FROM per_q ORDER BY qid""",
+)
+def monitor_reverse_search(spark, sf_dir):
+    """Monitor/percolator: per registered query, how many incoming docs
+    match. Candidate pruning by shared term, then array-predicate verify."""
+    toks = _tokens(spark, sf_dir).select("doc_id", "tokens")
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms, _, _ in _MONITOR_QUERIES for t in terms],
+        "qid string, term string",
+    )
+    cand = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .select("doc_id", "qid")
+        .distinct()
+        .join(toks, "doc_id")
+    )
+    verified = []
+    for qid, terms, op, phrase in _MONITOR_QUERIES:
+        c = cand.filter(F.col("qid") == qid)
+        if op == "and":
+            pred = None
+            for t_ in terms:
+                p = F.array_contains("tokens", t_)
+                pred = p if pred is None else (pred & p)
+        elif op == "or":
+            pred = None
+            for t_ in terms:
+                p = F.array_contains("tokens", t_)
+                pred = p if pred is None else (pred | p)
+        else:
+            a, b = phrase
+            pred = F.exists(
+                F.zip_with(
+                    F.slice(F.col("tokens"), 1, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                    F.slice(F.col("tokens"), 2, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                    lambda x, y: (x == F.lit(a)) & (y == F.lit(b)),
+                ),
+                lambda m: m,
+            )
+        verified.append(
+            c.filter(pred).agg(
+                F.lit(qid).alias("qid"), F.count("*").alias("n_docs")
+            )
+        )
+    out = verified[0]
+    for v in verified[1:]:
+        out = out.unionByName(v)
+    return out.orderBy("qid")
+
+
+# ---------------------------------------------------------------------------
+# Scored query-time join (lucene/join/.../JoinUtil.java#createJoinQuery,
+# ScoreMode.Max / Avg): the to-side doc takes the max (and avg) of its
+# matching from-side scores. From-side score is a function query
+# (o_totalprice / 1000) over orders with priority '1-URGENT'.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_score_max",
+    """SELECT c.c_custkey,
+       round(max(o.o_totalprice / 1000.0), 6) AS score_max,
+       round(avg(o.o_totalprice / 1000.0), 6) AS score_avg
+FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY c.c_custkey ORDER BY score_max DESC, c_custkey ASC LIMIT 10""",
+)
+def join_score_max(spark, sf_dir):
+    """{!join score=max}: to-side score = max/avg of from-side function
+    scores (only the (key, score) pair shuffles — never the from rows)."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            (F.col("o_totalprice") / 1000.0).alias("s"),
+        )
+    )
+    c = _read(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        c.join(o, "c_custkey")
+        .groupBy("c_custkey")
+        .agg(
+            F.round(F.max("s"), 6).alias("score_max"),
+            F.round(F.avg("s"), 6).alias("score_avg"),
+        )
+        .orderBy(F.desc("score_max"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# facet.prefix (solr/core/.../request/SimpleFacets.java#getFacetTermEnumCounts
+# prefix filtering) and JSON-facet bucket sort by a nested stat
+# (solr/core/.../search/facet/FacetField.java 'sort':'stat desc').
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_prefix_top",
+    """SELECT source AS bucket, count(*)::BIGINT AS n_docs
+FROM documents WHERE source LIKE 'src1%'
+GROUP BY source ORDER BY n_docs DESC, bucket ASC LIMIT 10""",
+)
+def facet_prefix_top(spark, sf_dir):
+    """facet.field=source facet.prefix=src1: only buckets with the prefix."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("source").startswith("src1"))
+        .groupBy(F.col("source").alias("bucket"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("bucket"))
+        .limit(10)
+    )
+
+
+@register(
+    "facet_sort_by_stat",
+    """SELECT c_mktsegment AS bucket,
+       round(sum(c_acctbal), 2) AS sum_bal, count(*)::BIGINT AS n
+FROM customer GROUP BY c_mktsegment
+ORDER BY sum_bal DESC, bucket ASC""",
+)
+def facet_sort_by_stat(spark, sf_dir):
+    """JSON facet with 'sort': 'sum_bal desc' — buckets ordered by a
+    nested aggregate, not by count."""
+    c = _read(spark, sf_dir, "customer")
+    return (
+        c.groupBy(F.col("c_mktsegment").alias("bucket"))
+        .agg(
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.count("*").alias("n"),
+        )
+        .orderBy(F.desc("sum_bal"), F.asc("bucket"))
+    )
