@@ -27,6 +27,7 @@ import lucene_solr_spark.plans.dataops_queries  # noqa: E402,F401  (registers en
 import lucene_solr_spark.plans.solr_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.extra_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.coverage2_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
