@@ -317,3 +317,198 @@ def group_facet_counts(spark, sf_dir):
         .agg(F.count_distinct("source").alias("n_groups"))
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON facet domain switch — {"domain": {"blockChildren": ...}}
+# (solr/core/.../search/facet/FacetRequest.java#Domain, BlockJoin facet
+# domains): the facet is computed over the CHILDREN of the matching parents.
+# Parent filter reduces to a key set that broadcasts; the child-side facet
+# is one map-combined shuffle.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_facet_block_domain",
+    """SELECT l.l_returnflag, count(*)::BIGINT AS n
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY l.l_returnflag ORDER BY l.l_returnflag""",
+)
+def json_facet_block_domain(spark, sf_dir):
+    """q on parents (o_orderpriority=1-URGENT), facet over children's
+    l_returnflag via the blockChildren domain switch."""
+    o = (
+        _read(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    li = _read(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    return (
+        li.join(F.broadcast(o), "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"))
+        .orderBy("l_returnflag")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-data pipeline): assign docs to fixed-size
+# context-window bins by STREAMING FILL in doc_id order — bin(doc) =
+# floor(prefix_tokens_before_doc / 4096). The prefix sum is computed the
+# scalable way: bucket docs by doc_id range, aggregate per-bucket token
+# sums (tiny: one row per bucket -> driver), then a window partitioned BY
+# BUCKET adds the per-bucket offset — no global single-partition window at
+# any point, so the plan survives 100 TB (the classic two-pass distributed
+# prefix sum).
+# ---------------------------------------------------------------------------
+
+_PACK_WINDOW = 4096
+_PACK_BUCKET = 8192  # docs per prefix-sum bucket
+
+
+@register(
+    "seq_packing_bins",
+    f"""WITH {_TOKARR_CTE},
+lens AS (SELECT doc_id, len(t) AS n_tok FROM tokarr),
+c AS (SELECT doc_id, n_tok,
+      sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM lens)
+SELECT ((cum - n_tok) // {_PACK_WINDOW})::BIGINT AS bin,
+       count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens
+FROM c GROUP BY bin ORDER BY bin LIMIT 10""",
+)
+def seq_packing_bins(spark, sf_dir):
+    """First 10 context-window bins (4096 tokens, streaming fill in doc_id
+    order): docs and tokens packed into each."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    lens = toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tok"),
+        (F.col("doc_id") / _PACK_BUCKET).cast("long").alias("bucket"),
+    )
+    # pass 1: per-bucket token sums -> driver (one scalar per bucket)
+    bsums = {
+        r["bucket"]: r["s"]
+        for r in lens.groupBy("bucket").agg(F.sum("n_tok").alias("s")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(bsums):
+        offsets[b] = acc
+        acc += bsums[b]
+    off_df = spark.createDataFrame(
+        [(b, o) for b, o in offsets.items()], "bucket long, offset long"
+    )
+    # pass 2: within-bucket running sum + broadcast bucket offset
+    w = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = (
+        lens.join(F.broadcast(off_df), "bucket")
+        .withColumn("cum", F.sum("n_tok").over(w) + F.col("offset"))
+    )
+    return (
+        c.select(
+            F.floor((F.col("cum") - F.col("n_tok")) / _PACK_WINDOW).alias("bin"),
+            "n_tok",
+        )
+        .groupBy("bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+        .orderBy("bin")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking stats (training-data pipeline): docs split into
+# 128-token chunks with 16-token overlap (stride 112); per-corpus totals.
+# Pure per-row arithmetic — scales embarrassingly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chunk_window_stats",
+    f"""WITH {_TOKARR_CTE},
+lens AS (SELECT len(t) AS n_tok FROM tokarr),
+k AS (SELECT n_tok, CASE WHEN n_tok <= 128 THEN 1
+        ELSE 1 + CAST(ceil((n_tok - 128) / 112.0) AS BIGINT) END AS n_chunks
+      FROM lens)
+SELECT count(*)::BIGINT AS n_docs, sum(n_chunks)::BIGINT AS n_chunks,
+       max(n_chunks)::BIGINT AS max_chunks,
+       sum(n_chunks * 128)::BIGINT AS padded_tokens
+FROM k""",
+)
+def chunk_window_stats(spark, sf_dir):
+    """Corpus totals for 128-token / 16-overlap chunking (sliding-window
+    tokenization for a training run)."""
+    toks = _tokens(spark, sf_dir)
+    n_tok = F.size("tokens")
+    n_chunks = F.when(n_tok <= 128, F.lit(1)).otherwise(
+        1 + F.ceil((n_tok - 128) / 112.0).cast("long")
+    )
+    return toks.select(n_chunks.alias("c")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("c").alias("n_chunks"),
+        F.max("c").alias("max_chunks"),
+        F.sum(F.col("c") * 128).alias("padded_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-data pipeline): regex-scrub emails and count
+# docs touched / total redactions / post-scrub residue (must be 0). The
+# testdata carries no PII, so a deterministic synthetic email is appended
+# to every 7th doc INSIDE the query — identical expression in both engines,
+# no external data.
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+
+
+@register(
+    "pii_redact_count",
+    f"""WITH aug AS (
+  SELECT doc_id,
+         text || CASE WHEN doc_id % 7 = 0
+                      THEN ' contact user' || doc_id || '@example.com now'
+                      ELSE '' END AS text
+  FROM documents)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN len(regexp_extract_all(text, '{_EMAIL_RE}')) > 0
+                THEN 1 ELSE 0 END)::BIGINT AS n_docs_with_pii,
+       sum(len(regexp_extract_all(text, '{_EMAIL_RE}')))::BIGINT AS n_redactions,
+       sum(len(regexp_extract_all(
+           regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '{_EMAIL_RE}')))::BIGINT AS n_residual
+FROM aug""",
+)
+def pii_redact_count(spark, sf_dir):
+    """Email-redaction audit: docs touched, redaction count, and residue
+    after scrubbing (0 proves the scrub converged)."""
+    d = _read(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com now"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    n_hits = F.regexp_count(F.col("text"), F.lit(_EMAIL_RE))
+    residual = F.regexp_count(
+        F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"), F.lit(_EMAIL_RE)
+    )
+    return aug.agg(
+        F.count("*").alias("n_docs"),
+        F.sum((n_hits > 0).cast("long")).alias("n_docs_with_pii"),
+        F.sum(n_hits).alias("n_redactions"),
+        F.sum(residual).alias("n_residual"),
+    )
