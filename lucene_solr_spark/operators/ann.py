@@ -127,19 +127,28 @@ def lsh_index(
     vec_col: str = "embedding",
 ) -> None:
     """Materialize the classic multi-table LSH layout: ``n_tables`` copies
-    of the table, each PARTITIONED BY that table's bucket column. A probe
-    then reads exactly one partition per table (Spark partition pruning /
-    Iceberg partition transform at scale) instead of computing hashes over
-    the full dataset per query — the fix for the round-1 full-scan-filter
-    shape. Storage cost n_tables x is the standard LSH trade."""
+    of the table, PARTITIONED BY (table, bucket). A probe then reads
+    exactly one partition per table (Spark partition pruning / Iceberg
+    partition transform at scale) instead of computing hashes over the
+    full dataset per query — the fix for the round-1 full-scan-filter
+    shape. Storage cost n_tables x is the standard LSH trade. All tables
+    are written in ONE job (the table id rides an exploded struct column),
+    so build cost is one pass over the data, not n_tables sequential
+    writes."""
+    v = F.col(vec_col).cast("array<double>")
+    pairs = []
     for t in range(n_tables):
         planes = lsh_planes(dim, n_planes, seed=LSH_SEED + t)
-        df = emb.withColumn(
-            "bucket", lsh_bucket_col(F.col(vec_col).cast("array<double>"), planes)
+        pairs.append(
+            F.struct(
+                F.lit(t).alias("table"), lsh_bucket_col(v, planes).alias("bucket")
+            )
         )
-        df.write.mode("overwrite").partitionBy("bucket").parquet(
-            f"{out_path}/table{t}"
-        )
+    cols = list(emb.columns)
+    df = emb.withColumn("tb", F.explode(F.array(*pairs))).select(
+        F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket"), *cols
+    )
+    df.write.mode("overwrite").partitionBy("table", "bucket").parquet(out_path)
 
 
 def lsh_probe(
@@ -152,20 +161,22 @@ def lsh_probe(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Probe a materialized LSH index: per table, read ONLY the probe's
-    bucket partition (plan shows PartitionFilters, no hash computation on
-    the scan side); union candidates, dedup, exact cosine re-rank."""
-    cands = None
+    """Probe a materialized LSH index: ONE scan whose filter is the OR of
+    the probe's (table, bucket) pairs — both are partition columns, so the
+    plan shows PartitionFilters and reads exactly one partition per table
+    (no hash computation on the scan side); dedup, exact cosine re-rank."""
+    cond = None
     for t in range(n_tables):
         planes = lsh_planes(len(probe), n_planes, seed=LSH_SEED + t)
         b = _probe_bucket(probe, planes)
-        df_t = (
-            spark.read.parquet(f"{index_path}/table{t}")
-            .filter(F.col("bucket") == b)
-            .select(id_col, vec_col)
-        )
-        cands = df_t if cands is None else cands.unionByName(df_t)
-    cands = cands.dropDuplicates([id_col])
+        m = (F.col("table") == t) & (F.col("bucket") == b)
+        cond = m if cond is None else (cond | m)
+    cands = (
+        spark.read.parquet(index_path)
+        .filter(cond)
+        .select(id_col, vec_col)
+        .dropDuplicates([id_col])
+    )
     p = F.array(*[F.lit(float(x)) for x in probe])
     return (
         cands.select(

@@ -67,29 +67,41 @@ def token_shingles(df: DataFrame, id_col: str, tokens_col: str, k: int = 3) -> D
 def minhash_signatures(
     shingles: DataFrame, n_hashes: int = 12
 ) -> DataFrame:
-    """(doc_id, seed, minhash): seed-salted md5-min over shingles.
-    groupBy(doc_id, seed) is map-combinable (min is associative)."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed")
-    salted = shingles.select("doc_id", "shingle", seeds)
-    return salted.groupBy("doc_id", "seed").agg(
-        F.min(h60(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle")))).alias("mh")
-    )
+    """(doc_id, mh0..mh{n-1}): seed-salted md5-min over shingles, ALL seeds
+    in one map-combined groupBy(doc_id) — the seed dimension rides as
+    aggregate columns instead of exploded row copies, so the shuffle moves
+    one row per doc, not n_hashes copies of every shingle (a ~n_hashes x
+    shuffle-volume cut; values are identical, min per seed is unchanged)."""
+    aggs = [
+        F.min(h60(F.concat_ws(":", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
+        for s in range(n_hashes)
+    ]
+    return shingles.groupBy("doc_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
     sigs: DataFrame, n_hashes: int = 12, bands: int = 4
 ) -> DataFrame:
     """Band the signature (rows = n_hashes/bands), bucket-join within bands.
+    Band key = md5 of the band's mh values as lexicographically sorted
+    strings (identical to the exploded formulation's collect_list+sort key).
     Output unique candidate (doc_a < doc_b) pairs."""
     r = n_hashes // bands
-    banded = (
-        sigs.withColumn("band", (F.col("seed") / r).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(",", F.array_sort(F.collect_list(F.col("mh").cast("string"))))
-            ).alias("band_key")
+    keys = []
+    for b in range(bands):
+        vals = F.array(
+            *[F.col(f"mh{s}").cast("string") for s in range(b * r, (b + 1) * r)]
         )
+        keys.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", F.array_sort(vals))).alias("band_key"),
+            )
+        )
+    banded = sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk")).select(
+        "doc_id",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
     )
     a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
