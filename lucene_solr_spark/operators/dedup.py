@@ -165,12 +165,36 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold via inverted-index self-join
-    (ground truth for the MinHash recall test)."""
+    """Exact n-gram Jaccard >= threshold (ground truth for the MinHash
+    recall test) with PPJoin/AllPairs PREFIX FILTERING (Chaudhuri et al.
+    2006, Xiao et al. 2008): candidates self-join only on each doc's
+    rarest-first prefix of length |S| - ceil(t*|S|) + 1, then exact-verify.
+
+    LOSSLESS: order shingles canonically (ascending global df, shingle).
+    J(A,B) >= t implies |A∩B| >= t*|A| (from i >= t(|A|+|B|)/(1+t) and
+    |B| >= i). Let x be the canonically-smallest common element: if x were
+    outside prefix(A), ALL common elements would sit past position p(A),
+    giving |A∩B| <= |A| - p(A) = ceil(t|A|) - 1 < t|A| — contradiction; so
+    x lies in prefix(A), and symmetrically in prefix(B), and the
+    prefix-prefix join finds the pair. Hot shingles (high df)
+    land at the END of the canonical order, so they are excluded from most
+    prefixes and the classic stopword pair-blowup of the naive
+    inverted-index join never materializes. The prefix rank is a window
+    partitioned BY DOC (keyed, scalable); the df join is shingle-keyed."""
     sh = token_shingles(df, id_col, tokens_col, k).persist()
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df_sh"))
+    w = Window.partitionBy("doc_id").orderBy("df_sh", "shingle")
+    ranked = (
+        sh.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("card", F.count("*").over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("card") - F.ceil(threshold * F.col("card")) + 1
+    ).select("doc_id", "shingle")
     pairs = (
-        sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-        .join(sh.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
+        prefix.select(F.col("doc_id").alias("doc_a"), "shingle")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "shingle"), "shingle")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
