@@ -205,31 +205,28 @@ def ngram_jaccard_pairs(
 def simhash(df: DataFrame, tokens_col: str = "tokens", id_col: str = "doc_id",
             n_bits: int = 32) -> DataFrame:
     """Per-doc SimHash fingerprint: bit b = sign of sum over tokens of
-    freq-weighted (bit_b(h60(token)) * 2 - 1). JVM-side only."""
+    freq-weighted (bit_b(h60(token)) * 2 - 1). JVM-side only. All
+    ``n_bits`` column sums ride ONE map-combined groupBy(doc_id) (the bit
+    dimension as aggregate expressions, not exploded row copies — the
+    shuffle moves one row per doc instead of n_bits copies of every
+    (doc, term) row; identical fingerprints)."""
     tok = df.select(F.col(id_col).alias("doc_id"), F.explode(tokens_col).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("freq"))
     th = tf.withColumn("h", h60(F.col("term")))
-    bits = th.select(
-        "doc_id",
-        "freq",
-        "h",
-        F.explode(F.sequence(F.lit(0), F.lit(n_bits - 1))).alias("b"),
-    ).withColumn(
-        "contrib",
-        F.col("freq") * F.expr("(shiftright(h, CAST(b AS INT)) & 1) * 2 - 1"),
-    )
-    return (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.expr(
-                    "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)) ELSE CAST(0 AS BIGINT) END"
-                )
-            ).alias("simhash")
+    bit_sums = [
+        F.sum(
+            F.col("freq") * F.expr(f"(shiftright(h, {b}) & 1) * 2 - 1")
+        ).alias(f"s{b}")
+        for b in range(n_bits)
+    ]
+    wide = th.groupBy("doc_id").agg(*bit_sums)
+    fp = None
+    for b in range(n_bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+        fp = term if fp is None else (fp + term)
+    return wide.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_near_pairs(
