@@ -455,7 +455,19 @@ _ = (REGISTRY, ORACLES)
 # Multimodal plumbing (binary columns; decode stubbed — rows-only checks)
 # ---------------------------------------------------------------------------
 
-@register("multimodal_decode_meta")  # rows-only: binary construction differs per engine
+@register(
+    "multimodal_decode_meta",
+    # The fake codec's header fields are a pure function of documents.text
+    # (w = chars%64+1, h = chars%48+1, payload = utf-8 byte length), so the
+    # DECODED metadata is SQL-expressible even though the binary itself isn't:
+    # the oracle checks the whole synth->encode->Arrow-decode round trip.
+    """SELECT doc_id AS media_id,
+       true AS valid,
+       (length(text) % 64 + 1)::INTEGER AS width,
+       (length(text) % 48 + 1)::INTEGER AS height,
+       octet_length(encode(text))::BIGINT AS payload_bytes
+FROM documents ORDER BY media_id""",
+)
 def multimodal_decode_meta(spark, sf_dir):
     """Binary media column -> header decode via Arrow-batched mapInPandas
     (deterministic fake codec; real decoder is an import-gated stub)."""
@@ -466,7 +478,16 @@ def multimodal_decode_meta(spark, sf_dir):
     return mm.decode_meta(media).orderBy("media_id")
 
 
-@register("multimodal_resize_stats")  # rows-only
+@register(
+    "multimodal_resize_stats",
+    # resize_stub keeps the 12-byte header + every k-th payload byte where
+    # k = max(payload_bytes // 32, 1); len(body[::k]) == ceil(len/k).
+    """WITH m AS (SELECT octet_length(encode(text))::BIGINT AS len FROM documents),
+r AS (SELECT len, greatest(len // 32, 1) AS k FROM m)
+SELECT count(*)::BIGINT AS n_media,
+       max(12 + (len + k - 1) // k)::INTEGER AS max_bytes
+FROM r""",
+)
 def multimodal_resize_stats(spark, sf_dir):
     """binary->binary resize transform; output size stats."""
     from ..sources import multimodal as mm
