@@ -105,3 +105,65 @@ def winnow_fingerprint(tokens_col, k: int = 5):
         )
     )
     return F.array_min(F.transform(windows, lambda w: F.md5(w)))
+
+# Gopher repetition-gate thresholds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher" §A1.1), pinned for cross-engine determinism.
+REP_TOP2, REP_DUP3, REP_UNIQ = 0.18, 0.02, 0.32
+
+
+def repetition_flags(toks, tokens_col: str = "tokens", id_col: str = "doc_id"):
+    """Per-doc Gopher repetition gates over token n-grams.
+
+    Returns (doc_id, f_top2, f_dup3, f_uniq) for every doc with >0 tokens
+    (empty docs are excluded — they fail upstream length gates anyway):
+      - f_top2: tokens covered by the most frequent bigram > REP_TOP2
+      - f_dup3: fraction of 3-gram occurrences whose gram repeats > REP_DUP3
+      - f_uniq: unique-token ratio < REP_UNIQ
+
+    Scale shape: n-gram construction is an array transform (no shuffle);
+    the per-(doc, gram) counts are map-combined aggregations keyed by doc.
+    """
+    t = F.col(tokens_col)
+    base = toks.filter(F.size(tokens_col) > 0).select(
+        F.col(id_col).alias("doc_id"),
+        F.size(t).alias("n_tokens"),
+        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("uniq_ratio"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
+            ),
+        ).alias("bi"),
+        F.when(
+            F.size(t) >= 3,
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(t, i.cast("int")),
+                    F.element_at(t, (i + 1).cast("int")),
+                    F.element_at(t, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("tri"),
+    )
+    bic = base.select("doc_id", F.explode("bi").alias("g")).groupBy("doc_id", "g").count()
+    top2 = bic.groupBy("doc_id").agg(F.max("count").alias("mx"))
+    tric = base.select("doc_id", F.explode("tri").alias("g")).groupBy("doc_id", "g").count()
+    dup3 = tric.groupBy("doc_id").agg(
+        (
+            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
+            / F.sum("count")
+        ).alias("frac")
+    )
+    return (
+        base.select("doc_id", "n_tokens", "uniq_ratio")
+        .join(top2, "doc_id", "left")
+        .join(dup3, "doc_id", "left")
+        .select(
+            "doc_id",
+            (2.0 * F.col("mx") / F.col("n_tokens") > REP_TOP2).alias("f_top2"),
+            (F.coalesce(F.col("frac"), F.lit(0.0)) > REP_DUP3).alias("f_dup3"),
+            (F.col("uniq_ratio") < REP_UNIQ).alias("f_uniq"),
+        )
+    )

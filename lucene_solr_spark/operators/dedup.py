@@ -79,13 +79,10 @@ def minhash_signatures(
     return shingles.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
-    sigs: DataFrame, n_hashes: int = 12, bands: int = 4
-) -> DataFrame:
-    """Band the signature (rows = n_hashes/bands), bucket-join within bands.
-    Band key = md5 of the band's mh values as lexicographically sorted
-    strings (identical to the exploded formulation's collect_list+sort key).
-    Output unique candidate (doc_a < doc_b) pairs."""
+def band_key_rows(sigs: DataFrame, n_hashes: int = 12, bands: int = 4) -> DataFrame:
+    """(doc_id, band, band_key) rows for a signature table. Band key = md5
+    of the band's mh values as lexicographically sorted strings (identical
+    to the exploded formulation's collect_list+sort key)."""
     r = n_hashes // bands
     keys = []
     for b in range(bands):
@@ -98,11 +95,19 @@ def minhash_lsh_candidates(
                 F.md5(F.concat_ws(",", F.array_sort(vals))).alias("band_key"),
             )
         )
-    banded = sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk")).select(
+    return sigs.select("doc_id", F.explode(F.array(*keys)).alias("bk")).select(
         "doc_id",
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame, n_hashes: int = 12, bands: int = 4
+) -> DataFrame:
+    """Band the signature (rows = n_hashes/bands), bucket-join within bands.
+    Output unique candidate (doc_a < doc_b) pairs."""
+    banded = band_key_rows(sigs, n_hashes, bands)
     a = banded.select("band", "band_key", F.col("doc_id").alias("doc_a"))
     b = banded.select("band", "band_key", F.col("doc_id").alias("doc_b"))
     return (
@@ -156,6 +161,50 @@ def minhash_lsh_dedup(
     sigs = minhash_signatures(sh, n_hashes)
     cands = minhash_lsh_candidates(sigs, n_hashes, bands)
     return jaccard_verify(cands, sh, threshold)
+
+
+def minhash_lsh_incremental(
+    base: DataFrame,
+    batch: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 3,
+    n_hashes: int = 12,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental dedup: probe a NEW batch against an EXISTING corpus.
+
+    The production shape for continuous ingestion (a training-data pipeline
+    operator; no Solr analog): the base corpus's
+    band-key table is the persisted dedup index — built once, stored
+    partitioned by (band, band_key) exactly like ``ann.lsh_index`` — and
+    each arriving batch is shingled + min-hashed on its own (cost O(batch),
+    never O(corpus)), then joined to the index on the tiny band keys. Only
+    candidate pairs are exactly verified. At 100 TB the probe join is a
+    shuffle of the batch side only; the index side is a bucket-pruned read.
+
+    Returns (new_doc, base_doc, jaccard >= threshold) pairs ordered.
+    """
+    sh_base = token_shingles(base, id_col, tokens_col, k)
+    sh_batch = token_shingles(batch, id_col, tokens_col, k)
+    bk_base = band_key_rows(minhash_signatures(sh_base, n_hashes), n_hashes, bands)
+    bk_batch = band_key_rows(minhash_signatures(sh_batch, n_hashes), n_hashes, bands)
+    cand = (
+        bk_batch.select("band", "band_key", F.col("doc_id").alias("doc_a"))
+        .join(
+            bk_base.select("band", "band_key", F.col("doc_id").alias("doc_b")),
+            ["band", "band_key"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    verified = jaccard_verify(cand, sh_batch.unionByName(sh_base), threshold)
+    return verified.select(
+        F.col("doc_a").alias("new_doc"),
+        F.col("doc_b").alias("base_doc"),
+        "jaccard",
+    ).orderBy("new_doc", "base_doc")
 
 
 def ngram_jaccard_pairs(

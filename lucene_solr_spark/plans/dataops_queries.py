@@ -630,3 +630,162 @@ def sessionize_events(spark, sf_dir):
         .orderBy(F.desc("n_events"), F.asc("user_id"), F.asc("start_us"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: probe a new batch against the existing corpus index
+# (operators/dedup.py#minhash_lsh_incremental). Split is deterministic:
+# doc_id % 4 == 0 is the "arriving batch", the rest is the indexed base.
+# ---------------------------------------------------------------------------
+
+_INCR_SQL = f"""
+WITH {_SHINGLES_CTE},
+mh AS (SELECT doc_id, seed, min(('0x' || substr(md5(seed::VARCHAR || ':' || shingle), 1, 15))::BIGINT) AS mh
+       FROM sh CROSS JOIN (SELECT unnest(range(0, 12)) AS seed) s GROUP BY 1, 2),
+banded AS (SELECT doc_id, seed // 3 AS band,
+                  md5(string_agg(mh::VARCHAR, ',' ORDER BY mh::VARCHAR)) AS band_key
+           FROM mh GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+         WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0),
+card AS (SELECT doc_id, count(*) AS card FROM sh GROUP BY 1),
+inter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM cand c
+          JOIN sh sa ON sa.doc_id = c.doc_a JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+          GROUP BY 1, 2)
+SELECT doc_a AS new_doc, doc_b AS base_doc, round(i / (ca.card + cb.card - i), 6) AS jaccard
+FROM inter JOIN card ca ON doc_a = ca.doc_id JOIN card cb ON doc_b = cb.doc_id
+WHERE round(i / (ca.card + cb.card - i), 6) >= 0.8
+ORDER BY 1, 2
+"""
+
+
+@register("dedup_incremental_batch", _INCR_SQL)
+def dedup_incremental_batch(spark, sf_dir):
+    """Incremental near-dup: new batch (doc_id%4==0) probed against the
+    existing base corpus's MinHash band-key index; O(batch) hash work."""
+    toks = _tokens(spark, sf_dir)
+    base = toks.filter(F.col("doc_id") % 4 != 0)
+    batch = toks.filter(F.col("doc_id") % 4 == 0)
+    return dedup.minhash_lsh_incremental(
+        base, batch, tokens_col="tokens", k=3, n_hashes=12, bands=4, threshold=0.8
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining data funnel: lang filter -> quality gate -> Gopher
+# repetition gates -> exact dedup -> near-dup drop. One row of per-stage
+# survivor counts — the standard pre-training curation pipeline composed
+# from this module's individually-oracled operators.
+# ---------------------------------------------------------------------------
+
+_FUNNEL_Q = 0.5
+
+_FUNNEL_SQL = f"""
+WITH {_TOKARR_CTE},
+hits AS (SELECT doc_id, {_HIT_COLS} FROM tokarr),
+lang AS (SELECT doc_id FROM hits WHERE {_PRED_CASE} = 'en'),
+feat AS (SELECT d.doc_id,
+  length(d.text) AS n_chars,
+  len(a.t) AS n_tokens,
+  length(d.text) - length(regexp_replace(d.text, '[^\\w\\s]', '', 'g')) AS n_punct,
+  len(list_filter(a.t, x -> list_contains([{_STOP_LST}], x))) AS stop_hits
+  FROM documents d JOIN tokarr a USING (doc_id) JOIN lang USING (doc_id)),
+q AS (SELECT doc_id FROM (SELECT doc_id,
+  round(0.4 * least(n_tokens / 100.0, 1.0)
+  + 0.3 * (1.0 - (CASE WHEN n_chars > 0 THEN n_punct / n_chars::DOUBLE ELSE 0.0 END))
+  + 0.3 * (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens::DOUBLE ELSE 0.0 END), 6) AS qq
+  FROM feat) WHERE qq >= {_FUNNEL_Q}),
+rbase AS (SELECT a.doc_id, len(a.t) AS n_tokens,
+                 len(list_distinct(a.t))::DOUBLE / len(a.t) AS uniq_ratio
+          FROM tokarr a JOIN q USING (doc_id) WHERE len(a.t) > 0),
+bi AS (SELECT a.doc_id, a.t[i] || ' ' || a.t[i+1] AS g
+       FROM tokarr a JOIN q USING (doc_id), (SELECT unnest(range(1, 4000)) AS i) ix
+       WHERE i + 1 <= len(a.t)),
+bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+top2 AS (SELECT doc_id, max(c) AS mx FROM bic GROUP BY 1),
+tri AS (SELECT a.doc_id, a.t[i] || ' ' || a.t[i+1] || ' ' || a.t[i+2] AS g
+        FROM tokarr a JOIN q USING (doc_id), (SELECT unnest(range(1, 4000)) AS i) ix
+        WHERE i + 2 <= len(a.t)),
+tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+dup3 AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::DOUBLE / sum(c) AS frac
+         FROM tric GROUP BY 1),
+rep AS (SELECT b.doc_id FROM rbase b
+        LEFT JOIN top2 ON top2.doc_id = b.doc_id
+        LEFT JOIN dup3 ON dup3.doc_id = b.doc_id
+        WHERE NOT ((2.0 * top2.mx / b.n_tokens) > 0.18
+                   OR coalesce(dup3.frac, 0.0) > 0.02
+                   OR b.uniq_ratio < 0.32)),
+keep AS (SELECT min(d.doc_id) AS doc_id FROM documents d JOIN rep USING (doc_id)
+         GROUP BY md5(d.text)),
+shk AS (SELECT DISTINCT a.doc_id, a.t[i] || ' ' || a.t[i+1] || ' ' || a.t[i+2] AS shingle
+        FROM tokarr a JOIN keep USING (doc_id), (SELECT unnest(range(1, 4000)) AS i) ix
+        WHERE i + 2 <= len(a.t)),
+ncand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM shk a JOIN shk b ON a.shingle = b.shingle WHERE a.doc_id < b.doc_id),
+ncard AS (SELECT doc_id, count(*) AS card FROM shk GROUP BY 1),
+ninter AS (SELECT c.doc_a, c.doc_b, count(*) AS i FROM ncand c
+           JOIN shk sa ON sa.doc_id = c.doc_a
+           JOIN shk sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+           GROUP BY 1, 2),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM ninter
+          JOIN ncard ca ON doc_a = ca.doc_id JOIN ncard cb ON doc_b = cb.doc_id
+          WHERE round(i / (ca.card + cb.card - i), 6) >= 0.8)
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_total,
+       (SELECT count(*) FROM lang)::BIGINT AS n_lang,
+       (SELECT count(*) FROM q)::BIGINT AS n_quality,
+       (SELECT count(*) FROM rep)::BIGINT AS n_repetition,
+       (SELECT count(*) FROM keep)::BIGINT AS n_exact,
+       (SELECT count(*) FROM keep WHERE doc_id NOT IN (SELECT doc_id FROM drops))::BIGINT
+           AS n_neardup
+"""
+
+
+@register("pretraining_funnel", _FUNNEL_SQL)
+def pretraining_funnel(spark, sf_dir):
+    """Pretraining curation funnel: per-stage survivor counts.
+
+    lang==en -> quality >= 0.5 -> Gopher repetition gates -> exact dedup
+    (keep min doc_id per md5) -> near-dup drop (exact 3-gram Jaccard >= 0.8,
+    drop the larger doc_id of each pair; at 100 TB the last stage runs via
+    the MinHash index instead — same drop rule).
+
+    Scale shape: every stage is a filter or map-combined agg over doc-keyed
+    data; stage counts are scalar aggs. No stage widens the data.
+    """
+    from ..functions.textstats import repetition_flags
+
+    toks = _tokens(spark, sf_dir)
+    scored = toks.select(
+        "doc_id",
+        "text",
+        "tokens",
+        lang_id_struct(F.col("tokens"))["pred_lang"].alias("pred_lang"),
+        F.round(
+            quality_features(F.col("text"), F.col("tokens"))["quality"], 6
+        ).alias("q"),
+    )
+    s1 = scored.filter(F.col("pred_lang") == "en")
+    s2 = s1.filter(F.col("q") >= _FUNNEL_Q)
+    rep_pass = (
+        repetition_flags(s2)
+        .filter(~(F.col("f_top2") | F.col("f_dup3") | F.col("f_uniq")))
+        .select("doc_id")
+    )
+    s3 = s2.join(rep_pass, "doc_id").persist()
+    keep = s3.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("doc_id"))
+    s4 = s3.join(keep.select("doc_id"), "doc_id").persist()
+    pairs = dedup.ngram_jaccard_pairs(s4, tokens_col="tokens", k=3, threshold=0.8)
+    drops = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    s5 = s4.join(drops, "doc_id", "left_anti")
+
+    def _n(df, name):
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    return (
+        _n(toks, "n_total")
+        .crossJoin(_n(s1, "n_lang"))
+        .crossJoin(_n(s2, "n_quality"))
+        .crossJoin(_n(s3, "n_repetition"))
+        .crossJoin(_n(s4, "n_exact"))
+        .crossJoin(_n(s5, "n_neardup"))
+    )

@@ -418,58 +418,9 @@ def repetition_filter_stats(spark, sf_dir):
     100 TB this is one map-combined aggregation per rule, and the final
     census is a scalar agg.
     """
-    toks = _tokens(spark, sf_dir).filter(F.size("tokens") > 0)
-    t = F.col("tokens")
-    base = toks.select(
-        "doc_id",
-        F.size(t).alias("n_tokens"),
-        (F.size(F.array_distinct(t)).cast("double") / F.size(t)).alias("uniq_ratio"),
-        F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(t, i.cast("int")), F.element_at(t, (i + 1).cast("int"))
-            ),
-        ).alias("bi"),
-        F.when(
-            F.size(t) >= 3,
-            F.transform(
-                F.sequence(F.lit(1), F.size(t) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(t, i.cast("int")),
-                    F.element_at(t, (i + 1).cast("int")),
-                    F.element_at(t, (i + 2).cast("int")),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")).alias("tri"),
-    )
-    bic = (
-        base.select("doc_id", F.explode("bi").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-    )
-    top2 = bic.groupBy("doc_id").agg(F.max("count").alias("mx"))
-    tric = (
-        base.select("doc_id", F.explode("tri").alias("g"))
-        .groupBy("doc_id", "g")
-        .count()
-    )
-    dup3 = tric.groupBy("doc_id").agg(
-        (
-            F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).cast("double")
-            / F.sum("count")
-        ).alias("frac")
-    )
-    cls = (
-        base.select("doc_id", "n_tokens", "uniq_ratio")
-        .join(top2, "doc_id", "left")
-        .join(dup3, "doc_id", "left")
-        .select(
-            (2.0 * F.col("mx") / F.col("n_tokens") > _REP_TOP2).alias("f_top2"),
-            (F.coalesce(F.col("frac"), F.lit(0.0)) > _REP_DUP3).alias("f_dup3"),
-            (F.col("uniq_ratio") < _REP_UNIQ).alias("f_uniq"),
-        )
-    )
+    from ..functions.textstats import repetition_flags
+
+    cls = repetition_flags(_tokens(spark, sf_dir))
     return cls.agg(
         F.count("*").alias("n_docs"),
         F.sum(F.col("f_top2").cast("long")).alias("n_fail_top2gram"),

@@ -218,3 +218,34 @@ def test_embedding_cosine_pairs_block_invariance(spark):
             map(tuple, dedup.embedding_cosine_pairs(emb, threshold=0.4, block_size=bs).collect())
         )
         assert got == ref, f"block_size={bs}: {len(got)} vs {len(ref)} pairs"
+
+
+def test_incremental_lsh_matches_split_of_exact_pairs(spark, toks):
+    """Incremental probe (batch = doc_id%4==0 vs base) must return exactly
+    the cross-split subset of the full exact near-dup pairs that minhash
+    banding recalls — and every returned pair crosses the split."""
+    base = toks.filter(F.col("doc_id") % 4 != 0)
+    batch = toks.filter(F.col("doc_id") % 4 == 0)
+    inc = dedup.minhash_lsh_incremental(base, batch, threshold=0.8).collect()
+    assert inc, "split should cut at least one planted near-dup pair"
+    exact = {
+        frozenset((r["doc_a"], r["doc_b"]))
+        for r in dedup.ngram_jaccard_pairs(toks, threshold=0.8).collect()
+    }
+    for r in inc:
+        assert r["new_doc"] % 4 == 0 and r["base_doc"] % 4 != 0
+        assert frozenset((r["new_doc"], r["base_doc"])) in exact
+    # recall vs the cross-split exact ground truth
+    cross = {p for p in exact if any(x % 4 == 0 for x in p) and any(x % 4 != 0 for x in p)}
+    got = {frozenset((r["new_doc"], r["base_doc"])) for r in inc}
+    assert len(got) / len(cross) >= 0.9
+
+
+def test_pretraining_funnel_monotone(spark):
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["pretraining_funnel"](spark, SF01_DIR).collect()[0]
+    seq = [row["n_total"], row["n_lang"], row["n_quality"],
+           row["n_repetition"], row["n_exact"], row["n_neardup"]]
+    assert seq == sorted(seq, reverse=True)
+    assert seq[-1] > 0 and seq[0] > seq[-1]
