@@ -40,11 +40,13 @@ import numpy as np
 __all__ = [
     "Term",
     "Phrase",
+    "Synonym",
     "Bool",
     "collect_terms",
     "collect_term_leaves",
     "collect_fields",
     "collect_phrases",
+    "collect_synonyms",
     "rewrite",
     "eval_node",
 ]
@@ -81,6 +83,25 @@ class Phrase:
 
 
 @dataclass(frozen=True)
+class Synonym:
+    """A blended multi-term clause (search/SynonymQuery.java): terms that
+    are scored as if they were ONE term. Pinned Lucene-8 semantics:
+    doc freq is blended as max over the member terms' dfs
+    (SynonymQuery#SynonymWeight collects TermStatistics with
+    ``docFreq = max``), and at score time the doc's freq is the SUM of the
+    member terms' freqs (SynonymScorer#freq). One idf, one tf saturation —
+    a doc matching two synonyms is NOT scored like a 2-term disjunction."""
+
+    terms: tuple
+    boost: float = 1.0
+    field: str | None = None
+
+    def __post_init__(self):
+        if not isinstance(self.terms, tuple):
+            object.__setattr__(self, "terms", tuple(self.terms))
+
+
+@dataclass(frozen=True)
 class Bool:
     """A Boolean node (search/BooleanQuery.java). Clause tuples hold Term or
     nested Bool values."""
@@ -104,7 +125,7 @@ def collect_terms(node) -> set[str]:
     """All distinct terms anywhere in the tree (incl. MUST_NOT/FILTER)."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, Synonym)):
         return set(node.terms)
     out: set[str] = set()
     for part in (node.must, node.should, node.must_not, node.filter):
@@ -119,7 +140,7 @@ def collect_term_leaves(node) -> set[str]:
     the Boolean scorer must decode for per-term BM25."""
     if isinstance(node, Term):
         return {node.term}
-    if isinstance(node, Phrase):
+    if isinstance(node, (Phrase, Synonym)):
         return set()
     out: set[str] = set()
     for part in (node.must, node.should, node.must_not, node.filter):
@@ -129,8 +150,8 @@ def collect_term_leaves(node) -> set[str]:
 
 
 def collect_fields(node) -> set:
-    """Field names used by Term/Phrase leaves (None = default field)."""
-    if isinstance(node, (Term, Phrase)):
+    """Field names used by Term/Phrase/Synonym leaves (None = default)."""
+    if isinstance(node, (Term, Phrase, Synonym)):
         return {node.field}
     out: set = set()
     for part in (node.must, node.should, node.must_not, node.filter):
@@ -141,7 +162,7 @@ def collect_fields(node) -> set:
 
 def collect_phrases(node) -> list["Phrase"]:
     """All Phrase leaves in the tree (order: depth-first, clause order)."""
-    if isinstance(node, Term):
+    if isinstance(node, (Term, Synonym)):
         return []
     if isinstance(node, Phrase):
         return [node]
@@ -149,6 +170,19 @@ def collect_phrases(node) -> list["Phrase"]:
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out.extend(collect_phrases(c))
+    return out
+
+
+def collect_synonyms(node) -> list["Synonym"]:
+    """All Synonym leaves in the tree (depth-first, clause order)."""
+    if isinstance(node, (Term, Phrase)):
+        return []
+    if isinstance(node, Synonym):
+        return [node]
+    out: list[Synonym] = []
+    for part in (node.must, node.should, node.must_not, node.filter):
+        for c in part:
+            out.extend(collect_synonyms(c))
     return out
 
 
@@ -167,7 +201,7 @@ def rewrite(node):
     """BooleanQuery#rewrite analog — conservative, score-preserving in
     float32 (only boost==1 splices and exact single-clause collapses, so the
     rewritten tree is bit-identical to the original under eval_node)."""
-    if isinstance(node, (Term, Phrase)):
+    if isinstance(node, (Term, Phrase, Synonym)):
         return node
     must = tuple(rewrite(c) for c in node.must)
     should = tuple(rewrite(c) for c in node.should)
@@ -237,6 +271,8 @@ def eval_node(
     span: int,
     pscores: dict | None = None,
     pmasks: dict | None = None,
+    sscores: dict | None = None,
+    smasks: dict | None = None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Evaluate a query tree over one bucket's dense doc space.
 
@@ -264,6 +300,14 @@ def eval_node(
         if node.boost != 1.0:
             s = (s * np.float32(node.boost)).astype(np.float32)
         return m, s
+    if isinstance(node, Synonym):
+        s = None if sscores is None else sscores.get(node)
+        if s is None:
+            return np.zeros(span, dtype=bool), np.zeros(span, dtype=np.float32)
+        m = smasks[node]
+        if node.boost != 1.0:
+            s = (s * np.float32(node.boost)).astype(np.float32)
+        return m, s
 
     # Bool node
     if not (node.must or node.should or node.filter):
@@ -274,20 +318,20 @@ def eval_node(
     score = np.zeros(span, dtype=np.float32)
 
     for c in node.must:
-        cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks)
+        cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks, sscores, smasks)
         mask &= cm
         score += cs  # float32 in-place, clause order
     for c in node.filter:
-        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks)
+        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks, sscores, smasks)
         mask &= cm
     for c in node.must_not:
-        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks)
+        cm, _ = eval_node(c, tscores, tmasks, span, pscores, pmasks, sscores, smasks)
         mask &= ~cm
 
     if node.should:
         n_should = np.zeros(span, dtype=np.int32)
         for c in node.should:
-            cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks)
+            cm, cs = eval_node(c, tscores, tmasks, span, pscores, pmasks, sscores, smasks)
             n_should += cm
             # SHOULD contributes score only where it matches; cs is already
             # 0 off-match for Terms, but a nested Bool's score must be

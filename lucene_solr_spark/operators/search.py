@@ -164,6 +164,7 @@ class Searcher:
         from .query import (
             collect_fields,
             collect_phrases,
+            collect_synonyms,
             collect_term_leaves,
             collect_terms,
             rewrite,
@@ -183,6 +184,13 @@ class Searcher:
         idfs = {
             t: np.float32(stats[t].idf) for t in sorted(stats) if t in leaf_terms
         }
+        # Synonym leaves: blended idf from max member df (SynonymQuery.java);
+        # leaves with no present member are omitted -> match nothing.
+        syn_idfs: dict = {}
+        for sq in set(collect_synonyms(q)):
+            dfs = [stats[t].df for t in set(sq.terms) if t in stats]
+            if dfs:
+                syn_idfs[sq] = np.float32(bm25.idf(self.stats.n_docs, max(dfs)))
         positions = None
         phrase_idfs: dict = {}
         if phrases:
@@ -202,6 +210,7 @@ class Searcher:
             self.postings, q, idfs, self._cache, k,
             positions=positions, phrase_idfs=phrase_idfs,
             filter_docs=self.fq_docs(fq) if fq else None,
+            syn_idfs=syn_idfs,
         )
         return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 
@@ -635,6 +644,7 @@ def score_query_postings(
     caches: dict | None = None,
     phrase_caches: dict | None = None,
     filter_docs: DataFrame | None = None,
+    syn_idfs: dict | None = None,
 ) -> DataFrame:
     """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
     ``filter_docs``: optional (bucket, doc_id) fq set — same semantics as
@@ -665,23 +675,66 @@ def score_query_postings(
     phrase_meta = {
         p: (phrase_offsets(p.terms), sorted(set(p.terms))) for p in phrase_idfs
     }
+    syn_idfs = syn_idfs or {}
+    # Synonym leaves (query.py#Synonym): member terms must be scanned even
+    # when they are not Term leaves; the kernel keeps their raw (tf, norm)
+    # dense arrays and blends them into one pseudo-term score per node.
+    syn_meta = {s: sorted(set(s.terms)) for s in syn_idfs}
+    syn_members = frozenset(t for ms in syn_meta.values() for t in ms)
     has_filter = filter_docs is not None  # closures must not capture the DF
 
     def term_dense(pdf: pd.DataFrame, base: int, span: int):
         tscores: dict[str, np.ndarray] = {}
         tmasks: dict[str, np.ndarray] = {}
+        traw: dict[str, tuple] = {}
         for t, g in pdf.groupby("term", sort=False):
-            cch = caches.get(t, cache) if caches else cache
+            decoded = [_decode_block(row) for row in g.itertuples()]
+            if t in idfs:
+                cch = caches.get(t, cache) if caches else cache
+                sarr = np.zeros(span, dtype=np.float32)
+                marr = np.zeros(span, dtype=bool)
+                for ids, freqs, norms in decoded:
+                    rel = ids - base
+                    sarr[rel] = bm25.score_block(freqs, norms, idfs[t], cch)
+                    marr[rel] = True
+                tscores[t] = sarr
+                tmasks[t] = marr
+            if t in syn_members:
+                farr = np.zeros(span, dtype=np.float32)
+                narr = np.zeros(span, dtype=np.uint8)
+                for ids, freqs, norms in decoded:
+                    rel = ids - base
+                    farr[rel] = freqs
+                    narr[rel] = norms
+                traw[t] = (farr, narr)
+        return tscores, tmasks, traw
+
+    def syn_dense(traw: dict, span: int):
+        """Blend member (tf, norm) arrays per Synonym node: freq = sum of
+        member tfs, one BM25 saturation at the blended idf (SynonymScorer)."""
+        sscores: dict = {}
+        smasks: dict = {}
+        for node, members in syn_meta.items():
+            fsum = np.zeros(span, dtype=np.float32)
+            narr = np.zeros(span, dtype=np.uint8)
+            m = np.zeros(span, dtype=bool)
+            for t in members:
+                fr = traw.get(t)
+                if fr is None:
+                    continue
+                fsum += fr[0]
+                np.maximum(narr, fr[1], out=narr)
+                m |= fr[0] > 0
             sarr = np.zeros(span, dtype=np.float32)
-            marr = np.zeros(span, dtype=bool)
-            for row in g.itertuples():
-                ids, freqs, norms = _decode_block(row)
-                rel = ids - base
-                sarr[rel] = bm25.score_block(freqs, norms, idfs[t], cch)
-                marr[rel] = True
-            tscores[t] = sarr
-            tmasks[t] = marr
-        return tscores, tmasks
+            nz = np.nonzero(m)[0]
+            if nz.size:
+                cch = caches.get(members[0], cache) if caches else cache
+                sarr[nz] = bm25.score_block(
+                    fsum[nz], narr[nz], syn_idfs[node], cch
+                )
+            sscores[node] = sarr
+            smasks[node] = m
+        return sscores, smasks
 
     def local_topk(
         mask: np.ndarray,
@@ -714,8 +767,11 @@ def score_query_postings(
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         base = int(pdf["first_doc"].min())
         span = int(pdf["last_doc"].max()) - base + 1
-        tscores, tmasks = term_dense(pdf, base, span)
-        mask, score = eval_node(q, tscores, tmasks, span)
+        tscores, tmasks, traw = term_dense(pdf, base, span)
+        sscores, smasks = syn_dense(traw, span)
+        mask, score = eval_node(
+            q, tscores, tmasks, span, sscores=sscores, smasks=smasks
+        )
         return local_topk(mask, score, base)
 
     def score_bucket_cogrouped(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -740,7 +796,8 @@ def score_query_postings(
             fmask = right["term"] == ""
             allowed_rel = right.loc[fmask, "doc_id"].to_numpy(dtype=np.int64) - base
             right = right.loc[~fmask]
-        tscores, tmasks = term_dense(left, base, span)
+        tscores, tmasks, traw = term_dense(left, base, span)
+        sscores, smasks = syn_dense(traw, span)
         pscores: dict = {}
         pmasks: dict = {}
         for p, (offs, dterms) in phrase_meta.items():
@@ -760,7 +817,9 @@ def score_query_postings(
                     marr[rel] = True
             pscores[p] = sarr
             pmasks[p] = marr
-        mask, score = eval_node(q, tscores, tmasks, span, pscores, pmasks)
+        mask, score = eval_node(
+            q, tscores, tmasks, span, pscores, pmasks, sscores, smasks
+        )
         return local_topk(mask, score, base, allowed_rel)
 
     def score_bucket_filtered(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
@@ -772,12 +831,16 @@ def score_query_postings(
             )
         base = int(left["first_doc"].min())
         span = int(left["last_doc"].max()) - base + 1
-        tscores, tmasks = term_dense(left, base, span)
-        mask, score = eval_node(q, tscores, tmasks, span)
+        tscores, tmasks, traw = term_dense(left, base, span)
+        sscores, smasks = syn_dense(traw, span)
+        mask, score = eval_node(
+            q, tscores, tmasks, span, sscores=sscores, smasks=smasks
+        )
         allowed_rel = right["doc_id"].to_numpy(dtype=np.int64) - base
         return local_topk(mask, score, base, allowed_rel)
 
-    rows = postings.filter(F.col("term").isin(matched))
+    scan_terms = sorted(set(matched) | set(syn_members))
+    rows = postings.filter(F.col("term").isin(scan_terms))
     if positions is None or not phrase_meta:
         if filter_docs is None:
             return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
@@ -1192,7 +1255,13 @@ class MultiSearcher:
         scores are identical to a single merged index (ExactStatsCache);
         per-segment liveDocs excluded; merge tie-break (score desc,
         gdoc_id asc) as in topk."""
-        from .query import collect_phrases, collect_term_leaves, collect_terms, rewrite
+        from .query import (
+            collect_phrases,
+            collect_synonyms,
+            collect_term_leaves,
+            collect_terms,
+            rewrite,
+        )
 
         q = rewrite(q)
         phrases = collect_phrases(q)
@@ -1204,6 +1273,12 @@ class MultiSearcher:
         idfs = {
             t: np.float32(stats[t].idf) for t in sorted(stats) if t in leaf_terms
         }
+        # blended synonym idf from GLOBAL dfs — identical to a merged index
+        syn_idfs: dict = {}
+        for sq in set(collect_synonyms(q)):
+            dfs = [stats[t].df for t in set(sq.terms) if t in stats]
+            if dfs:
+                syn_idfs[sq] = np.float32(bm25.idf(self.n_docs, max(dfs)))
         phrase_idfs: dict = {}
         if phrases:
             assert all(s.has_table("positions") for s in self.segments), (
@@ -1229,6 +1304,7 @@ class MultiSearcher:
                 positions=positions,
                 phrase_idfs=phrase_idfs,
                 filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
+                syn_idfs=syn_idfs,
             )
             base = self.doc_base[s.segment_id]
             per_seg.append(

@@ -512,3 +512,186 @@ def pii_redact_count(spark, sf_dir):
         F.sum(n_hits).alias("n_redactions"),
         F.sum(residual).alias("n_residual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SynonymQuery — blended multi-term scoring (lucene/core/.../search/
+# SynonymQuery.java): member terms score as ONE term — df blended as the MAX
+# over members, freq = SUM of member tfs in the doc, a single BM25
+# saturation. A doc matching two synonyms is NOT a 2-term disjunction.
+# Engine path: operators/query.py#Synonym through Searcher.topk_query
+# (float32-pinned vs the scalar oracle in tests/test_boolquery.py); this row
+# is the double-precision semantic mirror on raw text in both engines.
+# ---------------------------------------------------------------------------
+
+_SYN_TERMS = ["join", "merge"]
+
+
+def _syn_sql() -> str:
+    from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
+
+    tl = ", ".join(f"'{t}'" for t in _SYN_TERMS)
+    dlq = duckdb_byte4_roundtrip_sql("dl.dl")
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks WHERE term IN ({tl}) GROUP BY 1, 2),
+blend AS (SELECT max(dft) AS df_blend FROM (SELECT term, count(*)::DOUBLE AS dft FROM tf GROUP BY 1) x),
+fsum AS (SELECT doc_id, sum(freq) AS freq FROM tf GROUP BY 1)
+SELECT f.doc_id,
+       round(ln(1.0 + (s.n_total - b.df_blend + 0.5)/(b.df_blend + 0.5))
+         * f.freq / (f.freq + 1.2 * ((1 - 0.75) + 0.75 * ({dlq})::DOUBLE / s.avgdl)), 6) AS score
+FROM fsum f JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN stats s CROSS JOIN blend b
+ORDER BY score DESC, f.doc_id ASC LIMIT 10
+"""
+
+
+@register("synonym_query_blended", _syn_sql())
+def synonym_query_blended(spark, sf_dir):
+    """SynonymQuery semantics mirror: blended df (max), summed tf, one
+    saturation — ranked top-10."""
+    from .driver_queries import _spark_byte4_sql
+
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(_SYN_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    blend = (
+        tf.groupBy("term")
+        .agg(F.count("*").cast("double").alias("dft"))
+        .agg(F.max("dft").alias("df_blend"))
+    )
+    fsum = tf.groupBy("doc_id").agg(F.sum("freq").alias("freq"))
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    return (
+        fsum.join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(blend))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    1.0
+                    + (F.col("n_total") - F.col("df_blend") + 0.5)
+                    / (F.col("df_blend") + 0.5)
+                )
+                * F.col("freq")
+                / (
+                    F.col("freq")
+                    + 1.2 * ((1 - 0.75) + 0.75 * F.col("dlq") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# CommonTermsQuery (lucene/queries/.../CommonTermsQuery.java): query terms
+# are split by df against maxTermFrequency·N — rare terms become the
+# REQUIRED clause group, common ("stopword-like") terms become OPTIONAL
+# score boosters that never gate matching. The df split is computed from
+# the corpus itself at query time (the whole point of the class: no static
+# stopword list). Cutoff pinned at 0.5·N; query = {dup, join, batch} so the
+# corpus splits it into low={dup}, high={join, batch}.
+# ---------------------------------------------------------------------------
+
+_CTQ_TERMS = ["batch", "dup", "join"]
+_CTQ_CUTOFF = 0.5
+
+
+def _ctq_sql() -> str:
+    from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
+
+    tl = ", ".join(f"'{t}'" for t in _CTQ_TERMS)
+    dlq = duckdb_byte4_roundtrip_sql("dl.dl")
+    return f"""
+WITH {_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, term, count(*)::DOUBLE AS freq FROM toks WHERE term IN ({tl}) GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::DOUBLE AS dft FROM tf GROUP BY 1),
+lowf AS (SELECT term FROM dft CROSS JOIN stats s WHERE dft <= {_CTQ_CUTOFF} * s.n_total),
+req AS (SELECT doc_id FROM tf JOIN lowf USING (term)
+        GROUP BY doc_id HAVING count(*) = (SELECT count(*) FROM lowf)),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_total - dft.dft + 0.5)/(dft.dft + 0.5))
+           * tf.freq / (tf.freq + 1.2 * ((1 - 0.75) + 0.75 * ({dlq})::DOUBLE / s.avgdl)) AS contrib
+  FROM tf JOIN dft USING (term) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN stats s
+  WHERE tf.doc_id IN (SELECT doc_id FROM req))
+SELECT doc_id, round(sum(contrib), 6) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+@register("common_terms_query", _ctq_sql())
+def common_terms_query(spark, sf_dir):
+    """CommonTermsQuery mirror: df-split rewrite (rare terms MUST, common
+    terms SHOULD-boost), BM25 sum over all matching query terms."""
+    from .driver_queries import _spark_byte4_sql
+
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term").isin(_CTQ_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    dft = tf.groupBy("term").agg(F.count("*").cast("double").alias("dft"))
+    lowf = dft.crossJoin(F.broadcast(stats)).filter(
+        F.col("dft") <= _CTQ_CUTOFF * F.col("n_total")
+    )
+    n_low = lowf.count()  # tiny driver-side scalar (query-term count bound)
+    req = (
+        tf.join(F.broadcast(lowf.select("term")), "term")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("nlow"))
+        .filter(F.col("nlow") == n_low)
+        .select("doc_id")
+    )
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    scored = (
+        tf.join(req, "doc_id")
+        .join(dft, "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .withColumn(
+            "contrib",
+            F.log(
+                1.0 + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5)
+            )
+            * F.col("freq")
+            / (
+                F.col("freq")
+                + 1.2 * ((1 - 0.75) + 0.75 * F.col("dlq") / F.col("avgdl"))
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

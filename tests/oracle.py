@@ -267,14 +267,41 @@ class OracleIndex:
             scores[doc_id] = s
         return set(scores), scores
 
+    def _synonym_scores(self, node) -> tuple[set, dict]:
+        """Synonym clause (SynonymQuery.java): freq = SUM of member tfs in
+        the doc, idf from the blended df = MAX over members — one tf
+        saturation, mirroring eval_node's Synonym branch."""
+        members = sorted(set(node.terms))
+        present = [t for t in members if self.tf.get(t)]
+        if not present:
+            return set(), {}
+        df_blend = max(len(self.tf[t]) for t in present)
+        idf_b = np.float32(
+            math.log(1.0 + (self.N - df_blend + 0.5) / (df_blend + 0.5))
+        )
+        fsum: dict[int, int] = {}
+        for t in present:
+            for doc_id, f in self.tf[t].items():
+                fsum[doc_id] = fsum.get(doc_id, 0) + f
+        scores = {}
+        for doc_id, f in fsum.items():
+            add = self.cache[self.norm_byte[doc_id]]
+            s = np.float32(idf_b * (np.float32(f) / (np.float32(f) + add)))
+            if node.boost != 1.0:
+                s = np.float32(s * np.float32(node.boost))
+            scores[doc_id] = s
+        return set(scores), scores
+
     def eval_bool(self, node) -> tuple[set, dict]:
         """Returns (matching doc_ids, {doc_id: float32 score})."""
-        from lucene_solr_spark.operators.query import Bool, Phrase, Term
+        from lucene_solr_spark.operators.query import Bool, Phrase, Synonym, Term
 
         if isinstance(node, Term):
             return self._term_scores(node.term, node.boost)
         if isinstance(node, Phrase):
             return self._phrase_scores(node)
+        if isinstance(node, Synonym):
+            return self._synonym_scores(node)
         assert isinstance(node, Bool)
         if not (node.must or node.should or node.filter):
             return set(), {}

@@ -11,7 +11,13 @@ import pytest
 
 from lucene_solr_spark.corpus import documents_as_corpus
 from lucene_solr_spark.operators.indexer import build_index
-from lucene_solr_spark.operators.query import Bool, Term, collect_terms, rewrite
+from lucene_solr_spark.operators.query import (
+    Bool,
+    Synonym,
+    Term,
+    collect_terms,
+    rewrite,
+)
 from lucene_solr_spark.operators.search import Searcher
 
 from . import oracle
@@ -73,6 +79,15 @@ TREES = {
     ),
     "absent_must": Bool(must=(Term("spark"), Term("zebra"))),
     "absent_should": Bool(should=(Term("spark"), Term("zebra"))),
+    # SynonymQuery leaves (blended df, summed tf)
+    "synonym_leaf": Synonym(("join", "merge")),
+    "synonym_should": Bool(should=(Synonym(("join", "merge")), Term("spark"))),
+    "synonym_must": Bool(must=(Synonym(("order", "sort")),), should=(Term("batch"),)),
+    "synonym_boost": Bool(
+        should=(Synonym(("join", "merge"), boost=2.0), Term("order"))
+    ),
+    "synonym_absent_member": Bool(should=(Synonym(("join", "zebra")),)),
+    "synonym_all_absent": Bool(should=(Synonym(("zebra", "qqq")), Term("spark"))),
 }
 
 
@@ -142,3 +157,49 @@ def test_flat_paths_agree_with_tree(built):
     assert [(r["doc_id"], np.float32(r["score"])) for r in flat] == [
         (r["doc_id"], np.float32(r["score"])) for r in tree
     ]
+
+
+def test_synonym_is_not_a_disjunction(built):
+    """A doc containing BOTH members must score with ONE saturation over the
+    summed tf (SynonymQuery), not the sum of two independent BM25 scores."""
+    searcher, ora = built
+    syn = {d: float(s) for d, s in ora.topk_bool(Synonym(("join", "merge")), k=10**6)}
+    dis = {
+        d: float(s)
+        for d, s in ora.topk_bool(
+            Bool(should=(Term("join"), Term("merge"))), k=10**6
+        )
+    }
+    assert set(syn) == set(dis)  # same matching docs
+    both = [
+        d for d, toks in ora.tokens.items() if "join" in toks and "merge" in toks
+    ]
+    assert both, "corpus should contain docs with both members"
+    assert any(abs(syn[d] - dis[d]) > 1e-6 for d in both)
+    # engine agrees with the scalar oracle on the full ranking
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_query(Synonym(("join", "merge")), k=25).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in ora.topk_bool(Synonym(("join", "merge")), k=25)]
+    assert got == want
+
+
+def test_synonym_blends_df_as_max(built):
+    """Blended idf must come from max(member dfs): a rare synonym of a
+    common term scores every doc with the COMMON term's (lower) idf."""
+    _, ora = built
+    import math as _m
+
+    dfs = {t: len(ora.tf.get(t, {})) for t in ("join", "merge")}
+    df_max = max(dfs.values())
+    idf_expect = _m.log(1.0 + (ora.N - df_max + 0.5) / (df_max + 0.5))
+    # a doc with exactly one occurrence of exactly one member
+    for d, s in ora.topk_bool(Synonym(("join", "merge")), k=10**6):
+        toks = ora.tokens[d]
+        if toks.count("join") + toks.count("merge") == 1:
+            add = float(ora.cache[ora.norm_byte[d]])
+            assert abs(s - idf_expect * (1.0 / (1.0 + add))) < 1e-5
+            break
+    else:
+        pytest.skip("no single-occurrence doc in corpus")

@@ -208,6 +208,10 @@ def test_multisearcher_tree_equals_single(spark, seg_full, catalog_two):
             should=(Term("return", boost=2.0),),
         ),
     ]
+    from lucene_solr_spark.operators.query import Synonym
+
+    trees.append(Bool(should=(Synonym(("import", "return")), Term("public"))))
+    trees.append(Bool(must=(Synonym(("def", "public")),)))
     for q in trees:
         a = _hits(single.topk_query(q, k=10))
         b = [
