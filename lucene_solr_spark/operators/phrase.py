@@ -351,3 +351,172 @@ def _sloppy_freqs(
         np.asarray(ids, dtype=np.int64),
         np.asarray(freqs, dtype=np.float64),
     )
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery — per-slot term alternatives
+# (lucene/core/.../search/MultiPhraseQuery.java + UnionPostingsEnum): slot i
+# of the phrase accepts ANY of a set of terms (the classic use: synonyms or
+# analysis-graph alternatives inside a phrase). Pinned semantics:
+#   match: start p such that for every slot i, SOME member of slot i occurs
+#          at p + i (exact adjacency; slop>0 is gated out explicitly);
+#   freq:  number of such starts (UnionPostingsEnum merges member positions,
+#          then ExactPhraseMatcher counts as usual);
+#   idf:   sum over every PRESENT (slot, member) term's idf, slot order then
+#          member order — MultiPhraseWeight collects allTerms and sums
+#          idfExplain; absent terms (df=0) are skipped as IndexSearcher
+#          .termStatistics returns null for them.
+# Spark restatement: per-slot leg = UNION of member (doc*M + pos - slot)
+# keys (np.unique of the concatenation — exactly UnionPostingsEnum), then
+# the same sorted-key intersection chain as the single-term exact matcher.
+# ---------------------------------------------------------------------------
+
+
+def _multi_exact_freqs(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    slots: list[tuple],
+) -> tuple[np.ndarray, np.ndarray]:
+    max_pos = 0
+    for _, pos_all, _ in per_term.values():
+        if pos_all.size:
+            max_pos = max(max_pos, int(pos_all.max()))
+    M = max_pos + 2
+
+    legs: list[np.ndarray] = []
+    for i, members in enumerate(slots):
+        parts = []
+        for t in members:
+            got = per_term.get(t)
+            if got is None:
+                continue
+            docs, pos_all, lens = got
+            doc_rep = np.repeat(docs, lens)
+            valid = pos_all >= i
+            parts.append(doc_rep[valid] * M + (pos_all[valid] - i))
+        if not parts:
+            return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+        legs.append(np.unique(np.concatenate(parts)))
+    legs.sort(key=lambda a: a.size)  # rarest slot first
+    base = legs[0]
+    for leg in legs[1:]:
+        if base.size == 0:
+            break
+        base = np.intersect1d(base, leg, assume_unique=True)
+    if base.size == 0:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    docs = base // M
+    ids, freqs = np.unique(docs, return_counts=True)
+    return ids.astype(np.int64), freqs
+
+
+def bucket_multi_phrase_freqs(
+    pdf: pd.DataFrame, slots: list[tuple]
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Multi-phrase occurrence counting for ONE doc-space bucket (exact
+    adjacency). Same contract as bucket_phrase_freqs."""
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.uint8),
+    )
+    n_slots = len(slots)
+
+    # candidate gate, vectorized per slot (slots are few, rows are many):
+    # doc must carry >=1 member of EVERY slot
+    doc_ids = pdf["doc_id"].to_numpy()
+    terms = pdf["term"].to_numpy()
+    pair_parts = []
+    for i, members in enumerate(slots):
+        hit = np.isin(terms, np.asarray(members, dtype=object))
+        if hit.any():
+            pair_parts.append(doc_ids[hit] * n_slots + i)
+    if not pair_parts:
+        return empty
+    uniq_pairs = np.unique(np.concatenate(pair_parts).astype(np.int64))
+    cand_docs, slot_counts = np.unique(uniq_pairs // n_slots, return_counts=True)
+    cand = set(cand_docs[slot_counts == n_slots].tolist())
+    if not cand:
+        return empty
+    sub = pdf.loc[pdf["doc_id"].isin(cand)]
+
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    norm_by_doc: dict[int, int] = {}
+    for t, g in sub.groupby("term", sort=False):
+        docs = g["doc_id"].to_numpy()
+        plists = [delta_decode(unpack_ints(b)).astype(np.int64) for b in g["pos_bin"]]
+        lens = np.array([p.size for p in plists], dtype=np.int64)
+        per_term[t] = (
+            docs,
+            np.concatenate(plists) if plists else np.array([], dtype=np.int64),
+            lens,
+        )
+        for d, nb in zip(docs, g["norm_byte"].to_numpy()):
+            norm_by_doc[int(d)] = int(nb)
+
+    ids, freqs = _multi_exact_freqs(per_term, slots)
+    if ids.size == 0:
+        return empty
+    norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
+    return ids, freqs, norms
+
+
+def multi_phrase_topk(
+    spark: SparkSession,
+    segment: Segment,
+    slots: list,
+    k: int = 10,
+    slop: int = 0,
+    deleted=None,
+) -> DataFrame:
+    """Top-k docs matching a MultiPhraseQuery (exact adjacency only)."""
+    if slop != 0:
+        raise NotImplementedError(
+            "MultiPhraseQuery with slop>0 is not implemented (exact only)"
+        )
+    assert segment.has_table("positions"), (
+        "segment was built without positions (build_index(with_positions=True))"
+    )
+    slots = [tuple(s) for s in slots]
+    if not slots or any(not s for s in slots):
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    distinct = sorted({t for s in slots for t in s})
+
+    stats_df = (
+        segment.table(spark, "terms")
+        .filter(F.col("term").isin(distinct))
+        .select("term", "df")
+        .collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in stats_df}
+    # a slot with no present member can never match
+    if any(all(t not in df_by_term for t in s) for s in slots):
+        return spark.createDataFrame([], _TOPK_SCHEMA)
+    n_docs = segment.stats.n_docs
+    # idf over present (slot, member) pairs, slot order then member order
+    idf_sum = np.float32(
+        sum(
+            bm25.idf(n_docs, df_by_term[t])
+            for s in slots
+            for t in s
+            if t in df_by_term
+        )
+    )
+    cache = bm25.norm_cache(segment.stats.avgdl)
+    present = sorted(t for t in distinct if t in df_by_term)
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids, freqs, norms = bucket_multi_phrase_freqs(pdf, slots)
+        if deleted is not None and len(deleted) and ids.size:
+            keep = ~np.isin(ids, np.asarray(deleted, dtype=np.int64))
+            ids, freqs, norms = ids[keep], freqs[keep], norms[keep]
+        if ids.size == 0:
+            return _empty()
+        f = freqs.astype(np.float32)
+        denom_add = cache[norms]
+        scores = (idf_sum * (f / (f + denom_add))).astype(np.float32)
+        order = np.lexsort((ids, -scores))[: min(k, ids.size)]
+        return pd.DataFrame({"doc_id": ids[order], "score": scores[order]})
+
+    rows = segment.table(spark, "positions").filter(F.col("term").isin(present))
+    per_bucket = rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

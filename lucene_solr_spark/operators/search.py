@@ -259,6 +259,14 @@ class Searcher:
             )
         return hits
 
+    def topk_multi_phrase(self, slots: list, k: int = 10) -> DataFrame:
+        """MultiPhraseQuery (search/MultiPhraseQuery.java): slot i of the
+        phrase accepts any member of ``slots[i]`` (exact adjacency).
+        See phrase.py#multi_phrase_topk for the pinned semantics."""
+        from .phrase import multi_phrase_topk
+
+        return multi_phrase_topk(self.spark, self.segment, slots, k=k)
+
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-phase retrieval: ids+scores first, docmap fields after limit."""
         hits = self.topk(query_text, k, **kw)

@@ -695,3 +695,116 @@ def common_terms_query(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery (lucene/core/.../search/MultiPhraseQuery.java): phrase
+# slot i accepts ANY of a set of terms (synonyms / analysis-graph
+# alternatives inside a phrase). freq = starts where every slot is
+# satisfied; idf = sum over present (slot, member) terms. Engine path:
+# operators/phrase.py#multi_phrase_topk (float32-pinned vs the scalar
+# oracle in tests/test_phrase.py); this row is the double-precision
+# semantic mirror — per-row array lambdas, no posexplode self-join.
+# ---------------------------------------------------------------------------
+
+_MP_SLOTS = [("merge",), ("group", "order")]
+
+
+def _mp_sql() -> str:
+    from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
+
+    all_terms = ", ".join(f"'{t}'" for s in _MP_SLOTS for t in s)
+    cond = " AND ".join(
+        "list_contains([" + ", ".join(f"'{t}'" for t in _MP_SLOTS[j]) + f"], t[i+{j}])"
+        for j in range(len(_MP_SLOTS))
+    )
+    n = len(_MP_SLOTS)
+    dlq = duckdb_byte4_roundtrip_sql("dl.dl")
+    return f"""
+WITH {_TOKARR_CTE},
+stats AS (SELECT count(*)::DOUBLE AS n_total, avg(len(t))::DOUBLE AS avgdl FROM tokarr),
+dl AS (SELECT doc_id, len(t) AS dl FROM tokarr),
+dft AS (SELECT term, count(*)::DOUBLE AS dft
+        FROM (SELECT DISTINCT doc_id, unnest(t) AS term FROM tokarr)
+        WHERE term IN ({all_terms}) GROUP BY term),
+idf AS (SELECT sum(ln(1 + (s.n_total - d.dft + 0.5) / (d.dft + 0.5))) AS idf_sum
+        FROM dft d CROSS JOIN stats s),
+ph AS (SELECT doc_id,
+              len(list_filter(range(1, len(t) - {n - 2}), i -> {cond}))::DOUBLE AS freq
+       FROM tokarr WHERE len(t) >= {n})
+SELECT ph.doc_id,
+       round(i.idf_sum * ph.freq
+             / (ph.freq + 1.2 * ((1 - 0.75) + 0.75 * ({dlq})::DOUBLE / s.avgdl)), 6) AS score
+FROM ph JOIN dl ON dl.doc_id = ph.doc_id CROSS JOIN idf i CROSS JOIN stats s
+WHERE ph.freq > 0
+ORDER BY score DESC, ph.doc_id ASC LIMIT 10
+"""
+
+
+@register("multi_phrase_query", _mp_sql())
+def multi_phrase_query(spark, sf_dir):
+    """MultiPhraseQuery mirror: "merge (group|order)" — slot alternatives,
+    summed present-term idf, BM25 on exact-adjacency freq."""
+    toks = _tokens(spark, sf_dir)
+    t = F.col("tokens")
+    n = len(_MP_SLOTS)
+
+    def starts_match(i):
+        c = None
+        for j, members in enumerate(_MP_SLOTS):
+            e = F.element_at(t, (i + F.lit(j)).cast("int")).isin(list(members))
+            c = e if c is None else (c & e)
+        return c
+
+    freq_col = F.when(
+        F.size(t) >= n,
+        F.size(F.filter(F.sequence(F.lit(1), F.size(t) - (n - 1)), starts_match)),
+    ).otherwise(F.lit(0))
+
+    all_terms = [tm for s in _MP_SLOTS for tm in s]
+    base = toks.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        freq_col.cast("double").alias("freq"),
+        *[
+            F.array_contains("tokens", tm).cast("long").alias(f"h{i}")
+            for i, tm in enumerate(all_terms)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n_total"),
+        F.avg("dl").alias("avgdl"),
+        *[F.sum(f"h{i}").cast("double").alias(f"dft{i}") for i in range(len(all_terms))],
+    ).withColumn(
+        "idf_sum",
+        sum(
+            F.log(
+                1.0
+                + (F.col("n_total") - F.col(f"dft{i}") + 0.5)
+                / (F.col(f"dft{i}") + 0.5)
+            )
+            for i in range(len(all_terms))
+        ),
+    )
+    from .driver_queries import _spark_byte4_sql
+
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    return (
+        base.filter(F.col("freq") > 0)
+        .crossJoin(F.broadcast(stats))
+        .withColumn("dlq", dlq)
+        .select(
+            "doc_id",
+            F.round(
+                F.col("idf_sum")
+                * F.col("freq")
+                / (
+                    F.col("freq")
+                    + 1.2 * ((1 - 0.75) + 0.75 * F.col("dlq") / F.col("avgdl"))
+                ),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )

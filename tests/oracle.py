@@ -157,6 +157,34 @@ class OracleIndex:
         out.sort(key=lambda kv: (-kv[1], kv[0]))
         return out[:k]
 
+    def topk_multi_phrase(self, slots: list, k: int = 10) -> list[tuple[int, float]]:
+        """MultiPhraseQuery analog: slot i accepts any member of slots[i]
+        (exact adjacency); freq = number of starts where every slot is
+        satisfied; idf = sum over PRESENT (slot, member) terms."""
+        slots = [tuple(s) for s in slots]
+        if not slots or any(not s for s in slots):
+            return []
+        if any(all(t not in self.tf for t in s) for s in slots):
+            return []
+        idf_sum = np.float32(
+            sum(self.idf(t) for s in slots for t in s if t in self.tf)
+        )
+        n = len(slots)
+        out = []
+        for doc_id, toks in self.tokens.items():
+            freq = sum(
+                1
+                for i in range(len(toks) - n + 1)
+                if all(toks[i + j] in slots[j] for j in range(n))
+            )
+            if not freq:
+                continue
+            add = self.cache[self.norm_byte[doc_id]]
+            s = np.float32(idf_sum * (np.float32(freq) / (np.float32(freq) + add)))
+            out.append((doc_id, float(s)))
+        out.sort(key=lambda kv: (-kv[1], kv[0]))
+        return out[:k]
+
     @staticmethod
     def _sloppy_freq_doc(toks: list[str], seq: list[str], slop: int) -> float:
         """Scalar SloppyPhraseScorer#phraseFreq walk incl. repeat groups:

@@ -225,3 +225,82 @@ def test_highlight_topk_shape(spark, seg_pos):
     # order preserved: score desc, doc_id asc
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# MultiPhraseQuery (per-slot alternatives) vs scalar oracle
+# ---------------------------------------------------------------------------
+
+
+def _mp_slot_cases(oracle):
+    """Slot lists drawn from real corpus bigrams so matches exist."""
+    cases = []
+    for doc_id in sorted(oracle.tokens)[:8]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) > 10:
+            # (exact bigram as 1-member slots) and (second slot widened)
+            cases.append([(toks[3],), (toks[4],)])
+            cases.append([(toks[3],), (toks[4], "zzzmiss")])
+            cases.append([(toks[3], toks[6]), (toks[4], toks[7])])
+    cases.append([("import",), ("zzz", "qqq")])   # dead slot
+    cases.append([("zzzx",), ("qqqx",)])          # all absent
+    return cases
+
+
+def test_multi_phrase_matches_oracle(spark, seg_pos, oracle):
+    from lucene_solr_spark.operators.phrase import multi_phrase_topk
+
+    for slots in _mp_slot_cases(oracle):
+        got = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in multi_phrase_topk(spark, seg_pos, slots, k=20).collect()
+        ]
+        want = [(d, np.float32(s)) for d, s in oracle.topk_multi_phrase(slots, k=20)]
+        assert got == want, f"{slots}: {got[:3]} vs {want[:3]}"
+
+
+def test_multi_phrase_single_member_equals_phrase(spark, seg_pos, oracle):
+    """1-member slots must reduce exactly to the plain exact PhraseQuery
+    EXCEPT for idf (same here: identical term sets), so scores match."""
+    for doc_id in sorted(oracle.tokens)[:4]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) <= 8:
+            continue
+        text = f"{toks[5]} {toks[6]}"
+        a = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in phrase_topk(spark, seg_pos, text, k=15).collect()
+        ]
+        from lucene_solr_spark.operators.phrase import multi_phrase_topk
+
+        b = [
+            (r["doc_id"], np.float32(r["score"]))
+            for r in multi_phrase_topk(
+                spark, seg_pos, [(toks[5],), (toks[6],)], k=15
+            ).collect()
+        ]
+        assert a == b
+
+
+def test_multi_phrase_widening_is_superset(spark, seg_pos, oracle):
+    """Adding an alternative to a slot can only add matching docs."""
+    from lucene_solr_spark.operators.phrase import multi_phrase_topk
+
+    toks = None
+    for doc_id in sorted(oracle.tokens):
+        if len(oracle.tokens[doc_id]) > 10:
+            toks = oracle.tokens[doc_id]
+            break
+    assert toks
+    narrow = {r["doc_id"] for r in multi_phrase_topk(
+        spark, seg_pos, [(toks[3],), (toks[4],)], k=10**6).collect()}
+    wide = {r["doc_id"] for r in multi_phrase_topk(
+        spark, seg_pos, [(toks[3],), (toks[4], toks[7])], k=10**6).collect()}
+    assert narrow <= wide
+
+
+def test_multi_phrase_slop_gated(spark, seg_pos):
+    from lucene_solr_spark.operators.phrase import multi_phrase_topk
+
+    with pytest.raises(NotImplementedError):
+        multi_phrase_topk(spark, seg_pos, [("a",), ("b",)], slop=1)
