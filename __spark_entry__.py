@@ -28,6 +28,7 @@ import lucene_solr_spark.plans.solr_queries  # noqa: E402,F401  (registers entri
 import lucene_solr_spark.plans.extra_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage2_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.coverage3_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
