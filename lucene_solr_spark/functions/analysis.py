@@ -103,8 +103,12 @@ def duckdb_tokenize_sql(text_expr: str) -> str:
 # ---------------------------------------------------------------------------
 
 def stop_filter(tokens_col, stopwords: list[str]):
-    """StopFilter analog (analysis/core/StopFilter.java): drop stopwords."""
-    return F.array_except(tokens_col, F.array(*[F.lit(w) for w in stopwords]))
+    """StopFilter analog (analysis/core/StopFilter.java): drop stopwords.
+
+    array_except would be shorter but dedups the survivors; StopFilter
+    preserves order AND repeated non-stop tokens, so filter element-wise.
+    """
+    return F.filter(tokens_col, lambda x: ~x.isin(stopwords))
 
 
 def shingles(tokens_col, n: int = 2, sep: str = " "):

@@ -1,7 +1,10 @@
 """Round-2 session-6 coverage: JDBC import (DataImportHandler / JDBCStream),
 timeseries stream evaluators (movingAvg / derivative), HavingStream,
-exact-substring dedup at n-gram granularity (suffix-array analog), and
-search-result clustering (ClusteringComponent, Lingo-lite).
+exact-substring dedup at n-gram granularity (suffix-array analog),
+search-result clustering (ClusteringComponent, Lingo-lite), Parallel SQL
+(SQLHandler), spellcheck collation (SpellCheckCollator), group.sort,
+field-analysis introspection (FieldAnalysisRequestHandler), and facet
+mincount/offset/limit paging (SimpleFacets).
 
 Each entry re-expresses a reference operator (public lucene-solr path cited
 per entry; reference mount is empty, so citations are path#symbol only) over
@@ -291,4 +294,224 @@ def result_clustering(spark, sf_dir):
         assigned.groupBy("cluster")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.desc("n_docs"), "cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parallel SQL interface — solr/core/.../handler/sql/SQLHandler.java (Calcite
+# planner over streaming expressions): Solr accepts ANSI SQL and compiles it
+# to rollup/facet streams. Spark mapping: this IS Spark SQL — register the
+# table and hand the identical string to spark.sql(); Catalyst is the
+# Calcite analog and the aggregation pushdown Solr hand-builds (map_reduce
+# aggregationMode) is the standard partial+final agg. One string, both
+# engines, zero translation.
+# ---------------------------------------------------------------------------
+
+_SQL_HANDLER_STMT = """SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 2) AS avg_chars
+FROM documents GROUP BY lang HAVING count(*) > 10
+ORDER BY n_docs DESC, lang"""
+
+
+@register("sql_handler", _SQL_HANDLER_STMT)
+def sql_handler(spark, sf_dir):
+    """/sql endpoint: run the exact oracle SQL string through spark.sql."""
+    _read(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(_SQL_HANDLER_STMT)
+
+
+# ---------------------------------------------------------------------------
+# Spellcheck collation — solr handler/component/SpellCheckCollator.java:
+# take the top correction for each misspelled query term (DirectSpellChecker
+# ranking: edit distance asc, doc freq desc, term asc), substitute them into
+# the query, and report the collation with its hit count (docs matching ALL
+# corrected terms — the default q.op=AND collation check). Spark shape: the
+# per-term correction is a tiny window over the terms dict (broadcastable);
+# the hit count is one conjunction over the token arrays.
+# ---------------------------------------------------------------------------
+
+_MISSPELLED = ("ordre", "mergee")
+
+
+@register(
+    "spell_collate",
+    f"""WITH {_TOKS_CTE},
+dict AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY term),
+best AS (
+  SELECT q, term AS corr FROM (
+    SELECT q.q, d.term,
+           row_number() OVER (PARTITION BY q.q
+             ORDER BY levenshtein(d.term, q.q) ASC, d.df DESC, d.term ASC) AS rn
+    FROM (VALUES ('{_MISSPELLED[0]}'), ('{_MISSPELLED[1]}')) q(q), dict d
+    WHERE d.term <> q.q AND levenshtein(d.term, q.q) <= 2
+  ) WHERE rn = 1
+),
+{_TOKARR_CTE}
+SELECT (SELECT string_agg(corr, ' ' ORDER BY q) FROM best) AS collation,
+       count(*)::BIGINT AS hits
+FROM tokarr
+WHERE NOT EXISTS (
+  SELECT 1 FROM best b WHERE len(list_filter(t, x -> x = b.corr)) = 0
+)""",
+)
+def spell_collate(spark, sf_dir):
+    """Collate 'ordre mergee' -> best per-term corrections + AND hit count."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    dic = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
+    qs = spark.createDataFrame([(m,) for m in _MISSPELLED], "q string")
+    cand = (
+        dic.crossJoin(F.broadcast(qs))
+        .withColumn("distance", F.levenshtein("term", "q"))
+        .filter((F.col("term") != F.col("q")) & (F.col("distance") <= 2))
+    )
+    w = Window.partitionBy("q").orderBy(
+        F.asc("distance"), F.desc("df"), F.asc("term")
+    )
+    best = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q", F.col("term").alias("corr"))
+    )
+    corrs = [r.corr for r in best.orderBy("q").collect()]  # tiny: one per term
+    collation = " ".join(corrs)
+    match_all = toks
+    for c in corrs:
+        match_all = match_all.filter(F.array_contains("tokens", c))
+    return match_all.agg(
+        F.lit(collation).alias("collation"), F.count("*").alias("hits")
+    )
+
+
+# ---------------------------------------------------------------------------
+# group.sort — solr/core/.../search/grouping/ (TopGroupsFieldCommand):
+# `sort` orders the GROUPS (here: by group-max n_chars desc), `group.sort`
+# orders docs WITHIN each group (here: doc_id asc) — two independent
+# orderings, the thing plain ORDER BY can't express. Spark: one window
+# for within-group rank, one group-max for the group ordering; both ride
+# a single shuffle on the grouping key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_sort_within",
+    """WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id ASC) AS rn,
+         max(n_chars) OVER (PARTITION BY lang) AS grp_max
+  FROM documents
+)
+SELECT lang, grp_max, doc_id, n_chars FROM ranked WHERE rn <= 3
+ORDER BY grp_max DESC, lang ASC, doc_id ASC""",
+)
+def group_sort_within(spark, sf_dir):
+    """group.field=lang, sort=max(n_chars) desc, group.sort=doc_id asc,
+    group.limit=3."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents")
+    wg = Window.partitionBy("lang")
+    ranked = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.row_number().over(wg.orderBy(F.asc("doc_id"))).alias("rn"),
+        F.max("n_chars").over(wg).alias("grp_max"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .select("lang", "grp_max", "doc_id", "n_chars")
+        .orderBy(F.desc("grp_max"), F.asc("lang"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field analysis introspection — solr handler/FieldAnalysisRequestHandler
+# (and Luke's analysis tab): given raw input text, show the token stream
+# after each stage of the analysis chain. Pure function of the literal
+# input, evaluated through the engine's real analysis functions on the
+# Spark side and re-derived stage-by-stage in SQL on the oracle side.
+# ---------------------------------------------------------------------------
+
+_ANALYSIS_INPUT = "The QuickSort--implementation runs FAST in BigTable rows"
+
+
+@register(
+    "analysis_chain_stages",
+    f"""WITH inp AS (SELECT '{_ANALYSIS_INPUT}' AS s),
+tok AS (SELECT {duckdb_tokenize_sql('s')} AS t FROM inp),
+stages AS (
+  SELECT 1 AS stage_no, 'tokenize+lowercase' AS stage, t FROM tok
+  UNION ALL
+  SELECT 2, 'stopfilter',
+         list_filter(t, x -> x NOT IN ('the','a','and','of','to','in','is','it','that','for'))
+  FROM tok
+)
+SELECT stage_no, stage, len(t)::BIGINT AS n_tokens,
+       array_to_string(t, ' ') AS tokens
+FROM stages ORDER BY stage_no""",
+)
+def analysis_chain_stages(spark, sf_dir):
+    """Analysis-chain introspection over a literal input: token stream after
+    tokenize+lowercase, then after StopFilter (textstats.STOPWORDS_EN)."""
+    from ..functions.analysis import stop_filter, tokens_col
+    from ..functions.textstats import STOPWORDS_EN
+
+    inp = spark.createDataFrame([(_ANALYSIS_INPUT,)], "s string")
+    tok = inp.select(tokens_col(F.col("s")).alias("t"))
+    s1 = tok.select(
+        F.lit(1).alias("stage_no"),
+        F.lit("tokenize+lowercase").alias("stage"),
+        F.col("t"),
+    )
+    s2 = tok.select(
+        F.lit(2).alias("stage_no"),
+        F.lit("stopfilter").alias("stage"),
+        stop_filter(F.col("t"), STOPWORDS_EN).alias("t"),
+    )
+    return (
+        s1.unionByName(s2)
+        .select(
+            "stage_no",
+            "stage",
+            F.size("t").cast("long").alias("n_tokens"),
+            F.concat_ws(" ", "t").alias("tokens"),
+        )
+        .orderBy("stage_no")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Facet paging parameters — solr SimpleFacets (facet.mincount /
+# facet.offset / facet.limit): drop buckets under mincount, then page into
+# the ordered bucket list. Spark: the bucket list after a map-combined
+# count is tiny, so offset/limit run on the sorted aggregate — the
+# distributed-facet refinement problem (getting exact counts BEFORE
+# paging) is free because the partial+final agg is exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_mincount_paging",
+    """WITH b AS (
+  SELECT source, count(*)::BIGINT AS n FROM documents
+  GROUP BY source HAVING count(*) >= 5
+)
+SELECT source, n FROM b ORDER BY n DESC, source ASC LIMIT 3 OFFSET 2""",
+)
+def facet_mincount_paging(spark, sf_dir):
+    """facet.field=source&facet.mincount=5&facet.offset=2&facet.limit=3."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") >= 5)
+        .orderBy(F.desc("n"), F.asc("source"))
+        .offset(2)
+        .limit(3)
     )
