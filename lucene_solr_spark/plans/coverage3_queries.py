@@ -515,3 +515,152 @@ def facet_mincount_paging(spark, sf_dir):
         .offset(2)
         .limit(3)
     )
+
+
+# ---------------------------------------------------------------------------
+# [child] doc transformer — solr/core/.../response/transform/
+# ChildDocTransformerFactory.java: return each matching parent with its
+# child documents nested under it. Spark mapping: the children aggregate as
+# one groupBy(parent_key) with an ordered collect_list — a single shuffle
+# co-partitioned with the parent join key; the nested payload is flattened
+# to a deterministic string here so both engines hash identically.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "child_doc_transformer",
+    """WITH kids AS (
+  SELECT o_custkey, string_agg(o_orderkey || ':' || o_orderpriority, ','
+                               ORDER BY o_orderkey) AS childs,
+         count(*)::BIGINT AS n_childs
+  FROM (SELECT o_custkey, o_orderkey, o_orderpriority,
+               row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+        FROM orders) WHERE rn <= 3 GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, coalesce(k.childs, '') AS childs,
+       coalesce(k.n_childs, 0)::BIGINT AS n_childs
+FROM customer c LEFT JOIN kids k ON k.o_custkey = c.c_custkey
+WHERE c.c_custkey <= 20 ORDER BY c.c_custkey""",
+)
+def child_doc_transformer(spark, sf_dir):
+    """fl=*,[child limit=3]: first 20 customers with their first 3 orders
+    nested (flattened to 'orderkey:priority' CSV for cross-engine hashing)."""
+    from pyspark.sql import Window
+
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 20)
+    orders = _read(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    kids = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .groupBy("o_custkey")
+        .agg(
+            # collect_list is order-nondeterministic after a shuffle: sort by
+            # the NUMERIC child key (struct sort), then project the payload
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("o_orderkey").alias("k"),
+                                F.concat_ws(
+                                    ":", "o_orderkey", "o_orderpriority"
+                                ).alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                ),
+            ).alias("childs"),
+            F.count("*").alias("n_childs"),
+        )
+    )
+    return (
+        cust.join(F.broadcast(kids), cust.c_custkey == kids.o_custkey, "left")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("childs", F.lit("")).alias("childs"),
+            F.coalesce("n_childs", F.lit(0)).alias("n_childs"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Function-query conditionals — lucene/queries/.../function/valuesource/
+# (IfFunction, DefFunction) and solr function parser `if(exists(f),a,b)` /
+# `def(f,d)`: per-doc conditional value sources. The nullable field is
+# derived deterministically (k -> NULL when k % 7 == 0) since the testdata
+# has no naturally-missing values; both engines apply the identical rule.
+# ---------------------------------------------------------------------------
+
+@register(
+    "function_query_conditionals",
+    """WITH vals AS (
+  SELECT event_type,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_missing,
+       sum(coalesce(k, -1))::BIGINT AS sum_def,
+       round(avg(CASE WHEN k IS NOT NULL THEN k END), 4) AS avg_exists
+FROM vals GROUP BY event_type ORDER BY event_type""",
+)
+def function_query_conditionals(spark, sf_dir):
+    """if(exists(k), k, -1) / def(k,-1) aggregates over a derived nullable
+    field (k := NULL when k%7==0)."""
+    ev = _read(spark, sf_dir, "events")
+    kraw = F.get_json_object("props", "$.k").cast("int")
+    k = F.when(kraw % 7 == 0, F.lit(None)).otherwise(kraw)
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_missing"),
+            F.sum(F.coalesce("k", F.lit(-1))).alias("sum_def"),
+            F.round(F.avg(F.when(F.col("k").isNotNull(), F.col("k"))), 4).alias(
+                "avg_exists"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sortMissingLast — solr schema field option (SchemaField.java#sortMissing
+# Last / Lucene SortField#setMissingValue): docs without the sort field go
+# to the END of the ordering regardless of direction. Spark: desc_nulls_last
+# maps 1:1 (Lucene implements it by substituting a sentinel missing value).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sort_missing_last",
+    """WITH vals AS (
+  SELECT event_id,
+         CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) % 7 = 0
+              THEN NULL
+              ELSE CAST(json_extract_string(props, '$.k') AS INTEGER) END AS k
+  FROM events
+)
+SELECT event_id, k FROM vals
+ORDER BY k DESC NULLS LAST, event_id ASC LIMIT 15""",
+)
+def sort_missing_last(spark, sf_dir):
+    """sort=k desc (sortMissingLast=true): NULL-k docs sort after all
+    present values even in a desc sort; stable doc-id tie-break."""
+    ev = _read(spark, sf_dir, "events")
+    kraw = F.get_json_object("props", "$.k").cast("int")
+    k = F.when(kraw % 7 == 0, F.lit(None)).otherwise(kraw)
+    return (
+        ev.select("event_id", k.alias("k"))
+        .orderBy(F.desc_nulls_last("k"), F.asc("event_id"))
+        .limit(15)
+    )
