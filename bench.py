@@ -92,19 +92,36 @@ def main() -> None:
     extra["docs_per_sec_synth_cold"] = round(n_synth / runs[0], 1)
     extra["synth_tokens"] = seg2.stats.sum_ttf
 
+    # All query latencies: best of 2 passes (same methodology as the build
+    # and the BENCH.md scaling runs — the VM's noisy-neighbor load swings
+    # single passes >2x; the min is the machine's capability).
+    def timed_min(fn, repeats: int = 2) -> float:
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            best = min(best, time.time() - t0)
+        return best
+
     # ---- top-k latency: WAND vs exhaustive --------------------------------
     searcher = Searcher(spark, seg)
-    for mode in ("wand", "exhaustive"):
-        t0 = time.time()
+
+    def _run_set(mode):
         for q in QUERY_SET:
             searcher.topk(q, k=10, mode=mode).collect()
-        queries[f"bm25_{mode}"] = round((time.time() - t0) / len(QUERY_SET), 4)
+
+    for mode in ("wand", "exhaustive"):
+        queries[f"bm25_{mode}"] = round(
+            timed_min(lambda m=mode: _run_set(m)) / len(QUERY_SET), 4
+        )
 
     s2 = Searcher(spark, seg2)
-    t0 = time.time()
-    for q in ["import return def", "public self import", "getnode parseindex"]:
-        s2.topk(q, k=10, mode="wand").collect()
-    queries["bm25_wand_synth"] = round((time.time() - t0) / 3, 4)
+
+    def _run_synth():
+        for q in ["import return def", "public self import", "getnode parseindex"]:
+            s2.topk(q, k=10, mode="wand").collect()
+
+    queries["bm25_wand_synth"] = round(timed_min(_run_synth) / 3, 4)
 
     # ---- representative relational operators ------------------------------
     # warm the shared tokenized-documents cache outside the timed windows
@@ -117,9 +134,9 @@ def main() -> None:
         "phrase_query",
         "stats_component",
     ):
-        t0 = time.time()
-        dq.REGISTRY[name](spark, SF_DIR).collect()
-        queries[name] = round(time.time() - t0, 3)
+        queries[name] = round(
+            timed_min(lambda n=name: dq.REGISTRY[n](spark, SF_DIR).collect()), 3
+        )
 
     # scaling evidence measured separately by bench_scaling.py (taskset-
     # pinned two-level runs; methodology in BENCH.md §1) — surfaced here so
