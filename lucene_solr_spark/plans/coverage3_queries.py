@@ -20,6 +20,7 @@ import hashlib
 from pyspark.sql import functions as F
 
 from ..functions.analysis import duckdb_tokenize_sql
+from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
 from .driver_queries import _read, _tokens, register
 
 _TOKS_CTE = (
@@ -663,4 +664,235 @@ def sort_missing_last(spark, sf_dir):
         ev.select("event_id", k.alias("k"))
         .orderBy(F.desc_nulls_last("k"), F.asc("event_id"))
         .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# explain / debugQuery — search/IndexSearcher.java#explain and solr
+# debug=query (Explanation tree): per-term score breakdown for one document.
+# ENGINE-PATH row: the target doc is the smallest doc_id matching ALL query
+# terms (deterministic in both engines), the breakdown comes from
+# Searcher.explain over the real postings blocks (decoded freq, byte4-
+# quantized dl, idf off the terms dict); the oracle recomputes every
+# component from raw text in SQL using the same pinned byte4 round-trip.
+# Engine float32 score == sum(contributions) is pytest-pinned
+# (tests/test_search_extras.py); the cross-engine columns here are the
+# integer components plus the contribution rounded to 4 decimals.
+# ---------------------------------------------------------------------------
+
+_EXPLAIN_Q = "merge table"
+
+
+@register(
+    "explain_score",
+    f"""WITH {_TOKS_CTE},
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT count(*)::DOUBLE AS n_total,
+                 (SELECT sum(dl)::DOUBLE / count(*) FROM dl) AS avgdl
+          FROM documents),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM toks
+       WHERE term IN ('merge', 'table') GROUP BY 1, 2),
+dft AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+target AS (SELECT min(doc_id) AS doc_id FROM tf
+           GROUP BY doc_id HAVING count(*) = 2 ORDER BY min(doc_id) LIMIT 1)
+SELECT tf.term, tf.freq, dft.df,
+       {duckdb_byte4_roundtrip_sql('dl.dl')}::BIGINT AS dl_quantized,
+       round(ln(1.0 + (s.n_total - dft.df + 0.5)/(dft.df + 0.5))
+             * tf.freq / (tf.freq + 1.2 * ((1 - 0.75) + 0.75 *
+               ({duckdb_byte4_roundtrip_sql('dl.dl')})::DOUBLE / s.avgdl)), 4)
+         AS contribution
+FROM tf JOIN target USING (doc_id) JOIN dft USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s
+ORDER BY tf.term""",
+)
+def explain_score(spark, sf_dir):
+    """debugQuery breakdown for q='merge table' on the smallest doc matching
+    both terms, off the real index (postings decode + terms-dict idf)."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    target = (
+        s.match_docs(_EXPLAIN_Q, op="and")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .first()
+    )
+    ex = s.explain(_EXPLAIN_Q, int(target.doc_id))
+    rows = [
+        (
+            d["term"],
+            int(d["freq"]),
+            int(d["df"]),
+            int(d["dl_quantized"]),
+            round(d["contribution"], 4),
+        )
+        for d in sorted(ex["details"], key=lambda d: d["term"])
+    ]
+    return spark.createDataFrame(
+        rows,
+        "term string, freq bigint, df bigint, dl_quantized bigint, "
+        "contribution double",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Drill-sideways faceting — lucene/facet/.../DrillSideways.java and solr
+# tagged-filter exclusion (`facet.field={!ex=tag}dim`): each dimension's
+# facet counts are computed with that dimension's OWN filter removed but
+# every other filter applied — the standard faceted-navigation UI shape.
+# ENGINE-PATH: both dimension passes reuse the engine DocSet (match_docs);
+# the q DocSet computes once per call and each dimension applies the
+# OTHER filter (lang via the stored-fields fq path, source via the
+# external-field semi-join — facet_on_query_filtered's shape). At scale the
+# N dimension passes share the one postings decode and differ only in
+# broadcast-joined filter sets.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "drill_sideways_facets",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'order'),
+lang_side AS (
+  SELECT 'lang' AS dim, d.lang AS value, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.source = 'src3'
+  GROUP BY d.lang ORDER BY n_docs DESC, value ASC LIMIT 5
+),
+source_side AS (
+  SELECT 'source' AS dim, d.source AS value, count(*)::BIGINT AS n_docs
+  FROM m JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en'
+  GROUP BY d.source ORDER BY n_docs DESC, value ASC LIMIT 5
+)
+SELECT * FROM lang_side UNION ALL SELECT * FROM source_side""",
+)
+def drill_sideways_facets(spark, sf_dir):
+    """DrillSideways over q='order' with drill-down lang:'en' AND
+    source:'src3': lang counts exclude the lang filter (keep source),
+    source counts exclude the source filter (keep lang)."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    raw = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    m = s.match_docs("order")
+    # lang dimension: q + source-filter (external field -> semi-join)
+    src_docs = raw.filter(F.col("source") == "src3").select("doc_id")
+    lang_side = (
+        m.join(F.broadcast(src_docs), "doc_id", "left_semi")
+        .join(s.docmap.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .select(F.lit("lang").alias("dim"), F.col("lang").alias("value"), "n_docs")
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+        .limit(5)
+    )
+    # source dimension: q + lang-filter (stored field -> engine fq path)
+    src_side = (
+        s.match_docs("order", fq="lang = 'en'")
+        .join(raw, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.lit("source").alias("dim"), F.col("source").alias("value"), "n_docs"
+        )
+        .orderBy(F.desc("n_docs"), F.asc("value"))
+        .limit(5)
+    )
+    return lang_side.unionByName(src_side)
+
+
+# ---------------------------------------------------------------------------
+# Grouping by function query — solr group.func (search/Grouping.java
+# #addFunctionCommand): groups are the values of a computed function, not a
+# stored field; each group returns its top document. Spark: the function is
+# a scan-time expression (no materialized column), the per-group top doc is
+# one window pass — identical shuffle shape to group-by-field.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_by_func",
+    """WITH g AS (
+  SELECT doc_id, n_chars, CAST(floor(n_chars / 100) AS BIGINT) AS bucket,
+         row_number() OVER (PARTITION BY CAST(floor(n_chars / 100) AS BIGINT)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT bucket, count(*)::BIGINT AS n_docs,
+       max(CASE WHEN rn = 1 THEN doc_id END)::BIGINT AS top_doc,
+       max(CASE WHEN rn = 1 THEN n_chars END)::BIGINT AS top_chars
+FROM g GROUP BY bucket ORDER BY bucket""",
+)
+def group_by_func(spark, sf_dir):
+    """group.func=floor(n_chars/100): per function-value group, the doc
+    count and the top doc by (n_chars desc, doc_id asc)."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents")
+    bucket = F.floor(F.col("n_chars") / 100).cast("long")
+    w = Window.partitionBy(bucket).orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    g = d.select(
+        "doc_id", "n_chars", bucket.alias("bucket"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        g.groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("top_doc"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("top_chars"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Index-time signature dedup — solr update/processor/
+# SignatureUpdateProcessorFactory.java (Lookup3Signature over configured
+# fields): documents with an identical signature collapse to ONE indexed
+# doc (last-write-wins; here: highest doc_id wins, deterministically). The
+# signature is the first-10-token prefix — the configured-fields analog.
+# ENGINE-PATH: the deduped corpus feeds a real build_index and the indexed
+# count comes from the segment's own manifest stats, so the row proves the
+# processor ran inside the ingest path, not as a detached aggregate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "signature_dedup_update",
+    f"""WITH sig AS (
+  SELECT doc_id, array_to_string(({duckdb_tokenize_sql('text')})[1:10], ' ') AS s
+  FROM documents
+)
+SELECT count(*)::BIGINT AS n_input,
+       count(DISTINCT s)::BIGINT AS n_indexed,
+       (count(*) - count(DISTINCT s))::BIGINT AS n_collapsed
+FROM sig""",
+)
+def signature_dedup_update(spark, sf_dir):
+    """SignatureUpdateProcessor: collapse same-signature docs before
+    indexing; counts come from the built segment's manifest."""
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from pyspark.sql import Window
+
+    corpus = documents_as_corpus(spark, sf_dir)
+    n_input = corpus.count()
+    sig = F.concat_ws(" ", F.slice(F.col("tokens"), 1, 10))
+    from ..functions.analysis import tokens_col
+
+    with_sig = corpus.withColumn("tokens", tokens_col(F.col("content"))).withColumn(
+        "sig", sig
+    )
+    w = Window.partitionBy("sig").orderBy(F.desc("doc_id"))
+    deduped = (
+        with_sig.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("tokens", "sig", "rn")
+    )
+    seg = build_index(spark, deduped, out_dir=None, bucket_docs=4096)
+    n_indexed = seg.stats.n_docs
+    return spark.createDataFrame(
+        [(int(n_input), int(n_indexed), int(n_input - n_indexed))],
+        "n_input bigint, n_indexed bigint, n_collapsed bigint",
     )
