@@ -896,3 +896,116 @@ def signature_dedup_update(spark, sf_dir):
         [(int(n_input), int(n_indexed), int(n_input - n_indexed))],
         "n_input bigint, n_indexed bigint, n_collapsed bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# CheckIndex — lucene/core/.../index/CheckIndex.java: validate segment
+# invariants (terms dict vs postings, ascending docIDs in blocks, norms
+# coverage) and report index statistics. ENGINE-PATH: runs the engine's
+# check_segment (which asserts every block invariant) on the real built
+# segment, then emits the manifest statistics; the oracle recomputes the
+# same statistics from raw text — equality proves the index holds exactly
+# the corpus's postings, the CheckIndex "Segments file OK" statement.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "check_index_status",
+    f"""WITH {_TOKS_CTE}
+SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+       count(DISTINCT term)::BIGINT AS n_terms,
+       (SELECT count(*) FROM (SELECT DISTINCT term, doc_id FROM toks))::BIGINT
+         AS n_postings,
+       count(*)::BIGINT AS sum_ttf
+FROM toks""",
+)
+def check_index_status(spark, sf_dir):
+    """CheckIndex over the engine segment: invariants asserted in-flight,
+    stats compared to a raw-text recount."""
+    from ..operators.checker import check_segment
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    seg = s.segment
+    summary = check_segment(spark, seg)  # raises on any invariant breach
+    assert summary["blocks_checked"] > 0
+    return spark.createDataFrame(
+        [
+            (
+                int(seg.stats.n_docs),
+                int(seg.stats.n_terms),
+                int(seg.stats.n_postings),
+                int(seg.stats.sum_ttf),
+            )
+        ],
+        "n_docs bigint, n_terms bigint, n_postings bigint, sum_ttf bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-order shuffle — the pretraining-pipeline step that
+# randomizes document order reproducibly (every retry and every worker must
+# agree). Order key = Knuth multiplicative hash of doc_id (pinned literal
+# constants — NOT Spark's rand(), whose value depends on partitioning).
+# At 100 TB this is one total-order sort on an 8-byte key, or zero sorts if
+# the writer range-partitions by the hash and sorts within partitions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "training_shuffle_order",
+    """SELECT doc_id, (doc_id * 2654435761) % 4294967296 AS shuffle_key
+FROM documents ORDER BY shuffle_key ASC, doc_id ASC LIMIT 12""",
+)
+def training_shuffle_order(spark, sf_dir):
+    """First 12 docs in deterministic shuffled training order."""
+    d = _read(spark, sf_dir, "documents")
+    key = (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    return (
+        d.select("doc_id", key.alias("shuffle_key"))
+        .orderBy(F.asc("shuffle_key"), F.asc("doc_id"))
+        .limit(12)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mixture-weights audit — training-data curation step: per-source document
+# and token counts plus each source's share of the corpus token budget
+# (the number that drives sampling weights / epochs-per-source decisions).
+# One map-combined aggregation; the share is a broadcast of one scalar.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mixture_token_audit",
+    f"""WITH {_TOKARR_CTE},
+per AS (SELECT d.source, count(*)::BIGINT AS n_docs,
+               sum(len(t))::BIGINT AS n_tokens
+        FROM tokarr a JOIN documents d USING (doc_id) GROUP BY d.source)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / (SELECT sum(n_tokens)::DOUBLE FROM per), 6) AS token_share
+FROM per ORDER BY n_tokens DESC, source LIMIT 10""",
+)
+def mixture_token_audit(spark, sf_dir):
+    """Per-source docs/tokens and token share of the corpus."""
+    toks = _tokens(spark, sf_dir)
+    src = _read(spark, sf_dir, "documents").select("doc_id", "source")
+    per = (
+        toks.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("tokens")).alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens")).first()[0]
+    return (
+        per.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.lit(float(total)), 6).alias("token_share"),
+        )
+        .orderBy(F.desc("n_tokens"), "source")
+        .limit(10)
+    )
