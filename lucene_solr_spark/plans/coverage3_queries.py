@@ -1009,3 +1009,78 @@ def mixture_token_audit(spark, sf_dir):
         .orderBy(F.desc("n_tokens"), "source")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-collection join — solr/core/.../search/join/CrossCollectionJoinQuery
+# .java ({!join method=crossCollection fromIndex=events ...}): the from-side
+# lives in a DIFFERENT collection; its matching join keys are streamed to the
+# to-side collection and applied as a filter. Spark mapping: the from-side
+# distinct key set is tiny relative to the to-side corpus, so broadcast it
+# into a semi-join — at 100 TB the to-side scan stays shuffle-free (the
+# exact property the reference's key-streaming design buys).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_collection_join",
+    """SELECT d.lang, d.source, count(*)::BIGINT AS n_docs,
+       sum(d.n_chars)::BIGINT AS total_chars
+FROM documents d
+WHERE d.doc_id IN (SELECT DISTINCT user_id FROM events
+                   WHERE event_type = 'purchase' AND value > 50)
+GROUP BY d.lang, d.source ORDER BY d.lang, d.source""",
+)
+def cross_collection_join(spark, sf_dir):
+    """{!join method=crossCollection}: keys from the events collection
+    filter the documents collection via a broadcast semi-join."""
+    d = _read(spark, sf_dir, "documents")
+    ev = (
+        _read(spark, sf_dir, "events")
+        .filter((F.col("event_type") == "purchase") & (F.col("value") > 50))
+        .select(F.col("user_id").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        d.join(F.broadcast(ev), "doc_id", "left_semi")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NGramTokenFilter — analysis/ngram/NGramTokenFilter.java: interior character
+# n-grams (the substring-search / fuzzy-recall index shape; EdgeNGram covers
+# only prefixes). Gram domain is the distinct terms dict, not the token
+# stream — one distinct + one flat transform, both JVM-side.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "char_ngram_terms",
+    f"""WITH {_TOKS_CTE},
+terms AS (SELECT DISTINCT term FROM toks),
+grams AS (SELECT unnest(list_transform(range(1, length(term) - 1),
+                                       i -> substr(term, i::INT, 3))) AS gram
+          FROM terms WHERE length(term) >= 3)
+SELECT gram, count(*)::BIGINT AS n_terms FROM grams
+GROUP BY gram ORDER BY n_terms DESC, gram LIMIT 15""",
+)
+def char_ngram_terms(spark, sf_dir):
+    """NGramTokenFilter: 3-char interior grams over the terms dict,
+    top-15 grams by how many distinct terms contain them."""
+    from ..functions.analysis import char_ngrams
+
+    toks = _tokens(spark, sf_dir)
+    terms = toks.select(F.explode("tokens").alias("term")).distinct()
+    return (
+        terms.select(F.explode(char_ngrams(F.col("term"), 3)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("gram"))
+        .limit(15)
+    )
