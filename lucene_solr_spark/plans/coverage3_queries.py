@@ -1084,3 +1084,61 @@ def char_ngram_terms(spark, sf_dir):
         .orderBy(F.desc("n_terms"), F.asc("gram"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH BM25 top-k — the headline query through the REAL index: the
+# row runs Searcher.topk(mode="wand") on the engine's packed posting blocks
+# (block-max pruning, float32 scores, byte4 norms), and the DuckDB oracle
+# re-derives the ranking FLOAT32-EXACTLY from raw text: DuckDB FLOAT
+# arithmetic is IEEE binary32 like numpy's (verified op-for-op), so every
+# engine step is mirrored — idf in float64 then applied as FLOAT, the
+# denominator addend k1*((1-b) + b*byte4(dl)/avgdl) with the same op order
+# as bm25.norm_cache, and per-doc accumulation as a LEFT FOLD over
+# lexicographically ordered terms via list_reduce (the engine's pinned
+# summation order). Rank ties: score desc, doc_id asc. This closes the r01
+# note that only pytest exercised the real postings/WAND path: here the
+# driver's own correctness gate hashes the real engine's ranked scores.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_engine_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+qt AS (SELECT unnest(['batch', 'order', 'stream']) AS term),
+tf AS (SELECT doc_id, p.term, count(*)::BIGINT AS freq
+       FROM pos p JOIN qt USING (term) GROUP BY 1, 2),
+dft AS (SELECT p.term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM pos p JOIN qt USING (term) GROUP BY 1),
+contrib AS (SELECT tf.doc_id, tf.term,
+       ((ln(1 + ((s.n_docs::DOUBLE) - f.df + 0.5) / (f.df + 0.5)))::FLOAT
+        * ((tf.freq::FLOAT)
+           / ((tf.freq::FLOAT)
+              + ((1.2::FLOAT)
+                 * ((0.25::FLOAT)
+                    + (((0.75::FLOAT)
+                        * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                       / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+         ::FLOAT AS s_t
+    FROM tf JOIN dl USING (doc_id) JOIN dft f ON f.term = tf.term
+    CROSS JOIN stats s),
+scored AS (SELECT doc_id,
+                  list_reduce(list(s_t ORDER BY term), (a, b) -> (a + b)::FLOAT)
+                    AS score_f
+           FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def bm25_engine_topk(spark, sf_dir):
+    """Real-engine BM25 top-10 (WAND over packed blocks), float32-exact
+    cross-engine: q='order batch stream', score desc / doc_id asc."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = s.topk("order batch stream", k=10, mode="wand")
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
