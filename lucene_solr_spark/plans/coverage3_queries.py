@@ -1142,3 +1142,144 @@ def bm25_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+def _f32_bm25_ctes(terms: list[str]) -> str:
+    """Shared float32-exact BM25 oracle CTEs (see bm25_engine_topk):
+    yields `scored(doc_id, score_f, n_terms_matched)` for the given
+    lexicographically-sorted query terms."""
+    qt = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+qt AS (SELECT unnest([{qt}]) AS term),
+tf AS (SELECT doc_id, p.term, count(*)::BIGINT AS freq
+       FROM pos p JOIN qt USING (term) GROUP BY 1, 2),
+dft AS (SELECT p.term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM pos p JOIN qt USING (term) GROUP BY 1),
+contrib AS (SELECT tf.doc_id, tf.term,
+       ((ln(1 + ((s.n_docs::DOUBLE) - f.df + 0.5) / (f.df + 0.5)))::FLOAT
+        * ((tf.freq::FLOAT)
+           / ((tf.freq::FLOAT)
+              + ((1.2::FLOAT)
+                 * ((0.25::FLOAT)
+                    + (((0.75::FLOAT)
+                        * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                       / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+         ::FLOAT AS s_t
+    FROM tf JOIN dl USING (doc_id) JOIN dft f ON f.term = tf.term
+    CROSS JOIN stats s),
+scored AS (SELECT doc_id,
+                  list_reduce(list(s_t ORDER BY term), (a, b) -> (a + b)::FLOAT)
+                    AS score_f,
+                  count(*) AS n_terms_matched
+           FROM contrib GROUP BY doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH conjunction — BlockMaxConjunctionScorer
+# (search/BlockMaxConjunctionScorer.java): op="and" through the real WAND
+# engine (lead-with-rarest candidate-range skipping over packed blocks);
+# docs must contain EVERY query term, scores still the float32 sum over all
+# terms. Same binary32 oracle as bm25_engine_topk restricted to full
+# matches.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_engine_conjunction",
+    f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream'])}
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored WHERE n_terms_matched = 3
+ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def bm25_engine_conjunction(spark, sf_dir):
+    """Real-engine conjunctive BM25 top-10 (AND + block-max pruning),
+    float32-exact cross-engine."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = s.topk("order batch stream", k=10, mode="wand", op="and")
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH searchAfter — IndexSearcher#searchAfter / Solr cursorMark:
+# page 2 of the ranking via the keyset cursor (score, doc_id) of page 1's
+# last hit, applied INSIDE the per-bucket scorer (no offset scan). Oracle =
+# ranks 11..20 of the float32-exact ranking (cursor keys are unique, so
+# strictly-after == OFFSET 10).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_engine_search_after",
+    f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream'])}
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10 OFFSET 10""",
+)
+def bm25_engine_search_after(spark, sf_dir):
+    """Real-engine page 2: searchAfter the 10th hit of page 1."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    page1 = s.topk("order batch stream", k=10, mode="wand").collect()
+    cursor = (float(page1[-1].score), int(page1[-1].doc_id))
+    res = s.topk_after("order batch stream", after=cursor, k=10, mode="wand")
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH exact phrase — PhraseQuery/ExactPhraseMatcher over the real
+# positional postings (delta+FOR packed), scored per PhraseScorer: freq =
+# adjacency-match count, idf = float64 sum over phrase positions cast once
+# to float32, score = f32(idf_sum * (f/(f + norm_cache[dl]))). The oracle
+# mirrors every step in binary32 and counts adjacencies with a list_filter
+# over the token array.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "phrase_engine_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_ttf FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+dft AS (SELECT
+          (SELECT count(DISTINCT doc_id)::DOUBLE FROM pos WHERE term = 'table') AS df_a,
+          (SELECT count(DISTINCT doc_id)::DOUBLE FROM pos WHERE term = 'hash') AS df_b),
+pf AS (SELECT doc_id, len(toks) AS dl,
+              len(list_filter(range(1, len(toks)),
+                              i -> toks[i] = 'table' AND toks[i + 1] = 'hash'))
+                AS freq
+       FROM tokarr),
+scored AS (SELECT pf.doc_id,
+       (((ln(1 + ((s.n_docs::DOUBLE) - d.df_a + 0.5) / (d.df_a + 0.5))
+          + ln(1 + ((s.n_docs::DOUBLE) - d.df_b + 0.5) / (d.df_b + 0.5)))::FLOAT)
+        * ((pf.freq::FLOAT)
+           / ((pf.freq::FLOAT)
+              + ((1.2::FLOAT)
+                 * ((0.25::FLOAT)
+                    + (((0.75::FLOAT)
+                        * (({duckdb_byte4_roundtrip_sql('pf.dl')})::FLOAT))
+                       / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+         ::FLOAT AS score_f
+    FROM pf CROSS JOIN stats s CROSS JOIN dft d WHERE pf.freq > 0)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def phrase_engine_topk(spark, sf_dir):
+    """Real-engine exact-phrase top-10 over positional postings,
+    float32-exact cross-engine: q='"table hash"'."""
+    from ..operators.phrase import phrase_topk
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = phrase_topk(spark, s.segment, "table hash", k=10, slop=0)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )

@@ -1613,7 +1613,8 @@ def _engine_searcher(spark, sf_dir):
         from ..operators.search import Searcher
 
         seg = build_index(
-            spark, documents_as_corpus(spark, sf_dir), out_dir=None
+            spark, documents_as_corpus(spark, sf_dir), out_dir=None,
+            with_positions=True,
         )
         _ENGINE_SEG_CACHE[sf_dir] = Searcher(spark, seg)
     return _ENGINE_SEG_CACHE[sf_dir]
