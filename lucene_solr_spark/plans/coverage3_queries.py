@@ -1283,3 +1283,73 @@ def phrase_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH filter query — Solr fq / search/LRUQueryCache.java bitset
+# semantics through the real engine: Searcher.topk(fq=...) cogroups the
+# FilterCache-materialized (bucket, doc_id) set into the scorer leaf; BM25
+# scores and corpus stats are UNTOUCHED (the filter is a mask, not a query
+# rewrite). Oracle = the float32-exact ranking restricted to lang='en'.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_engine_fq",
+    f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream'])}
+SELECT sc.doc_id, round(sc.score_f::DOUBLE, 4) AS score
+FROM scored sc JOIN documents d ON d.doc_id = sc.doc_id
+WHERE d.lang = 'en'
+ORDER BY sc.score_f DESC, sc.doc_id ASC LIMIT 10""",
+)
+def bm25_engine_fq(spark, sf_dir):
+    """Real-engine top-10 with fq=lang:'en' — scores identical to the
+    unfiltered ranking, rank set masked."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = s.topk("order batch stream", k=10, mode="wand", fq="lang = 'en'")
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH Boolean tree — search/BooleanQuery.java through the parser +
+# tree scorer: '+order batch^2 stream -table' (MUST order, SHOULD batch
+# boosted 2x + stream, MUST_NOT table). Engine accumulation (pinned by
+# tests/oracle.py#eval_bool): candidates = MUST ∩ ¬MUST_NOT; score = f32
+# left fold in clause order (must clauses, then should clauses), per-clause
+# boost applied as f32(s · boost). The oracle mirrors the fold with a
+# clause-index ordering; 'table' filters candidates but never scores.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bool_engine_topk",
+    f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream', 'table'])},
+cand AS (SELECT doc_id FROM contrib WHERE term = 'order'
+         EXCEPT SELECT doc_id FROM contrib WHERE term = 'table'),
+cl AS (SELECT c.doc_id,
+              CASE c.term WHEN 'order' THEN 0 WHEN 'batch' THEN 1 ELSE 2 END
+                AS cidx,
+              CASE WHEN c.term = 'batch' THEN (c.s_t * (2.0::FLOAT))::FLOAT
+                   ELSE c.s_t END AS s_b
+       FROM contrib c JOIN cand USING (doc_id) WHERE c.term <> 'table'),
+boolscored AS (SELECT doc_id,
+                      list_reduce(list(s_b ORDER BY cidx),
+                                  (a, b) -> (a + b)::FLOAT) AS score_f
+               FROM cl GROUP BY doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM boolscored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def bool_engine_topk(spark, sf_dir):
+    """Real-engine nested-Boolean top-10 via the classic parser:
+    '+order batch^2 stream -table', float32-exact cross-engine."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = s.search("+order batch^2 stream -table", k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
