@@ -1353,3 +1353,55 @@ def bool_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH MultiSearcher — index/MultiReader + scatter-gather search
+# across segments with GLOBAL corpus stats (the SolrCloud distributed-search
+# shape): the corpus is split into two segments, each scored locally with
+# the global idf/avgdl, partials merged by (score desc, doc_id asc). The
+# oracle is the SAME float32-exact single-corpus ranking — equality proves
+# scores are invariant to segment topology, the distributed-correctness
+# claim. A fresh 2-segment catalog is built once per sf_dir (no deletes).
+# ---------------------------------------------------------------------------
+
+_MS2_CACHE: dict = {}
+
+
+@register(
+    "multisearcher_engine_topk",
+    f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream'])}
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def multisearcher_engine_topk(spark, sf_dir):
+    """2-segment MultiSearcher top-10 == single-corpus f32 ranking."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.search import MultiSearcher
+    from ..sources.catalog import Catalog
+
+    if sf_dir not in _MS2_CACHE:
+        root = "/tmp/spark_graft_ms2/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        half = docs.count() // 2
+        cat = Catalog(root)
+        for i, pred in enumerate(
+            [F.col("doc_id") < half, F.col("doc_id") >= half]
+        ):
+            build_index(
+                spark, docs.filter(pred), out_dir=root, segment_id=f"half{i}"
+            )
+            cat.commit_swap(add=[f"half{i}"])
+        _MS2_CACHE[sf_dir] = cat
+    ms = MultiSearcher.from_catalog(spark, _MS2_CACHE[sf_dir])
+    res = ms.topk("order batch stream", k=10, mode="wand")
+    # segments carry the pre-assigned corpus doc_ids; gdoc_id is the
+    # docBase-offset MultiReader remap (tie-break key), not the corpus id
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
