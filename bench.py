@@ -147,6 +147,10 @@ def main() -> None:
             try:
                 doc = json.loads(p.read_text())
                 extra[f"scaling_{mode}_eff"] = doc["value"]
+                if "pooled_best_of_all_repeats_eff" in doc:
+                    extra[f"scaling_{mode}_eff_pooled"] = doc[
+                        "pooled_best_of_all_repeats_eff"
+                    ]
             except Exception:
                 pass
     # WAND-at-scale evidence (bench_wand.py, 500k-doc synth corpus)
