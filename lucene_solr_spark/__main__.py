@@ -1,0 +1,149 @@
+"""spark-submit entry point — the north_star deployment shape:
+
+    zip -r pyspark_fulltext.zip lucene_solr_spark
+    spark-submit --py-files pyspark_fulltext.zip \
+        --master <cluster> [--num-executors N ...] \
+        -m lucene_solr_spark build --input /data/corpus --out /data/index
+
+(locally: ``python -m lucene_solr_spark <cmd> ...``). The session comes
+from ``SparkSession.builder.getOrCreate()`` via session.get_spark, so under
+spark-submit the submitted master/executor config wins; standalone it
+falls back to local[*].
+
+Subcommands map 1:1 onto the library surface (this file is a thin argparse
+shim — no logic lives here):
+
+- ``build``   corpus parquet -> on-disk segment + catalog commit
+              (operators/indexer.py#build_index; resumable, per-partition
+              lineage + metrics printed as one JSON line)
+- ``search``  classic query string against a catalog
+              (operators/search.py#MultiSearcher + plans/qparser.py)
+- ``check``   CheckIndex invariants + stats (operators/checker.py)
+- ``merge``   compact all segments into one (operators/merge.py)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _build(args) -> int:
+    from .corpus import documents_as_corpus, stamp_sha256
+    from .operators.indexer import build_index
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    spark = get_spark(app_name="fulltext-build")
+    if args.table == "documents":
+        corpus = documents_as_corpus(spark, args.input)
+    else:
+        corpus = stamp_sha256(spark.read.parquet(args.input))
+    seg = build_index(
+        spark,
+        corpus,
+        out_dir=args.out,
+        segment_id=args.segment_id,
+        bucket_docs=args.bucket_docs,
+        with_positions=args.positions,
+    )
+    if args.commit:
+        Catalog(args.out).commit_swap(add=[seg.segment_id])
+    print(
+        json.dumps(
+            {
+                "segment_id": seg.segment_id,
+                "n_docs": seg.stats.n_docs,
+                "n_terms": seg.stats.n_terms,
+                "postings_written": seg.stats.n_postings,
+                "bytes_compressed": seg.stats.packed_bytes,
+            }
+        )
+    )
+    return 0
+
+
+def _search(args) -> int:
+    from .operators.search import MultiSearcher
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    spark = get_spark(app_name="fulltext-search")
+    ms = MultiSearcher.from_catalog(spark, Catalog(args.index))
+    rows = ms.search(args.query, k=args.k).collect()
+    for r in rows:
+        print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
+    return 0
+
+
+def _check(args) -> int:
+    from .operators.checker import check_segment
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    spark = get_spark(app_name="fulltext-check")
+    cat = Catalog(args.index)
+    for seg in cat.segments():
+        summary = check_segment(spark, seg)
+        print(json.dumps({"segment_id": seg.segment_id, **summary}))
+    return 0
+
+
+def _merge(args) -> int:
+    from .operators.merge import merge_segments
+    from .session import get_spark
+    from .sources.catalog import Catalog
+
+    spark = get_spark(app_name="fulltext-merge")
+    cat = Catalog(args.index)
+    merged = merge_segments(spark, cat.segments(), catalog=cat)
+    print(
+        json.dumps(
+            {"segment_id": merged.segment_id, "n_docs": merged.stats.n_docs}
+        )
+    )
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="lucene_solr_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an index segment from parquet")
+    b.add_argument("--input", required=True,
+                   help="corpus dir (documents.parquet) or a parquet path")
+    b.add_argument("--out", required=True, help="index/catalog directory")
+    b.add_argument("--table", default="documents",
+                   choices=["documents", "parquet"],
+                   help="'documents' = testdata-shaped dir; 'parquet' = "
+                        "any table with (repo,path,commit,lang,content)")
+    b.add_argument("--segment-id", default=None)
+    b.add_argument("--bucket-docs", type=int, default=8192)
+    b.add_argument("--positions", action="store_true",
+                   help="store positional postings (phrase/span queries)")
+    b.add_argument("--no-commit", dest="commit", action="store_false",
+                   help="write the segment but skip the catalog commit")
+    b.set_defaults(func=_build)
+
+    s = sub.add_parser("search", help="query a catalog")
+    s.add_argument("--index", required=True)
+    s.add_argument("--query", required=True,
+                   help="classic query string (plans/qparser.py syntax)")
+    s.add_argument("--k", type=int, default=10)
+    s.set_defaults(func=_search)
+
+    c = sub.add_parser("check", help="CheckIndex every committed segment")
+    c.add_argument("--index", required=True)
+    c.set_defaults(func=_check)
+
+    m = sub.add_parser("merge", help="compact all segments into one")
+    m.add_argument("--index", required=True)
+    m.set_defaults(func=_merge)
+
+    args = p.parse_args(argv)
+    return args.func(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -52,6 +52,31 @@ class TermStats:
     idf: float
 
 
+def _apply_term_patterns(t, prefix, wildcard, fuzzy, regexp, term_range):
+    """Shared MultiTermQuery predicate set over a terms-dict DataFrame
+    (used by Searcher.expand_terms and MultiSearcher.expand_terms)."""
+    if prefix is not None:
+        t = t.filter(F.col("term").startswith(prefix))
+    if wildcard is not None:
+        t = t.filter(
+            F.col("term").like(wildcard.replace("*", "%").replace("?", "_"))
+        )
+    if fuzzy is not None:
+        term, max_edits = fuzzy
+        t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+    if regexp is not None:
+        t = t.filter(F.col("term").rlike(regexp))
+    if term_range is not None:
+        # TermRangeQuery (search/TermRangeQuery.java): [lo, hi) over the
+        # sorted terms dict — maps straight onto parquet min/max pruning
+        lo, hi = term_range
+        if lo is not None:
+            t = t.filter(F.col("term") >= lo)
+        if hi is not None:
+            t = t.filter(F.col("term") < hi)
+    return t
+
+
 class FilterCache:
     """Searcher-level filter cache — the LRUQueryCache analog
     (search/LRUQueryCache.java): caches the MATERIALIZED doc-id set of a
@@ -410,26 +435,10 @@ class Searcher:
         as predicates on the sorted terms table (parquet min/max stats are
         the FST index analog). Capped at ``max_expansions`` terms like
         the reference's BooleanQuery#maxClauseCount discipline."""
-        t = self.terms.select("term")
-        if prefix is not None:
-            t = t.filter(F.col("term").startswith(prefix))
-        if wildcard is not None:
-            t = t.filter(
-                F.col("term").like(wildcard.replace("*", "%").replace("?", "_"))
-            )
-        if fuzzy is not None:
-            term, max_edits = fuzzy
-            t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
-        if regexp is not None:
-            t = t.filter(F.col("term").rlike(regexp))
-        if term_range is not None:
-            # TermRangeQuery (search/TermRangeQuery.java): [lo, hi) over the
-            # sorted terms dict — maps straight onto parquet min/max pruning
-            lo, hi = term_range
-            if lo is not None:
-                t = t.filter(F.col("term") >= lo)
-            if hi is not None:
-                t = t.filter(F.col("term") < hi)
+        t = _apply_term_patterns(
+            self.terms.select("term"), prefix, wildcard, fuzzy, regexp,
+            term_range,
+        )
         return [r["term"] for r in t.orderBy("term").limit(max_expansions).collect()]
 
     def topk_constant(
@@ -1327,6 +1336,50 @@ class MultiSearcher:
         for p in per_seg[1:]:
             u = u.unionByName(p)
         return u.orderBy(F.desc("score"), F.asc("gdoc_id")).limit(k)
+
+    def expand_terms(
+        self,
+        prefix: str | None = None,
+        wildcard: str | None = None,
+        fuzzy: tuple[str, int] | None = None,
+        regexp: str | None = None,
+        term_range: tuple[str | None, str | None] | None = None,
+        max_expansions: int = 1024,
+    ) -> list[str]:
+        """Multi-segment MultiTermQuery rewrite: the same automaton-walk
+        predicates as Searcher.expand_terms, over the UNION of every
+        segment's terms dictionary (index/MultiTermsEnum.java's merged
+        enum). Predicates push into each segment's scan; the
+        ``max_expansions`` cap applies to the merged, distinct result."""
+        tables = [
+            s.table(self.spark, "terms").select("term") for s in self.segments
+        ]
+        u = tables[0]
+        for t in tables[1:]:
+            u = u.unionByName(t)
+        u = _apply_term_patterns(
+            u, prefix, wildcard, fuzzy, regexp, term_range
+        ).distinct()
+        return [
+            r["term"] for r in u.orderBy("term").limit(max_expansions).collect()
+        ]
+
+    def search(self, query_string: str, k: int = 10, fq: str | None = None) -> DataFrame:
+        """Classic query string against the whole catalog — mirrors
+        Searcher.search: multi-term leaves rewrite against the merged
+        terms dict, pure phrases become a Phrase clause of the tree
+        (MultiSearcher.topk_query scores Phrase leaves with global stats,
+        bit-identical to a single merged segment)."""
+        from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
+        from .query import Phrase
+
+        node = parse(query_string)
+        if isinstance(node, tuple) and node[0] == "phrase":
+            node = Phrase(tuple(node[1]), node[2], node[3], node[4])
+        else:
+            node = resolve_multi_terms(node, self)
+            assert not _contains_tuple(node), "unresolved leaf after rewrite"
+        return self.topk_query(node, k=k, fq=fq)
 
 
 def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> DataFrame:

@@ -1,0 +1,101 @@
+"""spark-submit CLI (lucene_solr_spark/__main__.py) + MultiSearcher query
+strings: the north_star's deployment surface. main() is invoked in-process
+(it picks up the test session via getOrCreate)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_solr_spark.__main__ import main
+from lucene_solr_spark.corpus import documents_as_corpus
+from lucene_solr_spark.operators.indexer import build_index
+from lucene_solr_spark.operators.search import MultiSearcher, Searcher
+
+SF = "/root/testdata/sf0.001"
+IDX = "/tmp/spark_graft_cli_test"
+
+
+@pytest.fixture(scope="module")
+def cli_index(spark, capsysbinary=None):
+    shutil.rmtree(IDX, ignore_errors=True)
+    rc = main(
+        ["build", "--input", SF, "--out", IDX, "--positions",
+         "--segment-id", "cli0"]
+    )
+    assert rc == 0
+    return IDX
+
+
+def _lines(capsys):
+    return [json.loads(l) for l in capsys.readouterr().out.splitlines() if l]
+
+
+def test_cli_build_emits_lineage_metrics(spark, cli_index, capsys):
+    rc = main(["check", "--index", cli_index])
+    assert rc == 0
+    (summary,) = _lines(capsys)
+    assert summary["segment_id"] == "cli0"
+    assert summary["n_docs"] == 500
+    assert summary["blocks_checked"] > 0
+
+
+def test_cli_search_matches_library(spark, cli_index, capsys):
+    q = '+order "key order" batch^2 -zzz'
+    rc = main(["search", "--index", cli_index, "--query", q, "--k", "5"])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 6)) for r in _lines(capsys)]
+    seg = build_index(
+        spark, documents_as_corpus(spark, SF), out_dir=None,
+        with_positions=True,
+    )
+    want = [
+        (int(r.doc_id), round(float(r.score), 6))
+        for r in Searcher(spark, seg).search(q, k=5).collect()
+    ]
+    assert got == want
+
+
+def test_cli_merge_preserves_docs(spark, cli_index, capsys):
+    rc = main(["merge", "--index", cli_index])
+    assert rc == 0
+    (out,) = _lines(capsys)
+    assert out["n_docs"] == 500
+
+
+@pytest.mark.parametrize(
+    "q",
+    [
+        '+order "key order" batch^2 -zzz',  # tree + phrase + boost + NOT
+        "ord* batch",                        # wildcard rewrite
+        "fast~1",                            # fuzzy rewrite
+        "[batch TO merge]",                  # term range rewrite
+        '"key order"~2',                     # pure sloppy phrase
+    ],
+)
+def test_multisearcher_search_parity(spark, q):
+    """MultiSearcher.search over 2 segments is bit-identical to
+    Searcher.search over the merged corpus (global stats)."""
+    docs = documents_as_corpus(spark, SF)
+    single = Searcher(
+        spark, build_index(spark, docs, out_dir=None, with_positions=True)
+    )
+    segs = [
+        build_index(
+            spark, docs.filter(p), out_dir=None, segment_id=f"par{i}",
+            with_positions=True,
+        )
+        for i, p in enumerate(
+            [F.col("doc_id") < 250, F.col("doc_id") >= 250]
+        )
+    ]
+    ms = MultiSearcher(spark, segs)
+    a = [
+        (int(r.doc_id), float(r.score))
+        for r in single.search(q, k=8).collect()
+    ]
+    b = [(int(r.doc_id), float(r.score)) for r in ms.search(q, k=8).collect()]
+    assert a == b
