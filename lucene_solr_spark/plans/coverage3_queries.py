@@ -1405,3 +1405,96 @@ def multisearcher_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH DisMax — search/DisjunctionMaxQuery.java + DisMaxQParser
+# through the real multi-field engine (operators/dismax.py): one REAL
+# segment per field (title = first 5 tokens of the doc, re-indexed through
+# build_index; body = the full-text segment shared with the other engine
+# rows), per-bucket union-tagged kernel, per-term max over fields +
+# tie·(sum−max), all float32 with the field order pinned. The oracle
+# mirrors every step in binary32: per-field idf/avgdl/byte4(dl), boost
+# multiply AFTER the BM25 contribution (score_block then sarr*boost),
+# dmx = f32(max + f32(0.3f · f32(sum−max))) with sum = f32 left fold in
+# field order, per-doc fold over terms in lexicographic order. The engine's
+# bucket-level "is the term in both fields here?" branch needs no oracle
+# special-case: the missing-field score is an exact f32 zero, and
+# max/+/−/· with zero are exact, so both branches yield the same value.
+# ---------------------------------------------------------------------------
+
+_DM_ENGINE_CACHE: dict = {}
+
+
+@register(
+    "dismax_engine_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n FROM tokarr),
+u AS (SELECT 0 AS fidx, doc_id, toks FROM tokarr
+      UNION ALL SELECT 1, doc_id, list_slice(toks, 1, 5) FROM tokarr),
+fdl AS (SELECT fidx, doc_id, len(toks) AS dl FROM u),
+favg AS (SELECT fidx, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         FROM fdl GROUP BY fidx),
+pos AS (SELECT fidx, doc_id, unnest(toks) AS term FROM u),
+qt AS (SELECT unnest(['key', 'order']) AS term),
+tf AS (SELECT fidx, doc_id, p.term, count(*)::BIGINT AS freq
+       FROM pos p JOIN qt USING (term) GROUP BY 1, 2, 3),
+fdf AS (SELECT fidx, p.term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM pos p JOIN qt USING (term) GROUP BY 1, 2),
+contrib AS (SELECT tf.fidx, tf.doc_id, tf.term,
+       (((((ln(1 + ((s.n::DOUBLE) - f.df + 0.5) / (f.df + 0.5)))::FLOAT
+           * ((tf.freq::FLOAT)
+              / ((tf.freq::FLOAT)
+                 + ((1.2::FLOAT)
+                    * ((0.25::FLOAT)
+                       + (((0.75::FLOAT)
+                           * (({duckdb_byte4_roundtrip_sql('d.dl')})::FLOAT))
+                          / ((a.avgdl)::FLOAT)))))))::FLOAT)
+        * ((CASE tf.fidx WHEN 0 THEN 1.0 ELSE 2.0 END)::FLOAT))::FLOAT) AS s_t
+    FROM tf JOIN fdl d ON d.fidx = tf.fidx AND d.doc_id = tf.doc_id
+    JOIN fdf f ON f.fidx = tf.fidx AND f.term = tf.term
+    JOIN favg a ON a.fidx = tf.fidx CROSS JOIN stats s),
+dm AS (SELECT doc_id, term,
+              ((list_max(l)
+                + (((0.3::FLOAT)
+                    * ((list_reduce(l, (x, y) -> (x + y)::FLOAT)
+                        - list_max(l))::FLOAT))::FLOAT))::FLOAT) AS dmx
+       FROM (SELECT doc_id, term, list(s_t ORDER BY fidx) AS l
+             FROM contrib GROUP BY 1, 2)),
+dmscored AS (SELECT doc_id,
+                    list_reduce(list(dmx ORDER BY term),
+                                (x, y) -> (x + y)::FLOAT) AS score_f
+             FROM dm GROUP BY doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM dmscored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def dismax_engine_topk(spark, sf_dir):
+    """Real-engine DisMax top-10: q='key order', qf='b^1 t^2', tie=0.3,
+    title segment = first-5-token field, float32-exact cross-engine."""
+    from ..corpus import documents_as_corpus
+    from ..operators.dismax import dismax_topk
+    from ..operators.indexer import build_index
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    if sf_dir not in _DM_ENGINE_CACHE:
+        docs = documents_as_corpus(spark, sf_dir)
+        title_content = _tokens(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
+        )
+        title = docs.drop("content", "content_sha256").join(
+            title_content, "doc_id"
+        )
+        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    res = dismax_topk(
+        spark,
+        {"b": s.segment, "t": _DM_ENGINE_CACHE[sf_dir]},
+        "key order",
+        qf={"b": 1.0, "t": 2.0},
+        tie=0.3,
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
