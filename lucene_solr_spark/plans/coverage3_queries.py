@@ -1498,3 +1498,85 @@ def dismax_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH fielded query — the per-field schema search (Solr qf/df,
+# Lucene's Term(field, text)) through the REAL FieldedSearcher
+# (operators/fields.py): '+title:key order' parses to MUST title:key +
+# SHOULD body:order (default field body); leaves are tagged into the one
+# Boolean-tree kernel, each scored with ITS OWN field's idf/avgdl/byte4
+# norms, accumulated f32 in clause order. Reuses the body segment
+# (_engine_searcher) and the first-5-token title segment (_DM_ENGINE_CACHE)
+# — same corpus, same bucket grid. Oracle: candidates = title matches of
+# 'key'; score = f32 left fold [title:key, body:order] of per-field
+# binary32 BM25 contributions.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fielded_engine_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n FROM tokarr),
+u AS (SELECT 0 AS fidx, doc_id, toks FROM tokarr
+      UNION ALL SELECT 1, doc_id, list_slice(toks, 1, 5) FROM tokarr),
+fdl AS (SELECT fidx, doc_id, len(toks) AS dl FROM u),
+favg AS (SELECT fidx, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         FROM fdl GROUP BY fidx),
+pos AS (SELECT fidx, doc_id, unnest(toks) AS term FROM u),
+tf AS (SELECT fidx, doc_id, term, count(*)::BIGINT AS freq FROM pos
+       WHERE (fidx = 1 AND term = 'key') OR (fidx = 0 AND term = 'order')
+       GROUP BY 1, 2, 3),
+fdf AS (SELECT fidx, term, count(DISTINCT doc_id)::DOUBLE AS df FROM pos
+        WHERE (fidx = 1 AND term = 'key') OR (fidx = 0 AND term = 'order')
+        GROUP BY 1, 2),
+contrib AS (SELECT tf.fidx, tf.doc_id, tf.term,
+       (((ln(1 + ((s.n::DOUBLE) - f.df + 0.5) / (f.df + 0.5)))::FLOAT
+         * ((tf.freq::FLOAT)
+            / ((tf.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('d.dl')})::FLOAT))
+                        / ((a.avgdl)::FLOAT)))))))::FLOAT) AS s_t
+    FROM tf JOIN fdl d ON d.fidx = tf.fidx AND d.doc_id = tf.doc_id
+    JOIN fdf f ON f.fidx = tf.fidx AND f.term = tf.term
+    JOIN favg a ON a.fidx = tf.fidx CROSS JOIN stats s),
+cand AS (SELECT DISTINCT doc_id FROM contrib WHERE fidx = 1 AND term = 'key'),
+cl AS (SELECT c.doc_id, CASE WHEN c.fidx = 1 THEN 0 ELSE 1 END AS cidx, c.s_t
+       FROM contrib c JOIN cand USING (doc_id)),
+fscored AS (SELECT doc_id,
+                   list_reduce(list(s_t ORDER BY cidx),
+                               (x, y) -> (x + y)::FLOAT) AS score_f
+            FROM cl GROUP BY doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM fscored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def fielded_engine_topk(spark, sf_dir):
+    """Real-engine fielded search: '+title:key order' (default field body),
+    float32-exact cross-engine."""
+    from ..corpus import documents_as_corpus
+    from ..operators.fields import FieldedSearcher
+    from ..operators.indexer import build_index
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    if sf_dir not in _DM_ENGINE_CACHE:  # shared first-5-token title segment
+        docs = documents_as_corpus(spark, sf_dir)
+        title_content = _tokens(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
+        )
+        title = docs.drop("content", "content_sha256").join(
+            title_content, "doc_id"
+        )
+        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    fs = FieldedSearcher(
+        spark,
+        {"body": s.segment, "title": _DM_ENGINE_CACHE[sf_dir]},
+        default_field="body",
+    )
+    res = fs.search("+title:key order", k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
