@@ -1580,3 +1580,51 @@ def fielded_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH SynonymQuery — search/SynonymQuery.java through the real tree
+# scorer: members are scored as ONE pseudo-term (df blended as MAX over
+# members per SynonymWeight's TermStatistics, doc freq = SUM of member tfs
+# per SynonymScorer#freq, ONE tf saturation — a doc matching both synonyms
+# is NOT a 2-term disjunction). Completes the leaf-type sweep: Term,
+# Phrase, and Synonym clauses all sit in the binary32 hash gate.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "synonym_engine_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(toks))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(toks) AS dl FROM tokarr),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tokarr),
+members AS (SELECT doc_id, term, count(*)::BIGINT AS freq FROM pos
+            WHERE term IN ('merge', 'sort') GROUP BY 1, 2),
+dfb AS (SELECT max(cnt)::DOUBLE AS df FROM
+        (SELECT term, count(DISTINCT doc_id) AS cnt FROM members GROUP BY term)),
+fsum AS (SELECT doc_id, sum(freq)::BIGINT AS freq FROM members GROUP BY doc_id),
+synscored AS (SELECT fsum.doc_id,
+       (((ln(1 + ((s.n_docs::DOUBLE) - b.df + 0.5) / (b.df + 0.5)))::FLOAT
+         * ((fsum.freq::FLOAT)
+            / ((fsum.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS score_f
+    FROM fsum JOIN dl USING (doc_id) CROSS JOIN dfb b CROSS JOIN stats s)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM synscored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def synonym_engine_topk(spark, sf_dir):
+    """Real-engine SynonymQuery top-10: merge ≡ sort as one blended term,
+    float32-exact cross-engine."""
+    from ..operators.query import Bool, Synonym
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = s.topk_query(Bool(should=(Synonym(("merge", "sort")),)))
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
