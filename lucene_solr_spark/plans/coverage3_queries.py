@@ -1628,3 +1628,50 @@ def synonym_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH highlighting — UnifiedHighlighter with
+# OffsetSource.POSTINGS: snippets are computed from the INDEX (the doc's
+# token stream is reconstructed from the positional postings inside
+# operators/highlight.py), never by re-analyzing stored text. The oracle
+# rebuilds the same ±3-token window from raw text — equality proves the
+# positional index round-trips the exact token stream through the real
+# highlighter. Docs are restricted to freq('merge') == 1 so the greedy
+# window selection has a single deterministic passage on both sides.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "highlight_engine_snippets",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+hit AS (SELECT doc_id, t, list_position(t, 'merge') - 1 AS h, len(t) AS dl
+        FROM tokarr
+        WHERE len(list_filter(t, x -> x = 'merge')) = 1)
+SELECT doc_id, 1::INTEGER AS n_hits,
+       array_to_string(
+         list_transform(t[greatest(h - 3, 0) + 1 : least(h + 3, dl - 1) + 1],
+                        x -> CASE WHEN x = 'merge'
+                                  THEN '<em>' || x || '</em>' ELSE x END),
+         ' ') AS snippet
+FROM hit ORDER BY doc_id LIMIT 25""",
+)
+def highlight_engine_snippets(spark, sf_dir):
+    """Real-engine snippets for the first 25 docs containing 'merge'
+    exactly once: index-reconstructed ±3-token window, term wrapped."""
+    from ..operators.highlight import highlight
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    toks = _tokens(spark, sf_dir)
+    ids = [
+        int(r.doc_id)
+        for r in toks.filter(
+            F.size(F.filter("tokens", lambda x: x == F.lit("merge"))) == 1
+        )
+        .select("doc_id")
+        .orderBy("doc_id")
+        .limit(25)
+        .collect()
+    ]
+    return highlight(spark, s.segment, "merge", ids, window=7, max_snippets=2)
