@@ -162,10 +162,41 @@ class DFRSimilarity(Similarity):
         return (state["basic"] * tfn / (tfn + np.float32(1.0))).astype(np.float32)
 
 
+class IBSimilarity(Similarity):
+    """Information-based model, combo LL·DF·H2
+    (search/similarities/IBSimilarity.java with DistributionLL +
+    LambdaDF + NormalizationH2, c=1):
+      tfn    = freq * log2(1 + c * avgdl / dl)     (H2, same as DFR)
+      lambda = (df + 1) / (N + 1)                  (LambdaDF)
+      score  = -log(lambda / (tfn + lambda)) = log1p(tfn / lambda)  (LL)
+    Always >= 0."""
+
+    name = "ib_ll"
+
+    def __init__(self, c: float = 1.0):
+        self.c = c
+
+    def weight(self, df: int, ttf: int, sum_ttf: int) -> dict:
+        lam = (df + 1.0) / (self.n_docs + 1.0)
+        return {"lam": np.float32(lam)}
+
+    def score_block(self, freqs, norm_bytes, state):
+        dl = BYTE4_DECODE_TABLE[np.asarray(norm_bytes, dtype=np.uint8)].astype(
+            np.float32
+        )
+        f = freqs.astype(np.float32)
+        tfn = f * np.log2(
+            np.float32(1.0)
+            + np.float32(self.c) * np.float32(self.avgdl) / np.maximum(dl, np.float32(1.0))
+        ).astype(np.float32)
+        return np.log1p(tfn / state["lam"]).astype(np.float32)
+
+
 SIMILARITIES = {
     "classic": ClassicSimilarity,
     "lmdirichlet": LMDirichletSimilarity,
     "boolean": BooleanSimilarity,
     "lmjelinekmercer": LMJelinekMercerSimilarity,
     "dfr_inl2": DFRSimilarity,
+    "ib_ll": IBSimilarity,
 }

@@ -666,6 +666,27 @@ def sim_dfr_inl2_topk(spark, sf_dir):
     return _sim_topk(base, s)
 
 
+@register(
+    "sim_ib_ll_topk",
+    f"""WITH {_sim_cte(_SIM_TERMS)},
+scored AS (SELECT doc_id,
+                  ln(1 + (freq * (ln(1 + avgdl / dlq) / ln(2)))
+                         / ((dft + 1) / (n_total + 1))) AS s
+           FROM base)
+{_SIM_TAIL}""",
+)
+def sim_ib_ll_topk(spark, sf_dir):
+    """IBSimilarity LL·DF·H2 (DistributionLL + LambdaDF + NormalizationH2,
+    c=1): tfn = freq*log2(1+avgdl/dl), lambda = (df+1)/(N+1),
+    score = log1p(tfn/lambda). Engine float32 path: similarity.py#IBSimilarity
+    (pytest vs scalar oracle); this row is the double-precision mirror."""
+    base = _sim_base(spark, sf_dir, _SIM_TERMS)
+    ln2 = 0.6931471805599453
+    tfn = F.col("freq") * (F.log(1.0 + F.col("avgdl") / F.col("dlq")) / ln2)
+    s = F.log(1.0 + tfn / ((F.col("dft") + 1) / (F.col("n_total") + 1)))
+    return _sim_topk(base, s)
+
+
 # ---------------------------------------------------------------------------
 # Highlighting (lucene/highlighter/.../UnifiedHighlighter.java): first-hit
 # passage of +/-3 tokens with <em> markers. The index-only engine variant

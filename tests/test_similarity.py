@@ -165,6 +165,34 @@ def test_dfr_similarity(spark, seg, docs):
         assert got == want, f"dfr {q!r}"
 
 
+def _oracle_ib(docs, q, k, c=1.0):
+    tf, N, sum_ttf = _stats(docs)
+    avgdl = np.float32(sum_ttf / N)
+    terms = sorted(set(tokenize(q)))
+    scores = {}
+    for t in terms:
+        if t not in tf:
+            continue
+        lam = np.float32((len(tf[t]) + 1.0) / (N + 1.0))
+        for d, f in tf[t].items():
+            dl = np.float32(max(_dlq(docs, d), 1))
+            tfn = np.float32(
+                np.float32(f) * np.float32(np.log2(np.float32(1.0) + np.float32(c) * avgdl / dl))
+            )
+            s = np.float32(np.log1p(tfn / lam))
+            scores[d] = np.float32(scores.get(d, np.float32(0)) + s)
+    ranked = sorted(scores.items(), key=lambda kv: (-float(kv[1]), kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]
+
+
+def test_ib_similarity(spark, seg, docs):
+    s = Searcher(spark, seg)
+    for q in QUERIES:
+        got = [(d, round(v, 5)) for d, v in _hits(s.topk_sim(q, "ib_ll", k=10))]
+        want = [(d, round(v, 5)) for d, v in _oracle_ib(docs, q, 10)]
+        assert got == want, f"ib {q!r}"
+
+
 def test_boolean_similarity(spark, seg, docs):
     s = Searcher(spark, seg)
     got = _hits(s.topk_sim("import return", "boolean", k=2000))
