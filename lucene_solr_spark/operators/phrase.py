@@ -409,11 +409,71 @@ def _multi_exact_freqs(
     return ids.astype(np.int64), freqs
 
 
+def _multi_sloppy_freqs(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    slots: list[tuple],
+    slop: int,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sloppy MultiPhraseQuery freqs: slot i is ONE leg whose raw
+    positions are the sorted union of its members' in-doc positions
+    (UnionPostingsEnum), offsets = slot indices, walked by the same
+    SloppyPhraseMatcher kernel as plain phrases. Slots whose member sets
+    intersect (transitively) form one repeat group."""
+    n_slots = len(slots)
+    # repeat groups: union-find over slots sharing a member term
+    parent = list(range(n_slots))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i in range(n_slots):
+        for j in range(i + 1, n_slots):
+            if set(slots[i]) & set(slots[j]):
+                parent[find(j)] = find(i)
+    roots: dict[int, list[int]] = {}
+    for i in range(n_slots):
+        roots.setdefault(find(i), []).append(i)
+    groups = [g for g in roots.values() if len(g) > 1]
+
+    # split each term's concatenated positions back per doc (RAW positions)
+    by_doc: dict[int, dict[str, np.ndarray]] = {}
+    for t, (docs, pos_all, lens) in per_term.items():
+        starts = np.zeros(lens.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        for j, d in enumerate(docs):
+            by_doc.setdefault(int(d), {})[t] = pos_all[starts[j] : starts[j + 1]]
+    offsets = list(range(n_slots))
+    ids, freqs = [], []
+    for d, raw_by_term in by_doc.items():
+        legs = []
+        ok = True
+        for members in slots:
+            parts = [raw_by_term[t] for t in members if t in raw_by_term]
+            if not parts:
+                ok = False
+                break
+            legs.append(np.unique(np.concatenate(parts)))
+        if not ok:
+            continue
+        fr = sloppy_phrase_freq_general(legs, offsets, groups, slop)
+        if fr > 0.0:
+            ids.append(d)
+            freqs.append(fr)
+    return (
+        np.asarray(ids, dtype=np.int64),
+        np.asarray(freqs, dtype=np.float64),
+    )
+
+
 def bucket_multi_phrase_freqs(
-    pdf: pd.DataFrame, slots: list[tuple]
+    pdf: pd.DataFrame, slots: list[tuple], slop: int = 0
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Multi-phrase occurrence counting for ONE doc-space bucket (exact
-    adjacency). Same contract as bucket_phrase_freqs."""
+    """Multi-phrase occurrence counting for ONE doc-space bucket
+    (slop=0: exact adjacency; slop>0: sloppy over slot-union legs).
+    Same contract as bucket_phrase_freqs."""
     empty = (
         np.array([], dtype=np.int64),
         np.array([], dtype=np.int64),
@@ -453,7 +513,10 @@ def bucket_multi_phrase_freqs(
         for d, nb in zip(docs, g["norm_byte"].to_numpy()):
             norm_by_doc[int(d)] = int(nb)
 
-    ids, freqs = _multi_exact_freqs(per_term, slots)
+    if slop == 0:
+        ids, freqs = _multi_exact_freqs(per_term, slots)
+    else:
+        ids, freqs = _multi_sloppy_freqs(per_term, slots, slop)
     if ids.size == 0:
         return empty
     norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
@@ -468,11 +531,13 @@ def multi_phrase_topk(
     slop: int = 0,
     deleted=None,
 ) -> DataFrame:
-    """Top-k docs matching a MultiPhraseQuery (exact adjacency only)."""
-    if slop != 0:
-        raise NotImplementedError(
-            "MultiPhraseQuery with slop>0 is not implemented (exact only)"
-        )
+    """Top-k docs matching a MultiPhraseQuery. ``slop=0``: exact adjacency;
+    ``slop>0``: sloppy matching with each slot treated as ONE pseudo-term
+    whose raw positions are the sorted union of its members' positions
+    (MultiPhraseQuery's UnionPostingsEnum), run through the same
+    SloppyPhraseMatcher walk as plain phrases; slots whose member sets
+    intersect (transitively) form a repeat group — their legs must occupy
+    distinct raw positions, mirroring the repeating-pps discipline."""
     assert segment.has_table("positions"), (
         "segment was built without positions (build_index(with_positions=True))"
     )
@@ -505,7 +570,7 @@ def multi_phrase_topk(
     present = sorted(t for t in distinct if t in df_by_term)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
-        ids, freqs, norms = bucket_multi_phrase_freqs(pdf, slots)
+        ids, freqs, norms = bucket_multi_phrase_freqs(pdf, slots, slop)
         if deleted is not None and len(deleted) and ids.size:
             keep = ~np.isin(ids, np.asarray(deleted, dtype=np.int64))
             ids, freqs, norms = ids[keep], freqs[keep], norms[keep]

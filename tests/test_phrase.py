@@ -299,8 +299,63 @@ def test_multi_phrase_widening_is_superset(spark, seg_pos, oracle):
     assert narrow <= wide
 
 
-def test_multi_phrase_slop_gated(spark, seg_pos):
+def test_multi_phrase_sloppy_singleton_equals_sloppy_phrase(spark, seg_pos, oracle):
+    """slop>0 with 1-member slots must equal the plain sloppy PhraseQuery
+    (same legs, same matcher, same idf)."""
     from lucene_solr_spark.operators.phrase import multi_phrase_topk
 
-    with pytest.raises(NotImplementedError):
-        multi_phrase_topk(spark, seg_pos, [("a",), ("b",)], slop=1)
+    checked = 0
+    for doc_id in sorted(oracle.tokens)[:6]:
+        toks = oracle.tokens[doc_id]
+        if len(toks) <= 9:
+            continue
+        text = f"{toks[4]} {toks[8]}"
+        for slop in (1, 3):
+            a = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in phrase_topk(spark, seg_pos, text, k=15, slop=slop).collect()
+            ]
+            b = [
+                (r["doc_id"], np.float32(r["score"]))
+                for r in multi_phrase_topk(
+                    spark, seg_pos, [(toks[4],), (toks[8],)], k=15, slop=slop
+                ).collect()
+            ]
+            assert a == b, f"slop={slop} {text!r}"
+            checked += 1
+    assert checked >= 2
+
+
+def test_multi_phrase_sloppy_union_kernel_pinned():
+    """Hand-derived slot-union walk: doc 'a x b c b' (a@0, b@[2,4], c@3),
+    slots [(a,c),(b,)], slop=1: greedy matches (0,2)->0.5 and (3,4)->1.0."""
+    from lucene_solr_spark.operators.phrase import _multi_sloppy_freqs
+
+    per_term = {
+        "a": (np.array([7]), np.array([0]), np.array([1])),
+        "b": (np.array([7]), np.array([2, 4]), np.array([2])),
+        "c": (np.array([7]), np.array([3]), np.array([1])),
+    }
+    ids, freqs = _multi_sloppy_freqs(per_term, [("a", "c"), ("b",)], slop=1)
+    assert ids.tolist() == [7] and freqs.tolist() == [1.5]
+    # overlapping slots form a repeat group: legs take distinct positions
+    ids2, freqs2 = _multi_sloppy_freqs(per_term, [("a", "b"), ("b",)], slop=2)
+    assert ids2.tolist() == [7] and freqs2.tolist() == [0.5]
+
+
+def test_multi_phrase_sloppy_widening_is_superset(spark, seg_pos, oracle):
+    """More slop can only add matches (for the same slots)."""
+    from lucene_solr_spark.operators.phrase import multi_phrase_topk
+
+    toks = None
+    for doc_id in sorted(oracle.tokens):
+        if len(oracle.tokens[doc_id]) > 10:
+            toks = oracle.tokens[doc_id]
+            break
+    assert toks
+    slots = [(toks[3],), (toks[6], toks[8])]
+    tight = {r["doc_id"] for r in multi_phrase_topk(
+        spark, seg_pos, slots, k=10**6, slop=1).collect()}
+    loose = {r["doc_id"] for r in multi_phrase_topk(
+        spark, seg_pos, slots, k=10**6, slop=4).collect()}
+    assert tight <= loose
