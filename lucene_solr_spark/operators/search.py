@@ -284,13 +284,14 @@ class Searcher:
             )
         return hits
 
-    def topk_multi_phrase(self, slots: list, k: int = 10) -> DataFrame:
+    def topk_multi_phrase(self, slots: list, k: int = 10, slop: int = 0) -> DataFrame:
         """MultiPhraseQuery (search/MultiPhraseQuery.java): slot i of the
-        phrase accepts any member of ``slots[i]`` (exact adjacency).
-        See phrase.py#multi_phrase_topk for the pinned semantics."""
+        phrase accepts any member of ``slots[i]``; ``slop`` enables sloppy
+        matching over slot-union legs. See phrase.py#multi_phrase_topk for
+        the pinned semantics."""
         from .phrase import multi_phrase_topk
 
-        return multi_phrase_topk(self.spark, self.segment, slots, k=k)
+        return multi_phrase_topk(self.spark, self.segment, slots, k=k, slop=slop)
 
     def topk_with_fields(self, query_text: str, k: int = 10, **kw) -> DataFrame:
         """Two-phase retrieval: ids+scores first, docmap fields after limit."""
