@@ -71,7 +71,7 @@ def _search(args) -> int:
 
     spark = get_spark(app_name="fulltext-search")
     ms = MultiSearcher.from_catalog(spark, Catalog(args.index))
-    rows = ms.search(args.query, k=args.k).collect()
+    rows = ms.search(args.query, k=args.k, fq=args.fq).collect()
     for r in rows:
         print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
     return 0
@@ -131,6 +131,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--query", required=True,
                    help="classic query string (plans/qparser.py syntax)")
     s.add_argument("--k", type=int, default=10)
+    s.add_argument("--fq", default=None,
+                   help="filter query: SQL predicate over stored fields "
+                        "(mask only — scores and stats untouched)")
     s.set_defaults(func=_search)
 
     c = sub.add_parser("check", help="CheckIndex every committed segment")
