@@ -720,13 +720,28 @@ def percentile_agg(spark, sf_dir):
     )
 
 
-@register("hll_approx_distinct")  # no oracle: approx algorithms differ by design
+@register(
+    "hll_approx_distinct",
+    """SELECT count(DISTINCT user_id) AS exact_users, true AS within_5pct
+FROM events""",
+)
 def hll_approx_distinct(spark, sf_dir):
     """hll (search/facet/HLLAgg.java): HyperLogLog++ — mergeable across
-    partitions like Solr's shard-mergeable HLL. Rows-only driver check;
-    exactness is covered by unique_agg."""
-    return _read(spark, sf_dir, "events").agg(
-        F.approx_count_distinct("user_id").alias("approx_users")
+    partitions like Solr's shard-mergeable HLL. The raw estimate differs by
+    engine, so the oracled contract is deterministic: the exact count plus a
+    boolean attesting the HLL estimate landed within the 5% error budget
+    (HLL++ with default rsd=0.05 — the same mergeable-sketch guarantee Solr's
+    HLLAgg documents). Exactness itself is covered by unique_agg."""
+    agg = _read(spark, sf_dir, "events").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("approx_users"),
+    )
+    return agg.select(
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= 0.05 * F.col("exact_users")
+        ).alias("within_5pct"),
     )
 
 
@@ -895,7 +910,12 @@ def hash_join_enrich(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("sum_bal"),
+            # Cast AFTER the agg: Spark widens sum(decimal(18,2)) to
+            # decimal(28,2) while the oracle pins DECIMAL(18,2); the outer
+            # cast makes the result types (not just values) identical.
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("sum_bal"),
         )
         .orderBy("nation")
     )
