@@ -30,6 +30,7 @@ order, so pruning never changes a reported score.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -607,6 +608,7 @@ def score_postings(
     deleted: np.ndarray | None = None,
     after: tuple[float, int] | None = None,
     filter_docs: DataFrame | None = None,
+    deleted_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket scoring plan over a postings table (per-leaf Scorer DAG +
     TopScoreDocCollector analog). Returns an un-merged DataFrame of local
@@ -618,7 +620,12 @@ def score_postings(
     ``filter_docs``: optional (bucket, doc_id) DataFrame of docs passing a
     filter query (fq). Cogrouped with the postings per bucket, so the
     filter set never leaves the executors (the LRUQueryCache bitset
-    analog, distributed) — a bucket with no filter rows matches nothing."""
+    analog, distributed) — a bucket with no filter rows matches nothing.
+    ``deleted_docs``: optional (bucket, doc_id) DataFrame of tombstones —
+    the DISTRIBUTED liveDocs path (index/PendingDeletes.java analog): the
+    delete set rides the same cogroup slot as fq (tagged ``neg=true``) and
+    never touches the driver, so a 100 TB-scale delete backlog stays
+    per-(segment, bucket) on the executors."""
     matched = sorted(idfs)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -627,8 +634,18 @@ def score_postings(
         )
 
     rows = postings.filter(F.col("term").isin(matched))
-    if filter_docs is None:
+    if filter_docs is None and deleted_docs is None:
         return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+
+    has_filter = filter_docs is not None  # closures must not capture the DFs
+    right_df = None
+    if filter_docs is not None:
+        right_df = filter_docs.select(
+            "bucket", "doc_id", F.lit(False).alias("neg")
+        )
+    if deleted_docs is not None:
+        neg = deleted_docs.select("bucket", "doc_id", F.lit(True).alias("neg"))
+        right_df = neg if right_df is None else right_df.unionByName(neg)
 
     def score_bucket_filtered(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if not len(left):
@@ -637,15 +654,27 @@ def score_postings(
                  "score": np.array([], dtype=np.float32)}
             )
         base = int(left["first_doc"].min())
-        allowed_rel = right["doc_id"].to_numpy(dtype=np.int64) - base
+        allowed_rel = None
+        if has_filter:
+            allowed_rel = (
+                right.loc[~right["neg"], "doc_id"].to_numpy(dtype=np.int64)
+                - base
+            )
+        dele = deleted
+        extra = right.loc[right["neg"], "doc_id"].to_numpy(dtype=np.int64)
+        if extra.size:
+            # absolute ids, sorted — same contract as the `deleted` array;
+            # merged INSIDE the kernel so WAND's theta never holds a
+            # tombstoned doc (same guarantee as the driver-side path)
+            dele = np.sort(extra) if dele is None else np.union1d(dele, extra)
         return _score_bucket(
             left, idfs, cache, k, op, n_query_terms, avgdl, use_wand,
-            deleted, after, allowed_rel=allowed_rel,
+            dele, after, allowed_rel=allowed_rel,
         )
 
     return (
         rows.groupBy("bucket")
-        .cogroup(filter_docs.groupBy("bucket"))
+        .cogroup(right_df.groupBy("bucket"))
         .applyInPandas(score_bucket_filtered, _TOPK_SCHEMA)
     )
 
@@ -663,12 +692,17 @@ def score_query_postings(
     phrase_caches: dict | None = None,
     filter_docs: DataFrame | None = None,
     syn_idfs: dict | None = None,
+    deleted_docs: DataFrame | None = None,
 ) -> DataFrame:
     """Per-bucket Boolean-tree scoring plan (Boolean2ScorerSupplier analog).
     ``filter_docs``: optional (bucket, doc_id) fq set — same semantics as
     score_postings: mask-only, stats untouched. Without phrases it rides
     the free cogroup slot; with phrases its rows join the positions side
     tagged with the impossible term '' and are split back in the leaf.
+    ``deleted_docs``: optional (bucket, doc_id) tombstone set — distributed
+    liveDocs (PendingDeletes analog): rides the cogroup slot tagged
+    ``neg=true`` (or, with phrases, the positions side tagged with the
+    impossible term '\\x00') so the delete backlog never reaches the driver.
     ``caches``/``phrase_caches``: optional per-term / per-Phrase norm-cache
     overrides (FieldedSearcher: each field has its own avgdl, so tagged
     terms score with their field's cache; default = ``cache``).
@@ -699,7 +733,8 @@ def score_query_postings(
     # dense arrays and blends them into one pseudo-term score per node.
     syn_meta = {s: sorted(set(s.terms)) for s in syn_idfs}
     syn_members = frozenset(t for ms in syn_meta.values() for t in ms)
-    has_filter = filter_docs is not None  # closures must not capture the DF
+    has_filter = filter_docs is not None  # closures must not capture the DFs
+    has_del = deleted_docs is not None
 
     def term_dense(pdf: pd.DataFrame, base: int, span: int):
         tscores: dict[str, np.ndarray] = {}
@@ -759,12 +794,16 @@ def score_query_postings(
         score: np.ndarray,
         base: int,
         allowed_rel: np.ndarray | None = None,
+        rel_deleted: np.ndarray | None = None,
     ) -> pd.DataFrame:
         if allowed_rel is not None:
             allow = np.zeros(mask.size, dtype=bool)
             ok = allowed_rel[(allowed_rel >= 0) & (allowed_rel < mask.size)]
             allow[ok] = True
             mask = mask & allow
+        if rel_deleted is not None and rel_deleted.size:
+            okd = rel_deleted[(rel_deleted >= 0) & (rel_deleted < mask.size)]
+            mask[okd] = False
         if deleted is not None and deleted.size:
             span = mask.size
             rel_del = deleted[(deleted >= base) & (deleted < base + span)] - base
@@ -809,6 +848,13 @@ def score_query_postings(
             )
         base = min(lo)
         span = max(hi) - base + 1
+        rel_extra_del = None
+        if has_del:
+            dmask = right["term"] == "\x00"
+            rel_extra_del = (
+                right.loc[dmask, "doc_id"].to_numpy(dtype=np.int64) - base
+            )
+            right = right.loc[~dmask]
         allowed_rel = None
         if has_filter:
             fmask = right["term"] == ""
@@ -838,10 +884,10 @@ def score_query_postings(
         mask, score = eval_node(
             q, tscores, tmasks, span, pscores, pmasks, sscores, smasks
         )
-        return local_topk(mask, score, base, allowed_rel)
+        return local_topk(mask, score, base, allowed_rel, rel_extra_del)
 
     def score_bucket_filtered(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        # no phrases: the free cogroup slot carries the fq doc set
+        # no phrases: the free cogroup slot carries the fq / tombstone sets
         if not len(left):
             return pd.DataFrame(
                 {"doc_id": np.array([], dtype=np.int64),
@@ -854,32 +900,60 @@ def score_query_postings(
         mask, score = eval_node(
             q, tscores, tmasks, span, sscores=sscores, smasks=smasks
         )
-        allowed_rel = right["doc_id"].to_numpy(dtype=np.int64) - base
-        return local_topk(mask, score, base, allowed_rel)
+        allowed_rel = None
+        if has_filter:
+            allowed_rel = (
+                right.loc[~right["neg"], "doc_id"].to_numpy(dtype=np.int64)
+                - base
+            )
+        rel_extra_del = None
+        if has_del:
+            rel_extra_del = (
+                right.loc[right["neg"], "doc_id"].to_numpy(dtype=np.int64)
+                - base
+            )
+        return local_topk(mask, score, base, allowed_rel, rel_extra_del)
 
     scan_terms = sorted(set(matched) | set(syn_members))
     rows = postings.filter(F.col("term").isin(scan_terms))
     if positions is None or not phrase_meta:
-        if filter_docs is None:
+        if filter_docs is None and deleted_docs is None:
             return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+        right_df = None
+        if filter_docs is not None:
+            right_df = filter_docs.select(
+                "bucket", "doc_id", F.lit(False).alias("neg")
+            )
+        if deleted_docs is not None:
+            negs = deleted_docs.select(
+                "bucket", "doc_id", F.lit(True).alias("neg")
+            )
+            right_df = negs if right_df is None else right_df.unionByName(negs)
         return (
             rows.groupBy("bucket")
-            .cogroup(filter_docs.groupBy("bucket"))
+            .cogroup(right_df.groupBy("bucket"))
             .applyInPandas(score_bucket_filtered, _TOPK_SCHEMA)
         )
     pos_terms = sorted({t for _, dterms in phrase_meta.values() for t in dterms})
     posrows = positions.filter(F.col("term").isin(pos_terms))
-    if filter_docs is not None:
-        markers = filter_docs.select(
-            F.lit("").alias("term"),
+
+    def _markers(docs: DataFrame, tag: str) -> DataFrame:
+        return docs.select(
+            F.lit(tag).alias("term"),
             "bucket",
             "doc_id",
             F.lit(0).alias("norm_byte"),
             F.lit(None).cast("binary").alias("pos_bin"),
         )
+
+    if filter_docs is not None or deleted_docs is not None:
         posrows = posrows.select(
             "term", "bucket", "doc_id", "norm_byte", "pos_bin"
-        ).unionByName(markers)
+        )
+        if filter_docs is not None:
+            posrows = posrows.unionByName(_markers(filter_docs, ""))
+        if deleted_docs is not None:
+            posrows = posrows.unionByName(_markers(deleted_docs, "\x00"))
     return (
         rows.groupBy("bucket")
         .cogroup(posrows.groupBy("bucket"))
@@ -1185,34 +1259,67 @@ class MultiSearcher:
         for s in segments:
             self.doc_base[s.segment_id] = acc
             acc += s.stats.n_docs
-        self._deleted: dict[str, np.ndarray] = {}
-        if deletes is not None:
-            for r in deletes.collect():
-                self._deleted.setdefault(r["segment_id"], [])
-                self._deleted[r["segment_id"]].append(r["doc_id"])
-            self._deleted = {
-                k: np.sort(np.asarray(v, dtype=np.int64))
-                for k, v in self._deleted.items()
-            }
+        # Tombstones stay a DataFrame end-to-end (PendingDeletes analog,
+        # distributed): per-(segment, bucket) slices are cogrouped into the
+        # scorers exactly like fq_docs — never collected to the driver, so
+        # a 100 TB-scale delete backlog costs O(1) driver memory. isEmpty()
+        # is a limit-1 probe so delete-free catalogs skip the cogroup
+        # entirely (the common fast path).
+        self._deletes: DataFrame | None = None
+        if deletes is not None and not deletes.isEmpty():
+            self._deletes = deletes
+
+    def _deleted_docs(self, s: Segment) -> DataFrame | None:
+        """This segment's tombstones as a (bucket, doc_id) DataFrame sharing
+        the build-time doc-space bucketing, or None when the catalog has no
+        deletes at all."""
+        if self._deletes is None:
+            return None
+        bd = s.stats.bucket_docs
+        return self._deletes.filter(
+            F.col("segment_id") == s.segment_id
+        ).select(
+            F.floor(F.col("doc_id") / bd).cast("long").alias("bucket"),
+            "doc_id",
+        )
 
     @classmethod
     def from_catalog(cls, spark: SparkSession, catalog) -> "MultiSearcher":
         return cls(spark, catalog.segments(), deletes=catalog.deletes(spark))
 
-    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
-        """Global df per query term: union of per-segment terms tables,
-        summed — a tiny scatter-gather pre-pass (phase 0)."""
-        if not terms:
-            return {}
-        parts = [
-            s.table(self.spark, "terms")
-            .filter(F.col("term").isin(terms))
-            .select("term", "df")
-            for s in self.segments
-        ]
+    def _all_terms(self) -> DataFrame:
+        """Every segment's terms dict as ONE scan: all on-disk segments go
+        through a single multi-path parquet read (one FileScan node — plan
+        size constant in segment count, the index/MultiTermsEnum.java merged
+        enum), with only in-memory (NRT, unflushed) segments unioned on top.
+        At a thousand segments this keeps plan compilation O(1) instead of
+        O(segments) union nodes."""
+        disk_paths = []
+        mem_parts = []
+        for s in self.segments:
+            if "terms" in s.dfs or not s.path:
+                mem_parts.append(
+                    s.table(self.spark, "terms").select("term", "df")
+                )
+            else:
+                disk_paths.append(os.path.join(s.path, "terms"))
+        parts = []
+        if disk_paths:
+            parts.append(
+                self.spark.read.parquet(*disk_paths).select("term", "df")
+            )
+        parts.extend(mem_parts)
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
+        return u
+
+    def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
+        """Global df per query term: one grouped read over the merged terms
+        dict, summed — a tiny scatter-gather pre-pass (phase 0)."""
+        if not terms:
+            return {}
+        u = self._all_terms().filter(F.col("term").isin(terms))
         out = {}
         for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect():
             out[r["term"]] = TermStats(
@@ -1249,7 +1356,7 @@ class MultiSearcher:
                 len(q_terms),
                 self.avgdl,
                 use_wand,
-                deleted=self._deleted.get(s.segment_id),
+                deleted_docs=self._deleted_docs(s),
                 filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
             )
             base = self.doc_base[s.segment_id]
@@ -1318,7 +1425,7 @@ class MultiSearcher:
                 idfs,
                 self._cache,
                 k,
-                deleted=self._deleted.get(s.segment_id),
+                deleted_docs=self._deleted_docs(s),
                 positions=positions,
                 phrase_idfs=phrase_idfs,
                 filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
@@ -1350,14 +1457,9 @@ class MultiSearcher:
         """Multi-segment MultiTermQuery rewrite: the same automaton-walk
         predicates as Searcher.expand_terms, over the UNION of every
         segment's terms dictionary (index/MultiTermsEnum.java's merged
-        enum). Predicates push into each segment's scan; the
+        enum). Predicates push into the single multi-path scan; the
         ``max_expansions`` cap applies to the merged, distinct result."""
-        tables = [
-            s.table(self.spark, "terms").select("term") for s in self.segments
-        ]
-        u = tables[0]
-        for t in tables[1:]:
-            u = u.unionByName(t)
+        u = self._all_terms().select("term")
         u = _apply_term_patterns(
             u, prefix, wildcard, fuzzy, regexp, term_range
         ).distinct()

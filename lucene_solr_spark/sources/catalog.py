@@ -339,14 +339,15 @@ class Catalog:
             return
         remaining = self.deletes(spark).filter(
             ~col_in("segment_id", segment_ids)
-        ).collect()
+        )
         tmp = self._deletes_path + f".tmp-{uuid.uuid4().hex[:6]}"
-        if remaining:
-            spark.createDataFrame(
-                remaining, "segment_id string, doc_id long"
-            ).write.mode("overwrite").parquet(tmp)
+        # Survivors never round-trip through the driver: the anti-filter is
+        # written straight back out as a DataFrame (O(deletes) stays on the
+        # executors). isEmpty() is a limit-1 probe, not a collect.
+        if remaining.isEmpty():
+            os.makedirs(tmp, exist_ok=True)  # empty dir == "no tombstones"
         else:
-            os.makedirs(tmp, exist_ok=True)
+            remaining.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(self._deletes_path)
         os.replace(tmp, self._deletes_path)
 
