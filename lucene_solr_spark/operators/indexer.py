@@ -157,7 +157,7 @@ def _norms_from_postings(postings: DataFrame) -> DataFrame:
     )
 
 
-def _tf_stage_fn(with_positions: bool):
+def _tf_stage_fn(with_positions: bool, synonyms=None):
     """Tokenize + per-doc term counting (complete, not partial — each doc is
     wholly inside one batch), the DWPT/TermsHashPerField analog.
 
@@ -169,13 +169,25 @@ def _tf_stage_fn(with_positions: bool):
     groupby, no per-group dispatch.
 
     With positions enabled, each tf row also carries the term's in-doc
-    token positions, delta+FOR packed (the .pos/prox file analog)."""
+    token positions, delta+FOR packed (the .pos/prox file analog).
+
+    With ``synonyms`` (a functions/synonyms.py SynonymRules), tokens become
+    token-GRAPH edges: injected synonym tokens span their rule's input
+    region (SynonymGraphFilter.java analog, see synonyms.py), positions are
+    explicit start nodes and each row additionally packs end nodes
+    (``end_bin``). Norms keep Lucene's discountOverlaps contract — the
+    byte4 norm counts ORIGINAL tokens only — while freqs (hence
+    sumTotalTermFreq/avgdl) count injected tokens too, exactly as Lucene's
+    collection stats do."""
 
     def _tf(doc_batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in doc_batches:
             if len(pdf) == 0:
                 continue
             toks = tokenize_pandas(pdf["content"])
+            if synonyms is not None:
+                yield from _tf_graph_batch(pdf, toks, synonyms, with_positions)
+                continue
             lens = toks.map(len).to_numpy(dtype=np.int64)
             if lens.sum() == 0:
                 continue
@@ -220,6 +232,82 @@ def _tf_stage_fn(with_positions: bool):
             yield out
 
     return _tf
+
+
+def _tf_graph_batch(
+    pdf: pd.DataFrame, toks: pd.Series, synonyms, with_positions: bool
+) -> Iterator[pd.DataFrame]:
+    """Synonym-graph variant of the tf kernel: per doc the tokenizer output
+    runs through apply_synonym_graph (per-doc Python like the stemmer UDFs
+    — synonym injection is opt-in), then the flatten/factorize/run-length
+    flow is the same numpy discipline as the fast path. Emits the extra
+    ``end_bin`` column (packed end nodes, aligned with pos_bin starts)."""
+    from ..functions.synonyms import apply_synonym_graph
+
+    doc_ids_all = pdf["doc_id"].to_numpy(dtype=np.int64)
+    terms_l: list[list[str]] = []
+    starts_l: list[np.ndarray] = []
+    ends_l: list[np.ndarray] = []
+    emit_lens = np.zeros(len(pdf), dtype=np.int64)
+    orig_lens = np.zeros(len(pdf), dtype=np.int64)
+    for i, tok_list in enumerate(toks):
+        orig_lens[i] = len(tok_list)
+        if not tok_list:
+            continue
+        t, s, e = apply_synonym_graph(tok_list, synonyms)
+        emit_lens[i] = len(t)
+        if t:
+            terms_l.append(t)
+            starts_l.append(s)
+            ends_l.append(e)
+    if emit_lens.sum() == 0:
+        return
+    norm = int_to_byte4_np(orig_lens).astype(np.int32)
+    flat_terms = np.concatenate(
+        [np.asarray(t, dtype=object) for t in terms_l]
+    )
+    flat_docs = np.repeat(doc_ids_all, emit_lens)
+    flat_norms = np.repeat(norm, emit_lens)
+    flat_starts = np.concatenate(starts_l).astype(np.int64)
+    flat_ends = np.concatenate(ends_l).astype(np.int64)
+
+    codes, uniques = pd.factorize(flat_terms, sort=False)
+    order = np.lexsort((codes, flat_docs))  # stable: doc asc, code asc
+    d, c = flat_docs[order], codes[order]
+    first = np.empty(len(d), dtype=bool)
+    first[0] = True
+    first[1:] = (d[1:] != d[:-1]) | (c[1:] != c[:-1])
+    starts_idx = np.flatnonzero(first)
+    freqs = np.diff(np.append(starts_idx, len(d))).astype(np.int32)
+    out = pd.DataFrame(
+        {
+            "doc_id": d[starts_idx],
+            "term": pd.Categorical.from_codes(
+                c[starts_idx], categories=pd.Index(uniques)
+            ),
+            "freq": freqs,
+            "norm_byte": flat_norms[order][starts_idx],
+        }
+    )
+    if with_positions:
+        # emission is sorted by start per doc (apply_synonym_graph contract),
+        # and the stable lexsort keeps that order inside each (doc, term)
+        # group, so group slices are non-decreasing starts (delta >= 0)
+        g_starts = flat_starts[order]
+        g_ends = flat_ends[order]
+        ends_idx = np.append(starts_idx[1:], len(d))
+        out["pos_bin"] = [
+            packing.pack_ints(packing.delta_encode(g_starts[s:e].astype(np.uint64)))
+            for s, e in zip(starts_idx, ends_idx)
+        ]
+        out["end_bin"] = [
+            packing.pack_ints(g_ends[s:e].astype(np.uint64))
+            for s, e in zip(starts_idx, ends_idx)
+        ]
+    else:
+        out["pos_bin"] = None
+        out["end_bin"] = None
+    yield out
 
 
 def _build_blocks_partition(
@@ -296,6 +384,7 @@ def build_index(
     term_partitions: int | None = None,
     segment_id: str | None = None,
     with_positions: bool = False,
+    synonyms=None,
 ) -> Segment:
     """Build one immutable segment from a corpus DataFrame.
 
@@ -310,6 +399,11 @@ def build_index(
     ``with_positions=True`` additionally stores per-(term, doc) token
     positions (IndexOptions.DOCS_AND_FREQS_AND_POSITIONS analog), enabling
     phrase queries (operators/phrase.py).
+
+    ``synonyms`` (functions/synonyms.py SynonymRules) enables index-time
+    SynonymGraphFilter injection: the positions table gains an ``end_bin``
+    column (token-graph end nodes) and phrase matching goes through the
+    graph-aware path-chaining kernel (phrase.py#_exact_freqs_graph).
     """
     if "content_sha256" not in corpus.columns:
         corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
@@ -342,7 +436,8 @@ def build_index(
     # on-heap) costs more than the cheap decode it would save, and at 100 TB
     # it simply doesn't fit anywhere.
     tf = docs.select("doc_id", "content").mapInPandas(
-        _tf_stage_fn(with_positions), _TF_SCHEMA
+        _tf_stage_fn(with_positions, synonyms),
+        _TF_SCHEMA if synonyms is None else _TF_SCHEMA + ", end_bin binary",
     )
 
     # docmap KEEPS content — the stored-fields store (index/StoredFields
@@ -395,13 +490,14 @@ def assemble_segment(
         # two consumers (positions table + posting blocks) -> cache tf once;
         # non-positional builds have a single consumer and skip the cache
         tf = tf.persist()
-        positions = tf.filter(F.col("pos_bin").isNotNull()).select(
-            "term", "bucket", "doc_id", "norm_byte", "pos_bin"
-        )
+        pos_cols = ["term", "bucket", "doc_id", "norm_byte", "pos_bin"]
+        if "end_bin" in tf.columns:  # synonym-graph build (see build_index)
+            pos_cols.append("end_bin")
+        positions = tf.filter(F.col("pos_bin").isNotNull()).select(*pos_cols)
 
     # ---- Phase B: postings blocks (the one token-stream shuffle) ----------
     blocks = (
-        tf.drop("pos_bin")
+        tf.drop("pos_bin", "end_bin")
         .repartition(shuffle_n, "term", "bucket")
         .mapInPandas(_build_blocks_partition, _BLOCK_SCHEMA)
     )

@@ -142,19 +142,31 @@ def bucket_phrase_freqs(
     sub = pdf.loc[row_keep]
 
     # decode candidate rows once: per term -> (doc array, concatenated pos)
+    graph = "end_bin" in sub.columns and sub["end_bin"].notna().any()
     per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    ends_by_term: dict[str, np.ndarray] = {}
     norm_by_doc: dict[int, int] = {}
     for t, g in sub.groupby("term", sort=False):
         docs = g["doc_id"].to_numpy()
         plists = [delta_decode(unpack_ints(b)).astype(np.int64) for b in g["pos_bin"]]
         lens = np.array([p.size for p in plists], dtype=np.int64)
         per_term[t] = (docs, np.concatenate(plists) if plists else np.array([], dtype=np.int64), lens)
+        if graph:
+            elists = [unpack_ints(b).astype(np.int64) for b in g["end_bin"]]
+            ends_by_term[t] = (
+                np.concatenate(elists) if elists else np.array([], dtype=np.int64)
+            )
         for d, nb in zip(docs, g["norm_byte"].to_numpy()):
             norm_by_doc[int(d)] = int(nb)
 
-    if slop == 0:
+    if graph and slop == 0:
+        ids, freqs = _exact_freqs_graph(per_term, ends_by_term, offsets_by_term)
+    elif slop == 0:
         ids, freqs = _exact_freqs(per_term, offsets_by_term)
     else:
+        # on a synonym-graph index the sloppy matcher runs over start nodes
+        # (the flattened view — same approximation Lucene accepts via
+        # FlattenGraphFilter for everything, here confined to slop>0)
         ids, freqs = _sloppy_freqs(per_term, offsets_by_term, slop)
     if ids.size == 0:
         return empty
@@ -218,6 +230,62 @@ def _exact_freqs(
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
     docs = base // M
     ids, freqs = np.unique(docs, return_counts=True)
+    return ids.astype(np.int64), freqs
+
+
+def _exact_freqs_graph(
+    per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
+    ends_by_term: dict[str, np.ndarray],
+    offsets_by_term: dict[str, list[int]],
+) -> tuple[np.ndarray, np.ndarray]:
+    """Exact phrase matching over a token GRAPH (synonym-built index):
+    every token occurrence is an edge (start_node -> end_node) and a phrase
+    occurrence is a path — leg i+1 must start at the node where leg i ended.
+    Vectorized frontier DP: the frontier is (doc*M + node) keys with path
+    counts; each leg joins its start keys against the frontier
+    (searchsorted) and propagates its end keys, multiplying path counts.
+    Phrase freq per doc = number of complete paths. On a graph with no
+    injections (end == start+1 everywhere) this equals _exact_freqs.
+    SynonymGraphFilter.java + ExactPhraseMatcher semantics, lossless where
+    Lucene must flatten (see functions/synonyms.py)."""
+    empty = (np.array([], dtype=np.int64), np.array([], dtype=np.int64))
+    # rebuild the phrase term sequence from the leg layout
+    n_legs = sum(len(v) for v in offsets_by_term.values())
+    seq: list[str] = [""] * n_legs
+    for t, offs in offsets_by_term.items():
+        for off in offs:
+            seq[off] = t
+
+    max_node = 0
+    for t in offsets_by_term:
+        _, st, _ = per_term[t]
+        en = ends_by_term[t]
+        if st.size:
+            max_node = max(max_node, int(st.max()), int(en.max()))
+    M = max_node + 2
+
+    docs0, st0, _ = per_term[seq[0]]
+    en0 = ends_by_term[seq[0]]
+    doc_rep = np.repeat(docs0, per_term[seq[0]][2])
+    keys, counts = np.unique(doc_rep * M + en0, return_counts=True)
+    counts = counts.astype(np.int64)
+    for t in seq[1:]:
+        docs, st, lens = per_term[t]
+        en = ends_by_term[t]
+        doc_rep = np.repeat(docs, lens)
+        start_keys = doc_rep * M + st
+        idx = np.searchsorted(keys, start_keys)
+        idx_c = np.minimum(idx, len(keys) - 1)
+        ok = keys[idx_c] == start_keys
+        if not ok.any():
+            return empty
+        next_keys = doc_rep[ok] * M + en[ok]
+        w = counts[idx_c[ok]]
+        keys, inv = np.unique(next_keys, return_inverse=True)
+        counts = np.bincount(inv, weights=w).astype(np.int64)
+    final_docs = keys // M
+    ids, seg_inv = np.unique(final_docs, return_inverse=True)
+    freqs = np.bincount(seg_inv, weights=counts).astype(np.int64)
     return ids.astype(np.int64), freqs
 
 

@@ -936,19 +936,24 @@ def score_query_postings(
         )
     pos_terms = sorted({t for _, dterms in phrase_meta.values() for t in dterms})
     posrows = positions.filter(F.col("term").isin(pos_terms))
+    has_graph = "end_bin" in positions.columns  # synonym-graph index
 
     def _markers(docs: DataFrame, tag: str) -> DataFrame:
-        return docs.select(
+        cols = [
             F.lit(tag).alias("term"),
-            "bucket",
-            "doc_id",
+            F.col("bucket"),
+            F.col("doc_id"),
             F.lit(0).alias("norm_byte"),
             F.lit(None).cast("binary").alias("pos_bin"),
-        )
+        ]
+        if has_graph:
+            cols.append(F.lit(None).cast("binary").alias("end_bin"))
+        return docs.select(*cols)
 
     if filter_docs is not None or deleted_docs is not None:
         posrows = posrows.select(
-            "term", "bucket", "doc_id", "norm_byte", "pos_bin"
+            "term", "bucket", "doc_id", "norm_byte", "pos_bin",
+            *(["end_bin"] if has_graph else []),
         )
         if filter_docs is not None:
             posrows = posrows.unionByName(_markers(filter_docs, ""))

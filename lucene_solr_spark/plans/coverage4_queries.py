@@ -1,0 +1,112 @@
+"""Round-3 coverage: index-time SynonymGraphFilter (the last
+non-environmental analysis gap from VERDICT r02 §"What's missing" #1).
+
+Each entry re-expresses a reference operator (public lucene-solr path cited
+per entry; reference mount is empty, so citations are path#symbol only) over
+the driver testdata with a DuckDB oracle using identical column aliases and
+matched float32 formulas. Registered into the same REGISTRY/ORACLES as
+driver_queries (imported by __spark_entry__).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..functions.analysis import duckdb_tokenize_sql
+from ..functions.smallfloat import duckdb_byte4_roundtrip_sql
+from .driver_queries import register
+
+# one synonym-graph segment per sf_dir, shared by the rows below
+_SYN_SEG_CACHE: dict = {}
+
+# the rule set: 'spark' ≡ 'big data' (equivalence, expand=true). The
+# multi-token OUTPUT direction — a doc containing the single token 'spark'
+# becomes phrase-findable as "big data" — is precisely what Lucene's
+# index-time path loses to FlattenGraphFilter and this engine keeps
+# (functions/synonyms.py stores token-graph end nodes; phrase matching is
+# path-chaining in phrase.py#_exact_freqs_graph).
+_SYN_RULES_LINES = ["spark, big data"]
+
+
+def _syn_segment(spark, sf_dir):
+    if sf_dir not in _SYN_SEG_CACHE:
+        from ..corpus import documents_as_corpus
+        from ..functions.synonyms import parse_synonym_rules
+        from ..operators.indexer import build_index
+
+        _SYN_SEG_CACHE[sf_dir] = build_index(
+            spark,
+            documents_as_corpus(spark, sf_dir),
+            out_dir=None,
+            with_positions=True,
+            synonyms=parse_synonym_rules(_SYN_RULES_LINES),
+        )
+    return _SYN_SEG_CACHE[sf_dir]
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH index-time synonym graph — analysis/synonym/SynonymGraphFilter
+# .java + SolrSynonymParser.java, minus the FlattenGraphFilter loss: phrase
+# "big data" must match docs that contain the literal bigram AND docs that
+# only contain 'spark' (the rule's expansion threads fresh graph nodes, so
+# big->data adjacency holds across the injected path). Scored as a real
+# phrase (PhraseWeight): freq = number of graph paths, idf summed over the
+# phrase terms' dfs IN THE SYNONYM-AUGMENTED index, byte4 norms counting
+# ORIGINAL tokens only (discountOverlaps), avgdl from sumTotalTermFreq
+# INCLUDING injected tokens — both exactly Lucene's collection-stats
+# contract. The oracle derives every quantity from raw text and emulates
+# IEEE binary32 op order (same discipline as synonym_engine_topk in
+# coverage3_queries.py).
+#
+# Identities the oracle leans on (proved in tests/test_synonym_graph.py):
+#   paths("big data", doc) = #{literal 'big data' bigrams} + #{'spark'}
+#   df('big')  = docs containing literal 'big'  or any 'spark' (injection)
+#   df('data') = docs containing literal 'data' or any 'spark'
+#   injected tokens per doc = 2*#{'spark'} + #{'big data' bigrams}
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "synonym_graph_phrase",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+per_doc AS (SELECT doc_id, len(t) AS dl0,
+       len(list_filter(range(1, len(t)), i -> t[i] = 'big' AND t[i+1] = 'data'))
+         AS bigr,
+       len(list_filter(t, x -> x = 'spark')) AS sparks,
+       list_contains(t, 'big') AS has_big,
+       list_contains(t, 'data') AS has_data
+    FROM tokarr),
+stats AS (SELECT count(*)::BIGINT AS n_docs,
+       sum(dl0 + 2 * sparks + bigr)::BIGINT AS sum_ttf,
+       count(*) FILTER (has_big OR sparks > 0)::BIGINT AS df_big,
+       count(*) FILTER (has_data OR sparks > 0)::BIGINT AS df_data
+    FROM per_doc),
+hits AS (SELECT doc_id, dl0, (bigr + sparks)::BIGINT AS freq
+    FROM per_doc WHERE bigr + sparks > 0),
+scored AS (SELECT h.doc_id,
+       (((ln(1 + ((s.n_docs::DOUBLE) - s.df_big + 0.5) / (s.df_big + 0.5))
+          + ln(1 + ((s.n_docs::DOUBLE) - s.df_data + 0.5) / (s.df_data + 0.5)))::FLOAT
+         * ((h.freq::FLOAT)
+            / ((h.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('h.dl0')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS score_f
+    FROM hits h CROSS JOIN stats s)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def synonym_graph_phrase(spark, sf_dir):
+    """Real-engine phrase "big data" over a synonym-graph index built with
+    spark ≡ big data: top-10 docs, float32-exact cross-engine. The hit set
+    provably includes docs with no literal 'big data' adjacency (expansion
+    paths through fresh graph nodes)."""
+    from ..operators.phrase import phrase_topk
+
+    seg = _syn_segment(spark, sf_dir)
+    res = phrase_topk(spark, seg, "big data", k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )

@@ -69,11 +69,48 @@ def _le32(col: str):
     ).cast("binary")
 
 
-def decode_image_real(data: bytes):
-    """Real decode path — stubbed: codec libs are not in this container."""
+def decode_image_real(data: bytes) -> tuple[int, int, str]:
+    """Real decode path — feature-detected: lights up automatically when a
+    codec (PIL) is importable, raises a clear NotImplementedError otherwise.
+    Returns (width, height, mode). The Spark-side wiring
+    (decode_meta_real) consumes this per blob inside Arrow batches."""
     if not HAVE_PIL:
         raise NotImplementedError("image codec (PIL) not available in this environment")
-    raise NotImplementedError("real decode wiring lands when a codec is present")
+    import io
+
+    from PIL import Image
+
+    with Image.open(io.BytesIO(data)) as im:
+        return int(im.width), int(im.height), str(im.mode)
+
+
+def decode_meta_real(media_df: DataFrame) -> DataFrame:
+    """Real-codec variant of decode_meta: identical Spark plumbing
+    (mapInPandas over the binary column, Arrow batches), but each blob goes
+    through the actual image decoder. Callable only when HAVE_PIL — callers
+    should branch on that flag (the pytest does: skipif(not HAVE_PIL))."""
+    if not HAVE_PIL:
+        raise NotImplementedError("image codec (PIL) not available in this environment")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "valid": [], "width": [], "height": [], "mode": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                out["media_id"].append(mid)
+                try:
+                    w, h, mode = decode_image_real(bytes(blob))
+                    out["valid"].append(True)
+                except Exception:
+                    w, h, mode = 0, 0, ""
+                    out["valid"].append(False)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["mode"].append(mode)
+            yield pd.DataFrame(out)
+
+    return media_df.mapInPandas(
+        run, "media_id long, valid boolean, width int, height int, mode string"
+    )
 
 
 def decode_meta(media_df: DataFrame) -> DataFrame:

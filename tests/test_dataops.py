@@ -136,9 +136,31 @@ def test_multimodal_binary_roundtrip(spark):
     assert all(len(r["media_small"]) <= 12 + 64 for r in small)
 
 
+@pytest.mark.skipif(mm.HAVE_PIL, reason="codec present — gate inactive")
 def test_real_decode_is_gated(spark):
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"IMG0" + b"\0" * 20)
+
+
+@pytest.mark.skipif(not mm.HAVE_PIL, reason="no image codec in this environment")
+def test_real_decode_when_codec_present(spark):
+    """Feature-detected real decode: PNGs authored by PIL round-trip through
+    the same mapInPandas plumbing as the fake codec (VERDICT r02 ask #7)."""
+    import io
+
+    from PIL import Image
+
+    def png(w, h):
+        buf = io.BytesIO()
+        Image.new("RGB", (w, h), (1, 2, 3)).save(buf, format="PNG")
+        return buf.getvalue()
+
+    rows = [(1, png(8, 5)), (2, png(3, 7)), (3, b"not an image")]
+    media = spark.createDataFrame(rows, "media_id long, media binary")
+    meta = {r["media_id"]: r for r in mm.decode_meta_real(media).collect()}
+    assert (meta[1]["width"], meta[1]["height"], meta[1]["valid"]) == (8, 5, True)
+    assert (meta[2]["width"], meta[2]["height"]) == (3, 7)
+    assert meta[3]["valid"] is False
 
 
 def test_embedding_near_dup_lsh_vs_exact(spark):
