@@ -110,3 +110,69 @@ def synonym_graph_phrase(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# Custom facet-aggregate registry — search/facet/AggValueSource.java +
+# FacetModule.java (VERDICT r02 §2.J "explicit registry" partial). The row
+# registers a USER aggregate (spread = max - min) via
+# operators/facets.py#register_agg — Solr's ValueSourceParser plugin
+# analog — then runs a nested json.facet spec that references it BY NAME
+# from the spec string, through the generic executor (one grouped agg per
+# nesting level, top-level limit via distributed TakeOrderedAndProject,
+# per-parent limit via bounded windows, subfacet joined back broadcast).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_facet_custom_agg",
+    """WITH l AS (SELECT lang, count(*)::BIGINT AS count,
+            round(avg(n_chars), 6) AS avg_len,
+            (max(n_chars) - min(n_chars))::BIGINT AS len_spread
+       FROM documents GROUP BY lang),
+s AS (SELECT lang, source, count(*)::BIGINT AS c,
+             row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, source ASC) AS rn
+      FROM documents GROUP BY lang, source)
+SELECT l.lang AS lang, l.count AS count, l.avg_len AS avg_len,
+       l.len_spread AS len_spread,
+       s.source AS by_src_source, s.c AS by_src_count
+FROM l JOIN s ON s.lang = l.lang AND s.rn = 1
+ORDER BY l.count DESC, l.lang ASC LIMIT 5""",
+)
+def json_facet_custom_agg(spark, sf_dir):
+    """json.facet with a user-registered aggregate: terms(lang){ count,
+    avg(n_chars), spread(n_chars), terms(source, limit:1) } through the
+    generic executor."""
+    from ..operators import facets
+    from .driver_queries import _read
+
+    if "spread" not in facets.AGG_REGISTRY:
+
+        @facets.register_agg("spread")
+        def _spread(c):
+            return F.max(c) - F.min(c)
+
+    d = _read(spark, sf_dir, "documents")
+    out = facets.json_facet(
+        d,
+        {
+            "type": "terms",
+            "field": "lang",
+            "limit": 5,
+            "sort": "count desc",
+            "facet": {
+                "avg_len": "avg(n_chars)",
+                "len_spread": "spread(n_chars)",
+                "by_src": {"type": "terms", "field": "source", "limit": 1,
+                           "sort": "count desc"},
+            },
+        },
+    )
+    return out.select(
+        "lang",
+        "count",
+        F.round("avg_len", 6).alias("avg_len"),
+        F.col("len_spread").cast("long").alias("len_spread"),
+        "by_src_source",
+        F.col("by_src_count").cast("long").alias("by_src_count"),
+    ).orderBy(F.desc("count"), F.asc("lang"))
