@@ -182,3 +182,132 @@ class FieldedSearcher:
             )
             assert not _contains_tuple(node), "unresolved leaf after rewrite"
         return self.topk_query(node, k=k)
+
+
+# ---------------------------------------------------------------------------
+# CombinedFieldQuery — BM25F-style term-centric scoring across fields.
+#
+# Reference semantics being re-expressed (SURVEY.md §2.F):
+#   lucene/sandbox/src/java/org/apache/lucene/sandbox/search/
+#     CombinedFieldQuery.java — query terms score against a VIRTUAL field
+#     that merges the member fields:
+#       freq(t, d)   = sum_f  w_f * tf_f(t, d)
+#       dl(d)        = byte4( sum_f  w_f * dl_f(d) )   (MultiNormsLeafSimScorer:
+#                      decoded per-field norms, weighted sum, re-encoded)
+#       df(t)        = |{d : t in ANY member field}|
+#       sumTtf       = sum_f  w_f * sumTtf_f
+#   (the BM25F "simple weighting" of Robertson/Zaragoza, which is what the
+#   Lucene implementation computes). Integer weights keep freq/dl exact.
+#
+# Spark restatement: per field, posting blocks for the query terms are
+# decoded (narrow rows after the term filter -> row-group pruning), tagged
+# with the field weight and unioned; ONE groupBy (term, doc_id) sums the
+# weighted freqs; combined norms are one groupBy over the member norms
+# tables. Scoring runs per doc-space bucket in applyInPandas with the same
+# float32 op order as the single-field kernel (bm25.py), idf from the
+# union df, cache from the combined avgdl.
+# ---------------------------------------------------------------------------
+
+
+def combined_field_topk(
+    spark: SparkSession,
+    fields: dict[str, tuple[Segment, int]],
+    terms: list[str],
+    k: int = 10,
+) -> DataFrame:
+    """Top-k docs for ``terms`` scored against the combined field.
+    ``fields``: field name -> (segment, integer weight). All segments must
+    share the doc-id space and bucket size (multi-field build contract)."""
+    import pandas as pd
+
+    from ..functions.smallfloat import int_to_byte4_np
+
+    segs = list(fields.values())
+    assert segs, "no fields"
+    assert len({s.stats.bucket_docs for s, _ in segs}) == 1, "bucket_docs mismatch"
+    bucket_docs = segs[0][0].stats.bucket_docs
+    n_docs = max(s.stats.n_docs for s, _ in segs)
+    uniq = sorted(set(terms))
+
+    from .merge import decode_postings
+
+    # weighted per-(term, doc) freqs, one union + one keyed shuffle
+    parts = []
+    for seg, w in segs:
+        dec = decode_postings(
+            seg.table(spark, "postings").filter(F.col("term").isin(uniq))
+        )
+        parts.append(
+            dec.select(
+                "term", "doc_id", (F.col("freq") * F.lit(int(w))).alias("wf")
+            )
+        )
+    tf = parts[0]
+    for p in parts[1:]:
+        tf = tf.unionByName(p)
+    tf = tf.groupBy("term", "doc_id").agg(F.sum("wf").alias("wfreq"))
+
+    # union df per term (Weight analog pre-pass, bounded by query size)
+    df_rows = (
+        tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).collect()
+    )
+    df_by_term = {r["term"]: int(r["df"]) for r in df_rows}
+    if len(df_by_term) < len(uniq):
+        # a term absent from every member field scores nothing anywhere;
+        # Lucene still scores present terms (pure disjunction semantics)
+        uniq = sorted(df_by_term)
+        if not uniq:
+            return spark.createDataFrame([], _TOPK_SCHEMA)
+
+    # combined norms: weighted dl sum, byte4 re-encoded
+    nparts = []
+    for seg, w in segs:
+        nparts.append(
+            seg.table(spark, "norms").select(
+                "doc_id", (F.col("dl") * F.lit(int(w))).alias("wdl")
+            )
+        )
+    norms = nparts[0]
+    for p in nparts[1:]:
+        norms = norms.unionByName(p)
+    norms = norms.groupBy("doc_id").agg(F.sum("wdl").alias("wdl"))
+
+    sum_ttf = sum(w * s.stats.sum_ttf for s, w in segs)
+    avgdl = sum_ttf / n_docs
+    cache = bm25.norm_cache(avgdl)
+    idfs = {
+        t: np.float32(bm25.idf(n_docs, df_by_term[t])) for t in uniq
+    }
+    order_terms = sorted(uniq)  # fixed float32 fold order
+
+    rows = (
+        tf.join(norms, "doc_id")
+        .withColumn(
+            "bucket", (F.col("doc_id") / F.lit(bucket_docs)).cast("long")
+        )
+    )
+
+    def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        u_docs = np.unique(docs)
+        pos = {d: i for i, d in enumerate(u_docs)}
+        idx = np.array([pos[d] for d in docs], dtype=np.int64)
+        nb = np.zeros(len(u_docs), dtype=np.uint8)
+        nb[idx] = int_to_byte4_np(pdf["wdl"].to_numpy(dtype=np.int64))
+        total = np.zeros(len(u_docs), dtype=np.float32)
+        terms_arr = pdf["term"].to_numpy()
+        wf = pdf["wfreq"].to_numpy(dtype=np.int64)
+        for t in order_terms:  # lexicographic f32 summation order
+            m = terms_arr == t
+            if not m.any():
+                continue
+            f = wf[m].astype(np.float32)
+            sc = (idfs[t] * (f / (f + cache[nb[idx[m]]]))).astype(np.float32)
+            total[idx[m]] = (total[idx[m]] + sc).astype(np.float32)
+        order = np.lexsort((u_docs, -total))[: min(k, len(u_docs))]
+        return pd.DataFrame({"doc_id": u_docs[order], "score": total[order]})
+
+    per_bucket = rows.groupBy("bucket").applyInPandas(
+        score_bucket, _TOPK_SCHEMA
+    )
+    return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)

@@ -94,6 +94,11 @@ def merge_segments(
     )
     deletes = catalog.deletes(spark) if catalog else None
     has_pos = all(s.has_table("positions") for s in segments)
+    # synonym-graph indexes carry token-graph end nodes (indexer.py) — the
+    # payloads are doc-relative like pos_bin, so they ride the merge intact
+    has_graph = has_pos and all(
+        "end_bin" in s.table(spark, "positions").columns for s in segments
+    )
 
     docmaps, decoded, positions = [], [], []
     for order, seg in enumerate(segments):
@@ -103,7 +108,8 @@ def merge_segments(
         )
         if has_pos:
             pos = seg.table(spark, "positions").select(
-                "term", "doc_id", "pos_bin"
+                "term", "doc_id", "pos_bin",
+                *(["end_bin"] if has_graph else []),
             ).withColumn("_seg_order", F.lit(order))
         if deletes is not None:
             seg_del = deletes.filter(
@@ -142,7 +148,7 @@ def merge_segments(
     new_docmap = remapped_docs.drop("old_doc_id", "_seg_order")
     tf_cols = ["doc_id", "term", "freq", "norm_byte"] + (
         ["pos_bin"] if has_pos else []
-    )
+    ) + (["end_bin"] if has_graph else [])
     new_tf = (
         all_tf.withColumnRenamed("doc_id", "old_doc_id")
         .join(remap, ["_seg_order", "old_doc_id"])

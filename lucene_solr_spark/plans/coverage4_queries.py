@@ -176,3 +176,81 @@ def json_facet_custom_agg(spark, sf_dir):
         "by_src_source",
         F.col("by_src_count").cast("long").alias("by_src_count"),
     ).orderBy(F.desc("count"), F.asc("lang"))
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH CombinedFieldQuery — lucene/sandbox/search/CombinedFieldQuery
+# .java (BM25F simple weighting): terms score against a virtual field
+# merging body (w=1) and title (w=2, first-5-token segment):
+#   freq = 1*tf_body + 2*tf_title ; dl = byte4(1*dl_body + 2*dl_title)
+#   df = union over fields ; sumTtf = 1*sumTtf_body + 2*sumTtf_title.
+# float32-exact: per-term scores in the binary32 op order of bm25.py,
+# summed in lexicographic term order ('merge' then 'spark'); adding an
+# absent term's 0 is exact in f32, so COALESCE(…, 0) matches the engine's
+# skip. Engine path: operators/fields.py#combined_field_topk (decoded
+# postings union -> ONE (term, doc) shuffle -> per-bucket kernel).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "combined_field_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+fl AS (SELECT doc_id, t AS toks, 1 AS w FROM tokarr
+       UNION ALL SELECT doc_id, list_slice(t, 1, 5), 2 FROM tokarr),
+pos AS (SELECT doc_id, w, unnest(toks) AS term FROM fl),
+tfw AS (SELECT doc_id, term, sum(w)::BIGINT AS wfreq FROM pos
+        WHERE term IN ('merge', 'spark') GROUP BY doc_id, term),
+dl AS (SELECT doc_id, sum(w * len(toks))::BIGINT AS wdl FROM fl GROUP BY doc_id),
+stats AS (SELECT (SELECT count(*) FROM tokarr)::BIGINT AS n_docs,
+                 (SELECT sum(w * len(toks)) FROM fl)::BIGINT AS sum_ttf),
+dfs AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM pos
+        WHERE term IN ('merge', 'spark') GROUP BY term),
+scored AS (SELECT tfw.doc_id, tfw.term,
+       (((ln(1 + ((s.n_docs::DOUBLE) - d.df + 0.5) / (d.df + 0.5)))::FLOAT
+         * ((tfw.wfreq::FLOAT)
+            / ((tfw.wfreq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('dl.wdl')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS sc
+    FROM tfw JOIN dl USING (doc_id) JOIN dfs d USING (term) CROSS JOIN stats s),
+folded AS (SELECT COALESCE(m.doc_id, p.doc_id) AS doc_id,
+       ((COALESCE(m.sc, 0::FLOAT) + COALESCE(p.sc, 0::FLOAT))::FLOAT) AS score_f
+    FROM (SELECT doc_id, sc FROM scored WHERE term = 'merge') m
+    FULL OUTER JOIN (SELECT doc_id, sc FROM scored WHERE term = 'spark') p
+    ON m.doc_id = p.doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM folded ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def combined_field_topk(spark, sf_dir):
+    """Real-engine CombinedFieldQuery top-10 for {merge, spark} over
+    body(w=1) + title(w=2), float32-exact cross-engine."""
+    from ..corpus import documents_as_corpus
+    from ..operators.fields import combined_field_topk as cfq
+    from ..operators.indexer import build_index
+    from .coverage3_queries import _DM_ENGINE_CACHE
+    from .driver_queries import _tokens
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    if sf_dir not in _DM_ENGINE_CACHE:  # shared first-5-token title segment
+        docs = documents_as_corpus(spark, sf_dir)
+        title_content = _tokens(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
+        )
+        title = docs.drop("content", "content_sha256").join(
+            title_content, "doc_id"
+        )
+        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    res = cfq(
+        spark,
+        {"body": (s.segment, 1), "title": (_DM_ENGINE_CACHE[sf_dir], 2)},
+        ["merge", "spark"],
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )

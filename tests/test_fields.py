@@ -160,3 +160,67 @@ def test_fielded_wildcard_raises(built):
     fs, _ = built
     with pytest.raises(QueryParseError):
         fs.search("title:imp*", k=5)
+
+
+def test_combined_field_topk_scalar_parity(spark, built, corpus):
+    """CombinedFieldQuery (BM25F simple weighting): engine result equals a
+    scalar recomputation from raw tokens — weighted tf/dl sums, byte4
+    re-encoded combined norm, union df, f32 op order."""
+    from lucene_solr_spark.functions.smallfloat import (
+        BYTE4_DECODE_TABLE,
+        int_to_byte4,
+    )
+    from lucene_solr_spark.operators import bm25
+    from lucene_solr_spark.operators.fields import combined_field_topk
+
+    _, per = built
+    W = {"body": 1, "title": 3}
+    terms = ["import", "return"]
+    rows = corpus.select("doc_id", "content").collect()
+    toks = {int(r["doc_id"]): tokenize(r["content"]) for r in rows}
+    fields = {
+        "body": toks,
+        "title": {d: t[:TITLE_TOKENS] for d, t in toks.items()},
+    }
+    n_docs = len(toks)
+    sum_ttf = sum(
+        W[f] * sum(len(t) for t in fl.values()) for f, fl in fields.items()
+    )
+    cache = bm25.norm_cache(sum_ttf / n_docs)
+    scores = {}
+    for t in sorted(terms):
+        df = len({
+            d for fl in fields.values() for d, tl in fl.items() if t in tl
+        })
+        idf = np.float32(bm25.idf(n_docs, df))
+        for d in toks:
+            wf = sum(W[f] * fields[f][d].count(t) for f in fields)
+            if wf == 0:
+                continue
+            wdl = sum(W[f] * len(fields[f][d]) for f in fields)
+            f32 = np.float32
+            sc = f32(idf * f32(f32(wf) / f32(f32(wf) + cache[int_to_byte4(wdl)])))
+            scores[d] = f32(scores.get(d, f32(0.0)) + sc)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = combined_field_topk(
+        spark,
+        {"body": (per["body"].segment, 1), "title": (per["title"].segment, 3)},
+        terms,
+        k=10,
+    )
+    got_rows = [(int(r["doc_id"]), np.float32(r["score"])) for r in got.collect()]
+    assert got_rows == [(d, np.float32(s)) for d, s in want]
+
+
+def test_combined_field_absent_term_is_disjunction(spark, built):
+    from lucene_solr_spark.operators.fields import combined_field_topk
+
+    _, per = built
+    segs = {"body": (per["body"].segment, 1), "title": (per["title"].segment, 2)}
+    with_absent = combined_field_topk(spark, segs, ["import", "zzzqqq"], k=10)
+    alone = combined_field_topk(spark, segs, ["import"], k=10)
+    assert [tuple(r) for r in with_absent.collect()] == [
+        tuple(r) for r in alone.collect()
+    ]
+    none = combined_field_topk(spark, segs, ["zzzqqq"], k=10)
+    assert none.count() == 0

@@ -172,6 +172,26 @@ def test_qparser_phrase_with_fq_on_graph_index(spark, seg_syn):
     assert set(hits) == {2}
 
 
+def test_merge_preserves_graph(spark, seg_syn):
+    # two synonym segments merged -> phrase still matches across the graph
+    from lucene_solr_spark.operators.merge import merge_segments
+
+    rows2 = [("r", "e1.txt", "c0", "text", "riding the ny subway daily", 100)]
+    extra = spark.createDataFrame(
+        rows2,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    seg2 = build_index(
+        spark, extra, out_dir=None, bucket_docs=4, with_positions=True,
+        synonyms=RULES,
+    )
+    merged = merge_segments(spark, [seg_syn, seg2], out_dir=None)
+    assert "end_bin" in merged.table(spark, "positions").columns
+    res = phrase_topk(spark, merged, "new york subway", k=10)
+    # doc ids are remapped; just assert 3 hits survive (docs 1, 2, new one)
+    assert res.count() == 3
+
+
 def test_plain_index_unchanged(spark, seg_syn):
     # a no-synonym build of the same corpus has no end_bin column
     plain = build_index(
