@@ -254,3 +254,64 @@ def combined_field_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH FeatureField — document/FeatureField.java: a static per-doc
+# feature (here: 'len' = n_chars, a stand-in for pagerank/recency) joins
+# the BM25 score through the pinned SaturationFunction w*S/(S+a) as a
+# SHOULD clause: total = f32(bm25 + boost). Rescoring window = top-40 BM25
+# candidates (4x k, documented over-fetch), boost applied as a JVM-side
+# float32 Column over a broadcast feature join — no UDF, no collect.
+# Oracle mirrors the window and every f32 op (operators/features.py).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_boost_topk",
+    None,  # assembled below (needs the shared f32 BM25 CTEs)
+)
+def feature_boost_topk(spark, sf_dir):
+    """Real-engine BM25('merge') top-40 window re-ranked by saturation
+    feature boost 0.5 * len/(len+200), float32-exact cross-engine."""
+    from ..operators.features import feature_boost_topk as fbt
+    from .driver_queries import _read
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    feats = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.lit("len").alias("feature"),
+        F.col("n_chars").cast("float").alias("value"),
+    )
+    res = fbt(
+        spark, s, "merge", feats, "len",
+        fn="saturation", k=10, weight=0.5, a=200.0,
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+def _feature_boost_oracle() -> str:
+    from .coverage3_queries import _f32_bm25_ctes
+
+    return f"""WITH {_f32_bm25_ctes(['merge'])},
+ranked AS (SELECT doc_id, score_f,
+                  row_number() OVER (ORDER BY score_f DESC, doc_id ASC) AS rn
+           FROM scored),
+cand AS (SELECT r.doc_id, r.score_f, d.n_chars
+         FROM ranked r JOIN documents d USING (doc_id) WHERE r.rn <= 40),
+boosted AS (SELECT doc_id,
+       ((score_f
+         + ((0.5::DOUBLE)::FLOAT
+            * ((n_chars::FLOAT)
+               / (((n_chars::FLOAT) + ((200.0::DOUBLE)::FLOAT))::FLOAT))))
+        ::FLOAT) AS score_f2
+    FROM cand)
+SELECT doc_id, round(score_f2::DOUBLE, 4) AS score
+FROM boosted ORDER BY score_f2 DESC, doc_id ASC LIMIT 10"""
+
+
+from .driver_queries import ORACLES  # noqa: E402
+
+ORACLES["feature_boost_topk"] = _feature_boost_oracle()
