@@ -315,3 +315,53 @@ FROM boosted ORDER BY score_f2 DESC, doc_id ASC LIMIT 10"""
 from .driver_queries import ORACLES  # noqa: E402
 
 ORACLES["feature_boost_topk"] = _feature_boost_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Monitor / percolator — lucene/monitor/Monitor.java +
+# TermFilteredPresearcher.java: registered queries match the doc stream in
+# ONE mapInPandas pass (trigger-term pruning, no shuffle, no join — see
+# operators/monitor.py). The row registers five query shapes (term,
+# conjunction, phrase, disjunction, negation) and reports per-query match
+# counts; the oracle recomputes each count from raw tokens.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "monitor_percolate",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+per AS (SELECT doc_id,
+        list_contains(t, 'merge') AS m, list_contains(t, 'spark') AS s,
+        list_contains(t, 'order') AS o, list_contains(t, 'batch') AS b,
+        len(list_filter(range(1, len(t)), i -> t[i] = 'big' AND t[i+1] = 'data')) > 0 AS bd
+    FROM tokarr)
+SELECT query_id, n_docs FROM (
+  SELECT 'q_and' AS query_id, count(*) FILTER (m AND s)::BIGINT AS n_docs FROM per
+  UNION ALL SELECT 'q_not', count(*) FILTER (m AND NOT s)::BIGINT FROM per
+  UNION ALL SELECT 'q_or', count(*) FILTER (o OR b)::BIGINT FROM per
+  UNION ALL SELECT 'q_phrase', count(*) FILTER (bd)::BIGINT FROM per
+  UNION ALL SELECT 'q_term', count(*) FILTER (m)::BIGINT FROM per
+) ORDER BY query_id""",
+)
+def monitor_percolate(spark, sf_dir):
+    """Percolate the documents stream through five registered queries;
+    per-query match counts."""
+    from ..operators.monitor import Monitor
+    from .driver_queries import _read
+
+    mon = Monitor([
+        ("q_term", "merge"),
+        ("q_and", "+merge +spark"),
+        ("q_phrase", '"big data"'),
+        ("q_or", "order batch"),
+        ("q_not", "merge -spark"),
+    ])
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+    return (
+        mon.match(docs)
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("query_id")
+    )

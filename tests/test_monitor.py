@@ -1,0 +1,65 @@
+"""Monitor / percolator (operators/monitor.py) — lucene/monitor analog:
+reverse search with trigger-term pruning, one-pass mapInPandas."""
+
+from __future__ import annotations
+
+import pytest
+
+from lucene_solr_spark.operators.monitor import Monitor, _matches, _triggers
+
+DOCS = [
+    (1, "the big data merge pipeline"),
+    (2, "spark merge order"),
+    (3, "batch order processing"),
+    (4, "nothing relevant here"),
+    (5, "data big merge"),          # phrase 'big data' must NOT match
+    (6, "big data big data spark"),
+]
+
+
+def _percolate(spark, queries):
+    docs = spark.createDataFrame(DOCS, "doc_id long, content string")
+    out = Monitor(queries).match(docs).collect()
+    res: dict[str, set[int]] = {}
+    for r in out:
+        res.setdefault(r["query_id"], set()).add(int(r["doc_id"]))
+    return res
+
+
+def test_query_shapes(spark):
+    res = _percolate(spark, [
+        ("term", "merge"),
+        ("conj", "+merge +spark"),
+        ("phrase", '"big data"'),
+        ("disj", "order batch"),
+        ("neg", "merge -spark"),
+    ])
+    assert res["term"] == {1, 2, 5}
+    assert res["conj"] == {2}
+    assert res["phrase"] == {1, 6}
+    assert res["disj"] == {2, 3}
+    assert res["neg"] == {1, 5}
+
+
+def test_sloppy_phrase_and_msm(spark):
+    res = _percolate(spark, [
+        ("sloppy", '"big merge"~2'),       # doc 5: big . merge (1 gap)
+        ("msm", "(merge order spark)~2"),  # >=2 of 3
+    ])
+    assert 5 in res.get("sloppy", set())
+    assert res["msm"] == {2}
+
+
+def test_trigger_pruning_is_lossless(spark):
+    # a MUST-gated query triggers on one clause only, yet matching is exact
+    mon = Monitor([("q", "+merge +spark")])
+    trig = set(mon.trigger_index)
+    assert trig in ({"merge"}, {"spark"}) and not mon.always
+    # pure negation has no positive trigger -> always-candidate
+    mon2 = Monitor([("q2", "-merge")])
+    assert "q2" in mon2.always
+
+
+def test_unsupported_leaf_raises(spark):
+    with pytest.raises(ValueError, match="multi-term"):
+        Monitor([("w", "mer*")])
