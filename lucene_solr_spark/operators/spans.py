@@ -107,15 +107,68 @@ class SpanFirst:
     end: int
 
 
+@dataclass(frozen=True)
+class SpanNot:
+    """search/spans/SpanNotQuery.java: spans of ``include`` that do not
+    overlap any ``exclude`` span, the exclusion window widened by ``pre``
+    tokens before and ``post`` after. Scoring idf uses the INCLUDE side's
+    terms only (exclusion terms gate, they don't score)."""
+
+    include: object
+    exclude: object
+    pre: int = 0
+    post: int = 0
+
+
+@dataclass(frozen=True)
+class SpanContaining:
+    """search/spans/SpanContainingQuery.java: spans of ``big`` that contain
+    at least one ``little`` span."""
+
+    big: object
+    little: object
+
+
+@dataclass(frozen=True)
+class SpanWithin:
+    """search/spans/SpanWithinQuery.java: spans of ``little`` that lie
+    inside at least one ``big`` span."""
+
+    big: object
+    little: object
+
+
 def span_terms(node) -> set[str]:
     """All distinct terms under a span node."""
     if isinstance(node, SpanTerm):
         return {node.term}
     if isinstance(node, SpanFirst):
         return span_terms(node.clause)
+    if isinstance(node, SpanNot):
+        return span_terms(node.include) | span_terms(node.exclude)
+    if isinstance(node, (SpanContaining, SpanWithin)):
+        return span_terms(node.big) | span_terms(node.little)
     out: set[str] = set()
     for c in node.clauses:
         out |= span_terms(c)
+    return out
+
+
+def scoring_terms(node) -> set[str]:
+    """Terms contributing to the summed idf (SpanWeight#buildSimWeight):
+    everything except a SpanNot's exclusion side — excluded spans gate
+    matches but never score."""
+    if isinstance(node, SpanTerm):
+        return {node.term}
+    if isinstance(node, SpanFirst):
+        return scoring_terms(node.clause)
+    if isinstance(node, SpanNot):
+        return scoring_terms(node.include)
+    if isinstance(node, (SpanContaining, SpanWithin)):
+        return scoring_terms(node.big) | scoring_terms(node.little)
+    out: set[str] = set()
+    for c in node.clauses:
+        out |= scoring_terms(c)
     return out
 
 
@@ -136,6 +189,32 @@ def doc_spans(node, positions: dict[str, np.ndarray]) -> list[tuple[int, int]]:
         return out
     if isinstance(node, SpanFirst):
         return [s for s in doc_spans(node.clause, positions) if s[1] <= node.end]
+    if isinstance(node, SpanNot):
+        inc = doc_spans(node.include, positions)
+        exc = doc_spans(node.exclude, positions)
+        if not exc:
+            return inc
+        return [
+            (s, e)
+            for s, e in inc
+            if not any(xs < e + node.post and xe > s - node.pre for xs, xe in exc)
+        ]
+    if isinstance(node, SpanContaining):
+        big = doc_spans(node.big, positions)
+        little = doc_spans(node.little, positions)
+        return [
+            (s, e)
+            for s, e in big
+            if any(s <= ls and le <= e for ls, le in little)
+        ]
+    if isinstance(node, SpanWithin):
+        big = doc_spans(node.big, positions)
+        little = doc_spans(node.little, positions)
+        return [
+            (ls, le)
+            for ls, le in little
+            if any(s <= ls and le <= e for s, e in big)
+        ]
     assert isinstance(node, SpanNear)
     subs = [doc_spans(c, positions) for c in node.clauses]
     if any(not s for s in subs):
@@ -222,21 +301,59 @@ def _unordered_matches(
     return out
 
 
-def span_freq(node, positions: dict[str, np.ndarray]) -> float:
-    """SpanScorer#setFreqCurrentDoc analog: fractional span freq =
-    sum over matches of 1/(1+slack). For SpanTerm/SpanOr/SpanFirst every
-    match has slack 0 (freq = match count)."""
+def _doc_matches(
+    node, positions: dict[str, np.ndarray]
+) -> list[tuple[tuple[int, int], int]]:
+    """Matches with their widths (slack): SpanNear carries its walk's
+    slack; Term/Or/First matches have slack 0; the filtering wrappers
+    (Not/Containing/Within) pass the surviving matches' widths THROUGH
+    (SpanScorer sees the underlying spans' width — a filtered NearSpans
+    match keeps its sloppy weight)."""
     if isinstance(node, SpanNear):
         subs = [doc_spans(c, positions) for c in node.clauses]
         if any(not s for s in subs):
-            return 0.0
-        matches = (
+            return []
+        return (
             _ordered_matches(subs, node.slop)
             if node.in_order
             else _unordered_matches(subs, node.slop)
         )
-        return float(sum(1.0 / (1.0 + slack) for _, slack in matches))
-    return float(len(doc_spans(node, positions)))
+    if isinstance(node, SpanNot):
+        inc = _doc_matches(node.include, positions)
+        exc = doc_spans(node.exclude, positions)
+        if not exc:
+            return inc
+        return [
+            ((s, e), w)
+            for (s, e), w in inc
+            if not any(xs < e + node.post and xe > s - node.pre for xs, xe in exc)
+        ]
+    if isinstance(node, SpanContaining):
+        big = _doc_matches(node.big, positions)
+        little = doc_spans(node.little, positions)
+        return [
+            ((s, e), w)
+            for (s, e), w in big
+            if any(s <= ls and le <= e for ls, le in little)
+        ]
+    if isinstance(node, SpanWithin):
+        little = _doc_matches(node.little, positions)
+        big = doc_spans(node.big, positions)
+        return [
+            ((ls, le), w)
+            for (ls, le), w in little
+            if any(s <= ls and le <= e for s, e in big)
+        ]
+    return [(s, 0) for s in doc_spans(node, positions)]
+
+
+def span_freq(node, positions: dict[str, np.ndarray]) -> float:
+    """SpanScorer#setFreqCurrentDoc analog: fractional span freq =
+    sum over matches of 1/(1+slack). For SpanTerm/SpanOr/SpanFirst every
+    match has slack 0 (freq = match count)."""
+    return float(
+        sum(1.0 / (1.0 + slack) for _, slack in _doc_matches(node, positions))
+    )
 
 
 def span_topk(
@@ -271,8 +388,11 @@ def span_topk(
     if any(t not in df_by_term for t in required):
         return spark.createDataFrame([], _TOPK_SCHEMA)
     n_docs = segment.stats.n_docs
+    # idf over the SCORING terms only (a SpanNot's exclusion side gates
+    # matches but contributes no idf — scoring_terms())
+    sterms = sorted(scoring_terms(node))
     idf_sum = np.float32(
-        sum(bm25.idf(n_docs, df_by_term[t]) for t in distinct if t in df_by_term)
+        sum(bm25.idf(n_docs, df_by_term[t]) for t in sterms if t in df_by_term)
     )
     cache = bm25.norm_cache(segment.stats.avgdl)
     present = sorted(df_by_term)
@@ -295,6 +415,10 @@ def _required_terms(node) -> set[str]:
         return {node.term}
     if isinstance(node, SpanFirst):
         return _required_terms(node.clause)
+    if isinstance(node, SpanNot):
+        return _required_terms(node.include)  # exclusion terms gate only
+    if isinstance(node, (SpanContaining, SpanWithin)):
+        return _required_terms(node.big) | _required_terms(node.little)
     if isinstance(node, SpanNear):
         out: set[str] = set()
         for c in node.clauses:

@@ -318,6 +318,59 @@ ORACLES["feature_boost_topk"] = _feature_boost_oracle()
 
 
 # ---------------------------------------------------------------------------
+# ENGINE-PATH SpanNotQuery — search/spans/SpanNotQuery.java: spans of
+# 'merge' whose ±1-token exclusion window contains no 'spark'
+# (pre=post=1). freq = surviving span count; idf uses the INCLUDE side
+# only (scoring_terms contract in operators/spans.py). float32-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_not_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(t) AS dl FROM tokarr),
+dfm AS (SELECT count(*)::BIGINT AS df FROM tokarr
+        WHERE list_contains(t, 'merge')),
+surv AS (SELECT doc_id,
+        len(list_filter(range(1, len(t) + 1),
+            i -> t[i] = 'merge'
+                 AND coalesce(t[i-1], '') <> 'spark'
+                 AND coalesce(t[i+1], '') <> 'spark'))::BIGINT AS freq
+    FROM tokarr),
+scored AS (SELECT s2.doc_id,
+       (((ln(1 + ((s.n_docs::DOUBLE) - d.df + 0.5) / (d.df + 0.5)))::FLOAT
+         * ((s2.freq::FLOAT)
+            / ((s2.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS score_f
+    FROM surv s2 JOIN dl USING (doc_id) CROSS JOIN dfm d CROSS JOIN stats s
+    WHERE s2.freq > 0)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def span_not_topk(spark, sf_dir):
+    """Real-engine SpanNot('merge' NOT near 'spark', pre=post=1) top-10,
+    float32-exact cross-engine."""
+    from ..operators.spans import SpanNot, SpanTerm, span_topk
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = span_topk(
+        spark, s.segment,
+        SpanNot(SpanTerm("merge"), SpanTerm("spark"), pre=1, post=1),
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Monitor / percolator — lucene/monitor/Monitor.java +
 # TermFilteredPresearcher.java: registered queries match the doc stream in
 # ONE mapInPandas pass (trigger-term pruning, no shuffle, no join — see

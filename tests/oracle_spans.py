@@ -10,7 +10,15 @@ import heapq
 
 import numpy as np
 
-from lucene_solr_spark.operators.spans import SpanFirst, SpanNear, SpanOr, SpanTerm
+from lucene_solr_spark.operators.spans import (
+    SpanContaining,
+    SpanFirst,
+    SpanNear,
+    SpanNot,
+    SpanOr,
+    SpanTerm,
+    SpanWithin,
+)
 
 from .oracle import OracleIndex
 
@@ -25,6 +33,21 @@ def _doc_spans(node, toks: list[str]) -> list[tuple[int, int]]:
         return sorted(out)
     if isinstance(node, SpanFirst):
         return [s for s in _doc_spans(node.clause, toks) if s[1] <= node.end]
+    if isinstance(node, SpanNot):
+        inc = _doc_spans(node.include, toks)
+        exc = _doc_spans(node.exclude, toks)
+        return [
+            (s, e) for s, e in inc
+            if not any(xs < e + node.post and xe > s - node.pre for xs, xe in exc)
+        ]
+    if isinstance(node, SpanContaining):
+        big = _doc_spans(node.big, toks)
+        little = _doc_spans(node.little, toks)
+        return [(s, e) for s, e in big if any(s <= ls and le <= e for ls, le in little)]
+    if isinstance(node, SpanWithin):
+        big = _doc_spans(node.big, toks)
+        little = _doc_spans(node.little, toks)
+        return [(ls, le) for ls, le in little if any(s <= ls and le <= e for s, e in big)]
     assert isinstance(node, SpanNear)
     subs = [_doc_spans(c, toks) for c in node.clauses]
     if any(not s for s in subs):
@@ -85,22 +108,40 @@ def _unordered(subs, slop):
     return out
 
 
-def span_freq_toks(node, toks: list[str]) -> float:
+def _doc_matches_toks(node, toks: list[str]):
     if isinstance(node, SpanNear):
         subs = [_doc_spans(c, toks) for c in node.clauses]
         if any(not s for s in subs):
-            return 0.0
-        matches = _ordered(subs, node.slop) if node.in_order else _unordered(subs, node.slop)
-        return float(sum(1.0 / (1.0 + sl) for _, sl in matches))
-    return float(len(_doc_spans(node, toks)))
+            return []
+        return _ordered(subs, node.slop) if node.in_order else _unordered(subs, node.slop)
+    if isinstance(node, SpanNot):
+        inc = _doc_matches_toks(node.include, toks)
+        exc = _doc_spans(node.exclude, toks)
+        return [
+            ((s, e), w) for (s, e), w in inc
+            if not any(xs < e + node.post and xe > s - node.pre for xs, xe in exc)
+        ]
+    if isinstance(node, SpanContaining):
+        big = _doc_matches_toks(node.big, toks)
+        little = _doc_spans(node.little, toks)
+        return [((s, e), w) for (s, e), w in big
+                if any(s <= ls and le <= e for ls, le in little)]
+    if isinstance(node, SpanWithin):
+        little = _doc_matches_toks(node.little, toks)
+        big = _doc_spans(node.big, toks)
+        return [((ls, le), w) for (ls, le), w in little
+                if any(s <= ls and le <= e for s, e in big)]
+    return [(s, 0) for s in _doc_spans(node, toks)]
+
+
+def span_freq_toks(node, toks: list[str]) -> float:
+    return float(sum(1.0 / (1.0 + sl) for _, sl in _doc_matches_toks(node, toks)))
 
 
 def _span_terms(node) -> set[str]:
-    if isinstance(node, SpanTerm):
-        return {node.term}
-    if isinstance(node, SpanFirst):
-        return _span_terms(node.clause)
-    return set().union(*(_span_terms(c) for c in node.clauses))
+    from lucene_solr_spark.operators.spans import scoring_terms
+
+    return scoring_terms(node)
 
 
 def topk_span(ora: OracleIndex, node, k: int = 10) -> list[tuple[int, float]]:

@@ -13,10 +13,13 @@ from lucene_solr_spark.corpus import synth_corpus
 from lucene_solr_spark.operators.indexer import assign_doc_ids, build_index
 from lucene_solr_spark.operators.phrase import phrase_topk
 from lucene_solr_spark.operators.spans import (
+    SpanContaining,
     SpanFirst,
     SpanNear,
+    SpanNot,
     SpanOr,
     SpanTerm,
+    SpanWithin,
     span_topk,
 )
 
@@ -82,6 +85,18 @@ def _queries(vocab):
         ),
         "three_unordered": SpanNear(
             (SpanTerm(c), SpanTerm(a), SpanTerm(b)), slop=6, in_order=False
+        ),
+        "not_term": SpanNot(SpanTerm(a), SpanTerm(b), pre=1, post=1),
+        "not_near": SpanNot(
+            SpanNear((SpanTerm(a), SpanTerm(c)), slop=4), SpanTerm(b)
+        ),
+        "not_absent_exclude": SpanNot(SpanTerm(a), SpanTerm("zzzz")),
+        "containing": SpanContaining(
+            SpanNear((SpanTerm(a), SpanTerm(c)), slop=6), SpanTerm(b)
+        ),
+        "within": SpanWithin(
+            SpanNear((SpanTerm(a), SpanTerm(c)), slop=6, in_order=False),
+            SpanTerm(b),
         ),
     }
 
