@@ -121,9 +121,26 @@ class Searcher:
         self.filter_cache = FilterCache()
 
     # -- Weight#createWeight analog: per-query stats pre-pass ---------------
+    def attach_bloom(self, bloom=None, fp: float = 0.01):
+        """Attach a terms bloom filter (functions/bloom.py — the
+        BloomFilteringPostingsFormat analog): absent-term queries then skip
+        the terms-dict scan AND the scoring job entirely, answered on the
+        driver. Build one if not given."""
+        if bloom is None:
+            from ..functions.bloom import TermBloom
+
+            bloom = TermBloom.build(self.spark, self.segment, fp=fp)
+        self.bloom = bloom
+        return bloom
+
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         if not terms:
             return {}
+        bloom = getattr(self, "bloom", None)
+        if bloom is not None:
+            terms = [t for t in terms if bloom.might_contain(t)]
+            if not terms:  # no false negatives -> truly absent, zero jobs
+                return {}
         rows = self.terms.filter(F.col("term").isin(terms)).collect()
         out = {}
         for r in rows:

@@ -19,6 +19,11 @@ from .driver_queries import register
 # one synonym-graph segment per sf_dir, shared by the rows below
 _SYN_SEG_CACHE: dict = {}
 
+_TOKS_CTE_C4 = (
+    f"toks AS (SELECT doc_id, unnest({duckdb_tokenize_sql('text')}) AS term "
+    "FROM documents)"
+)
+
 # the rule set: 'spark' ≡ 'big data' (equivalence, expand=true). The
 # multi-token OUTPUT direction — a doc containing the single token 'spark'
 # becomes phrase-findable as "big data" — is precisely what Lucene's
@@ -315,6 +320,55 @@ FROM boosted ORDER BY score_f2 DESC, doc_id ASC LIMIT 10"""
 from .driver_queries import ORACLES  # noqa: E402
 
 ORACLES["feature_boost_topk"] = _feature_boost_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filtered terms dictionary — codecs/bloom/BloomFilteringPostings
+# Format.java + FuzzySet.java: a per-segment bitset answers absent-term
+# lookups on the DRIVER, skipping the terms-dict scan and the scoring job
+# (at 1000 segments: zero no-op jobs instead of 1000). The row probes
+# present and absent terms; the oracle pins the no-false-negative
+# contract (present => might_contain) — the bit that makes the pruning
+# LOSSLESS; false positives only cost the scan that would have run anyway.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bloom_term_pruning",
+    f"""WITH {_TOKS_CTE_C4},
+probe AS (SELECT unnest(['merge', 'spark', 'window',
+                         'zzzmissing', 'qqqabsent']) AS term),
+pres AS (SELECT p.term, count(t.term) > 0 AS present
+         FROM probe p LEFT JOIN toks t ON t.term = p.term GROUP BY p.term)
+SELECT term, present, true AS no_false_negative
+FROM pres ORDER BY term""",
+)
+def bloom_term_pruning(spark, sf_dir):
+    """Per probe term: is it present, and does the bloom honor the
+    no-false-negative contract (present -> might_contain)."""
+    from ..functions.bloom import TermBloom
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    bloom = getattr(s, "bloom", None) or s.attach_bloom()
+    probes = ["merge", "spark", "window", "zzzmissing", "qqqabsent"]
+    present_terms = {
+        r["term"]
+        for r in s.terms.filter(F.col("term").isin(probes))
+        .select("term")
+        .collect()
+    }
+    rows = [
+        (
+            t,
+            t in present_terms,
+            bloom.might_contain(t) or t not in present_terms,
+        )
+        for t in sorted(probes)
+    ]
+    return spark.createDataFrame(
+        rows, "term string, present boolean, no_false_negative boolean"
+    )
 
 
 # ---------------------------------------------------------------------------
