@@ -106,6 +106,45 @@ def _merge(args) -> int:
     return 0
 
 
+def _percolate(args) -> int:
+    from .operators.monitor import Monitor
+    from .session import get_spark
+
+    spark = get_spark(app_name="fulltext-percolate")
+    queries = [
+        (f"q{i}", qs) for i, qs in enumerate(args.query)
+    ] if args.query else []
+    if args.queries_file:
+        with open(args.queries_file) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line or line.startswith("#"):
+                    continue
+                qid, _, qs = line.partition("\t")
+                queries.append((qid, qs))
+    mon = Monitor(queries)
+    docs = spark.read.parquet(args.input)
+    out = mon.match(docs, id_col=args.id_col, text_col=args.text_col)
+    for r in out.collect() if args.collect else []:
+        print(json.dumps({"doc_id": int(r.doc_id), "query_id": r.query_id}))
+    if not args.collect:
+        out.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out}))
+    return 0
+
+
+def _facet(args) -> int:
+    from .operators.facets import json_facet
+    from .session import get_spark
+
+    spark = get_spark(app_name="fulltext-facet")
+    df = spark.read.parquet(args.input)
+    spec = json.loads(args.spec)
+    for r in json_facet(df, spec).collect():
+        print(json.dumps(r.asDict(), default=str))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="lucene_solr_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -143,6 +182,27 @@ def main(argv: list[str] | None = None) -> int:
     m = sub.add_parser("merge", help="compact all segments into one")
     m.add_argument("--index", required=True)
     m.set_defaults(func=_merge)
+
+    pc = sub.add_parser(
+        "percolate", help="reverse search: registered queries vs a doc stream"
+    )
+    pc.add_argument("--input", required=True, help="docs parquet")
+    pc.add_argument("--query", action="append", default=None,
+                    help="query string (repeatable; ids q0, q1, ...)")
+    pc.add_argument("--queries-file", default=None,
+                    help="TSV file: query_id<TAB>query_string per line")
+    pc.add_argument("--id-col", default="doc_id")
+    pc.add_argument("--text-col", default="text")
+    pc.add_argument("--collect", action="store_true",
+                    help="print matches as JSON lines instead of writing")
+    pc.add_argument("--out", default="/tmp/percolate_out",
+                    help="output parquet (when not --collect)")
+    pc.set_defaults(func=_percolate)
+
+    fa = sub.add_parser("facet", help="run a json.facet spec over parquet")
+    fa.add_argument("--input", required=True)
+    fa.add_argument("--spec", required=True, help="JSON facet spec")
+    fa.set_defaults(func=_facet)
 
     args = p.parse_args(argv)
     return args.func(args)

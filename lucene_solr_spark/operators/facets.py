@@ -88,23 +88,58 @@ def _sort_cols(sort: str, default_desc: str = "count"):
 
 
 def json_facet(df: DataFrame, spec: dict) -> DataFrame:
-    """Execute a (nested) terms-facet spec against ``df``.
+    """Execute a (nested) facet spec against ``df``.
 
-    Spec shape (FacetRequest.java JSON):
-      {"type": "terms", "field": "lang", "limit": 5, "sort": "count desc",
-       "facet": {"avg_len": "avg(n_chars)",
-                 "by_src": {"type": "terms", "field": "source", "limit": 1}}}
+    Spec shapes (FacetRequest.java JSON):
+      terms: {"type": "terms", "field": "lang", "limit": 5,
+              "sort": "count desc", "facet": {"avg_len": "avg(n_chars)",
+              "by_src": {"type": "terms", "field": "source", "limit": 1}}}
+      query: {"type": "query", "q": "n_chars > 100", "facet": {...stats}}
+      range: {"type": "range", "field": "n_chars", "start": 0, "end": 500,
+              "gap": 100, "facet": {...stats}}
 
     Returns one flattened row per innermost bucket; bucket-key columns are
-    the facet fields, stat columns carry their spec names, nested buckets
-    prefix their columns with the subfacet name."""
+    the facet fields (range buckets emit ``<field>_start``), stat columns
+    carry their spec names, nested buckets prefix their columns with the
+    subfacet name."""
     return _facet_node(df, spec, parents=[])
 
 
+def _stat_aggs(spec: dict):
+    stats = {k: v for k, v in spec.get("facet", {}).items() if isinstance(v, str)}
+    return [parse_agg(v).alias(k) for k, v in stats.items()]
+
+
 def _facet_node(df: DataFrame, spec: dict, parents: list[str]) -> DataFrame:
-    if spec.get("type", "terms") != "terms":
-        raise ValueError("json_facet executor handles terms facets; use "
-                         "query/range driver rows for those shapes")
+    ftype = spec.get("type", "terms")
+    if ftype == "query":
+        # FacetQuery.java: one filtered aggregation, grouped by the parent
+        # keys when nested (a constant grouping at the top level)
+        filtered = df.filter(spec["q"])
+        if parents:
+            return filtered.groupBy(*parents).agg(
+                F.count("*").alias("count"), *_stat_aggs(spec)
+            )
+        return filtered.agg(F.count("*").alias("count"), *_stat_aggs(spec))
+    if ftype == "range":
+        # FacetRange.java: arithmetic bucketing — no per-bucket filters,
+        # ONE grouped agg over floor((v - start)/gap) (hardened buckets)
+        field, start = spec["field"], spec["start"]
+        end, gap = spec["end"], spec["gap"]
+        v = F.col(field)
+        bucket_start = (
+            F.floor((v - F.lit(start)) / F.lit(gap)) * F.lit(gap) + F.lit(start)
+        ).alias(f"{field}_start")
+        keys = [*parents, f"{field}_start"]
+        return (
+            df.filter((v >= F.lit(start)) & (v < F.lit(end)))
+            .withColumn(f"{field}_start", bucket_start)
+            .groupBy(*keys)
+            .agg(F.count("*").alias("count"), *_stat_aggs(spec))
+            .orderBy(*[F.col(c).asc() for c in keys])
+        )
+    if ftype != "terms":
+        raise ValueError(f"json_facet executor: unknown facet type {ftype!r}")
     field = spec["field"]
     limit = int(spec.get("limit", 10))
     keys = [*parents, field]

@@ -99,3 +99,28 @@ def test_multisearcher_search_parity(spark, q):
     ]
     b = [(int(r.doc_id), float(r.score)) for r in ms.search(q, k=8).collect()]
     assert a == b
+
+
+def test_cli_percolate(spark, capsys):
+    rc = main([
+        "percolate", "--input", f"{SF}/documents.parquet",
+        "--query", "merge", "--query", "+merge +spark", "--collect",
+    ])
+    assert rc == 0
+    rows = _lines(capsys)
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], set()).add(r["doc_id"])
+    # conjunction matches are a subset of the single-term matches
+    assert byq["q1"] <= byq["q0"] and byq["q0"]
+
+
+def test_cli_facet(spark, capsys):
+    spec = json.dumps(
+        {"type": "terms", "field": "lang", "limit": 3,
+         "facet": {"avg_len": "avg(n_chars)"}}
+    )
+    rc = main(["facet", "--input", f"{SF}/documents.parquet", "--spec", spec])
+    assert rc == 0
+    rows = _lines(capsys)
+    assert rows and all({"lang", "count", "avg_len"} <= set(r) for r in rows)

@@ -99,3 +99,45 @@ def test_top_level_is_distributed_topk(spark, docs):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_query_facet(spark, docs):
+    out = facets.json_facet(
+        docs, {"type": "query", "q": "n_chars > 150",
+               "facet": {"avg_len": "avg(n_chars)"}}
+    ).collect()
+    assert len(out) == 1
+    manual = docs.filter("n_chars > 150").agg(
+        F.count("*").alias("count"), F.avg("n_chars").alias("avg_len")
+    ).collect()[0]
+    assert tuple(out[0]) == tuple(manual)
+
+
+def test_range_facet(spark, docs):
+    out = facets.json_facet(
+        docs, {"type": "range", "field": "n_chars",
+               "start": 0, "end": 400, "gap": 100}
+    ).collect()
+    got = {int(r["n_chars_start"]): int(r["count"]) for r in out}
+    manual = (
+        docs.filter("n_chars >= 0 and n_chars < 400")
+        .withColumn("b", (F.floor(F.col("n_chars") / 100) * 100))
+        .groupBy("b").count().collect()
+    )
+    assert got == {int(r["b"]): int(r["count"]) for r in manual}
+    # arithmetic bucketing: starts are aligned to the gap grid
+    assert all(s % 100 == 0 for s in got)
+
+
+def test_query_subfacet_under_terms(spark, docs):
+    out = facets.json_facet(
+        docs,
+        {"type": "terms", "field": "lang", "limit": 10,
+         "facet": {"longdocs": {"type": "query", "q": "n_chars > 150"}}},
+    ).collect()
+    manual = {
+        r["lang"]: r["count"]
+        for r in docs.filter("n_chars > 150").groupBy("lang").count().collect()
+    }
+    for r in out:
+        assert (r["longdocs_count"] or 0) == manual.get(r["lang"], 0)
