@@ -151,6 +151,12 @@ def main() -> None:
                     extra[f"scaling_{mode}_eff_pooled"] = doc[
                         "pooled_best_of_all_repeats_eff"
                     ]
+                if "r03_4v16_median_of_5" in doc:
+                    r3 = doc["r03_4v16_median_of_5"]
+                    extra["scaling_strong_eff_4v16_median5"] = r3["value"]
+                    extra["substrate_eff_4v16"] = r3[
+                        "substrate_controls_4v16"
+                    ]
             except Exception:
                 pass
     # WAND-at-scale evidence (bench_wand.py, 500k-doc synth corpus)

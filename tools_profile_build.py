@@ -61,6 +61,7 @@ def main() -> None:
         ("full build (defaults)", {}),
         ("full build shuffle=8", {"term_partitions": 8}),
         ("full build shuffle=16", {"term_partitions": 16}),
+        ("full build (defaults, warm)", {}),
     ]:
         t = time.time()
         seg = build_index(spark, corpus, out_dir=None, bucket_docs=8192, **kwargs)
