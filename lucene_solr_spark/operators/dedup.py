@@ -534,3 +534,83 @@ def connected_components(
         prev_sum = cur_sum
     edges.unpersist()
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-dataset bloom dedup — dedupe an incoming corpus against a huge
+# reference corpus WITHOUT a full shuffle join. Reference analogy:
+# codecs/bloom/FuzzySet.java applied at the corpus level (the standard
+# web-scale recipe: CCNet / RefinedWeb-style cross-snapshot dedup).
+#
+# One pass over the reference builds a bitset over its doc hashes
+# (mapInPandas partial bitsets, OR-reduced on the driver; ~14.4 bits/key
+# at fp=1e-3 — 1.8 GB per billion keys, broadcast ONCE instead of
+# shuffling the full reference every batch; beyond a few billion keys,
+# range-partition the reference and run this per range — same code).
+# Membership is checked executor-side against the broadcast bits; docs the
+# bloom clears are EXACT non-duplicates (no false negatives), and only the
+# maybe-dup sliver pays the verification join.
+# ---------------------------------------------------------------------------
+
+
+def bloom_reference(
+    df: DataFrame, key_col: str, fp: float = 1e-3
+):
+    """Build a bloom over ``df[key_col]`` (strings). Returns a TermBloom."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.bloom import TermBloom, _hashes, _params
+
+    n = df.count()
+    m, k = _params(max(n, 1), fp)
+
+    def partial(batches):
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        any_rows = False
+        for pdf in batches:
+            for v in pdf[key_col]:
+                any_rows = True
+                for h in _hashes(str(v), k, m):
+                    bits[h >> 3] |= 1 << (h & 7)
+        if any_rows:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = df.select(key_col).mapInPandas(partial, "bits binary").collect()
+    acc = np.zeros(m // 8, dtype=np.uint8)
+    for r in parts:
+        acc |= np.frombuffer(r["bits"], dtype=np.uint8)
+    return TermBloom(acc, m, k)
+
+
+def bloom_dedup_against(
+    spark,
+    reference: DataFrame,
+    incoming: DataFrame,
+    key_col: str,
+    fp: float = 1e-3,
+) -> DataFrame:
+    """Annotate ``incoming`` with ``maybe_dup`` (bloom hit against the
+    reference's keys). ``filter(~maybe_dup)`` rows are guaranteed-new; only
+    maybe-dup rows need the exact verification join."""
+    import pandas as pd
+
+    from ..functions.bloom import _hashes
+
+    bloom = bloom_reference(reference, key_col, fp)
+    bits, m, k = bloom.bits, bloom.n_bits, bloom.n_hashes
+    bbits = spark.sparkContext.broadcast(bits)
+
+    @F.pandas_udf("boolean")
+    def maybe(vals):
+        b = bbits.value
+
+        def chk(v):
+            for h in _hashes(str(v), k, m):
+                if not (b[h >> 3] >> (h & 7)) & 1:
+                    return False
+            return True
+
+        return vals.map(chk)
+
+    return incoming.withColumn("maybe_dup", maybe(F.col(key_col)))

@@ -1336,11 +1336,34 @@ class MultiSearcher:
             u = u.unionByName(p)
         return u
 
+    def attach_bloom(self, bloom=None, fp: float = 0.01):
+        """Catalog-level terms bloom (functions/bloom.py): one filter over
+        the UNION of the segments' terms; all-absent queries then skip the
+        scatter-gather stats pre-pass and every per-segment job."""
+        if bloom is None:
+            from ..functions.bloom import TermBloom
+
+            class _U:  # duck-typed segment view over the merged terms dict
+                stats = type("S", (), {"n_terms": 0})()
+
+                def table(_self, spark, name):
+                    assert name == "terms"
+                    return self._all_terms()
+
+            bloom = TermBloom.build(self.spark, _U(), fp=fp)
+        self.bloom = bloom
+        return bloom
+
     def term_stats(self, terms: list[str]) -> dict[str, TermStats]:
         """Global df per query term: one grouped read over the merged terms
         dict, summed — a tiny scatter-gather pre-pass (phase 0)."""
         if not terms:
             return {}
+        bloom = getattr(self, "bloom", None)
+        if bloom is not None:
+            terms = [t for t in terms if bloom.might_contain(t)]
+            if not terms:  # no false negatives -> absent in EVERY segment
+                return {}
         u = self._all_terms().filter(F.col("term").isin(terms))
         out = {}
         for r in u.groupBy("term").agg(F.sum("df").alias("df")).collect():

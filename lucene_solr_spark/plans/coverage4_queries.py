@@ -372,6 +372,58 @@ def bloom_term_pruning(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Cross-dataset bloom dedup — dedupe an incoming batch against a huge
+# reference corpus by broadcasting a bloom over the reference's doc
+# hashes instead of shuffling the reference (operators/dedup.py
+# #bloom_dedup_against; the CCNet/RefinedWeb cross-snapshot recipe).
+# Bloom-cleared docs are EXACT non-duplicates; only the maybe-dup sliver
+# pays the verification join, so the verified dup count equals the exact
+# join count — which is what the oracle computes. The maybe-dup count
+# itself is hash-dependent and deliberately not part of the contract.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_bloom_cross",
+    """WITH ref AS (SELECT md5(text) AS h FROM documents WHERE doc_id % 2 = 0),
+inc AS (SELECT doc_id, md5(text) AS h FROM documents)
+SELECT (SELECT count(*) FROM inc)::BIGINT AS n_incoming,
+       (SELECT count(*) FROM inc WHERE h IN (SELECT h FROM ref))::BIGINT
+         AS n_true_dup,
+       true AS no_false_negative""",
+)
+def dedup_bloom_cross(spark, sf_dir):
+    """Incoming = all documents; reference = even doc_ids. Bloom-annotate,
+    verify only the maybe-dup sliver, report the exact dup count and the
+    no-false-negative contract."""
+    from ..operators.dedup import bloom_dedup_against
+    from .driver_queries import _read
+
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+    ref = d.filter(F.col("doc_id") % 2 == 0).select("h").distinct()
+    annotated = bloom_dedup_against(spark, ref, d, "h").persist()
+    n_incoming = annotated.count()
+    cand = annotated.filter("maybe_dup")
+    n_true = (
+        cand.join(F.broadcast(ref.withColumnRenamed("h", "h2")),
+                  cand.h == F.col("h2"), "left_semi")
+        .count()
+    )
+    # the contract: every exact dup must have been flagged maybe_dup
+    exact = d.join(
+        F.broadcast(ref.withColumnRenamed("h", "h2")), d.h == F.col("h2"),
+        "left_semi",
+    ).count()
+    annotated.unpersist()
+    return spark.createDataFrame(
+        [(n_incoming, n_true, bool(n_true == exact))],
+        "n_incoming long, n_true_dup long, no_false_negative boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ENGINE-PATH SpanNotQuery — search/spans/SpanNotQuery.java: spans of
 # 'merge' whose ±1-token exclusion window contains no 'spark'
 # (pre=post=1). freq = surviving span count; idf uses the INCLUDE side

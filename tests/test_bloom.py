@@ -57,3 +57,36 @@ def test_searcher_short_circuit_and_parity(spark, built):
     a = [tuple(r) for r in plain.topk("import return", k=10).collect()]
     b = [tuple(r) for r in pruned.topk("import return", k=10).collect()]
     assert a == b and a
+
+
+def test_multisearcher_bloom(spark, built):
+    from lucene_solr_spark.operators.search import MultiSearcher
+
+    seg, _ = built
+    ms = MultiSearcher(spark, [seg])
+    ms.attach_bloom()
+    assert ms.term_stats(["zzzneverqqq"]) == {}
+    a = [tuple(r) for r in ms.search("import return", k=10).collect()]
+    ms2 = MultiSearcher(spark, [seg])
+    b = [tuple(r) for r in ms2.search("import return", k=10).collect()]
+    assert a == b and a
+
+
+def test_bloom_cross_dataset_dedup(spark):
+    from lucene_solr_spark.operators.dedup import bloom_dedup_against
+
+    ref = spark.createDataFrame(
+        [(f"k{i}",) for i in range(0, 400, 2)], "h string"
+    )
+    inc = spark.createDataFrame(
+        [(i, f"k{i}") for i in range(400)], "doc_id long, h string"
+    )
+    ann = bloom_dedup_against(spark, ref, inc, "h", fp=1e-3)
+    rows = {int(r["doc_id"]): bool(r["maybe_dup"]) for r in ann.collect()}
+    # no false negatives: every even key (a true dup) must be flagged
+    assert all(rows[i] for i in range(0, 400, 2))
+    # bloom-cleared docs are guaranteed new
+    cleared = {i for i, m in rows.items() if not m}
+    assert all(i % 2 == 1 for i in cleared)
+    # most odd keys clear (fp target 1e-3; generous bound)
+    assert len(cleared) >= 190

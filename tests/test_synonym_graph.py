@@ -192,6 +192,25 @@ def test_merge_preserves_graph(spark, seg_syn):
     assert res.count() == 3
 
 
+def test_multisearcher_graph_phrase(spark, seg_syn):
+    # two synonym segments under scatter-gather: graph phrases match with
+    # global stats, same doc set as the merged view
+    from lucene_solr_spark.operators.search import MultiSearcher
+
+    rows2 = [("r", "e1.txt", "c0", "text", "riding the ny subway daily", 100)]
+    extra = spark.createDataFrame(
+        rows2,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    seg2 = build_index(
+        spark, extra, out_dir=None, bucket_docs=4, with_positions=True,
+        synonyms=RULES,
+    )
+    ms = MultiSearcher(spark, [seg_syn, seg2])
+    res = ms.search('"new york subway"', k=10).collect()
+    assert len(res) == 3  # docs 1, 2 and the extra segment's doc
+
+
 def test_plain_index_unchanged(spark, seg_syn):
     # a no-synonym build of the same corpus has no end_bin column
     plain = build_index(
