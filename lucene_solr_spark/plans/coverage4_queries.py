@@ -372,6 +372,56 @@ def bloom_term_pruning(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Stream-stream event-time interval join (streaming/windowed.py
+# #interval_join_stream): views join the same user's purchases landing
+# within 30 minutes after the view, both sides watermarked so join state
+# is bounded (Spark drops view state once the purchase watermark passes
+# view.ts + horizon). Drained with availableNow over the parquet events
+# feed; the oracle is the equivalent batch interval join — equality
+# proves the incremental path emits exactly the batch answer.
+# ---------------------------------------------------------------------------
+
+_SSJ_CACHE: dict = {}
+
+
+@register(
+    "stream_stream_interval_join",
+    """SELECT v.event_id AS view_id, p.event_id AS purchase_id
+FROM events v JOIN events p
+  ON v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.user_id = v.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+ORDER BY view_id, purchase_id""",
+)
+def stream_stream_interval_join(spark, sf_dir):
+    """Incremental view->purchase attribution pairs, equal to the batch
+    interval join."""
+    import hashlib as _h
+    import shutil
+
+    from ..streaming.windowed import interval_join_available
+    from .driver_queries import _read
+
+    if sf_dir not in _SSJ_CACHE:
+        root = "/tmp/spark_graft_ssj/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        ev = _read(spark, sf_dir, "events")
+        # two drains: incremental emission across resumed checkpoints
+        for b in (ev.filter(F.col("ts") < "2024-01-15"),
+                  ev.filter(F.col("ts") >= "2024-01-15")):
+            b.coalesce(1).write.mode("append").parquet(root + "/in")
+            interval_join_available(
+                spark, root + "/in", root + "/out", root + "/ckpt"
+            )
+        _SSJ_CACHE[sf_dir] = root
+    out = spark.read.parquet(_SSJ_CACHE[sf_dir] + "/out")
+    return (
+        out.select(F.col("view_id"), F.col("purchase_id"))
+        .orderBy("view_id", "purchase_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Cross-dataset bloom dedup — dedupe an incoming batch against a huge
 # reference corpus by broadcasting a bloom over the reference's doc
 # hashes instead of shuffling the reference (operators/dedup.py

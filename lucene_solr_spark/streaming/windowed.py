@@ -60,3 +60,64 @@ def tumbling_counts_available(
         .start()
     )
     q.awaitTermination()
+
+
+def interval_join_stream(views, purchases, horizon: str = "30 minutes",
+                         delay: str = "1 hour"):
+    """Stream-stream event-time interval join: each 'view' joins the same
+    user's 'purchase' events landing within ``horizon`` AFTER the view.
+
+    Spark-first restatement of the follow-on-event pattern (Structured
+    Streaming inner interval join): both sides carry watermarks, the join
+    range condition bounds the state each side must hold (view state can
+    be dropped once the purchase-side watermark passes view.ts + horizon —
+    Spark derives that bound from the BETWEEN predicate). At 100 TB the
+    state size is watermark-bounded per user partition; no custom
+    operator, no replay."""
+    from pyspark.sql import functions as F
+
+    v = (
+        views.withColumn("v_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("v_ts", delay)
+        .select(F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"), "v_ts")
+    )
+    p = (
+        purchases.withColumn("p_ts", F.col("ts").cast("timestamp"))
+        .withWatermark("p_ts", delay)
+        .select(F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"), "p_ts")
+    )
+    return v.join(
+        p,
+        F.expr(
+            f"v_user = p_user AND p_ts >= v_ts AND "
+            f"p_ts <= v_ts + interval {horizon}"
+        ),
+    )
+
+
+def interval_join_available(
+    spark, input_dir: str, out_dir: str, checkpoint_dir: str,
+    horizon: str = "30 minutes", delay: str = "1 hour",
+) -> None:
+    """Drain-and-stop runner for the interval join over a parquet events
+    feed (views and purchases split from one stream)."""
+    ev = spark.readStream.schema(EVENTS_SCHEMA).parquet(input_dir)
+    from pyspark.sql import functions as F
+
+    out = interval_join_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon=horizon,
+        delay=delay,
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -181,3 +181,42 @@ def test_stateful_sessionize_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and got
+
+
+def test_stream_stream_interval_join_equals_batch(spark):
+    """Incremental view->purchase interval join across two drains equals
+    the batch interval join (streaming/windowed.py#interval_join_stream)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.streaming.windowed import interval_join_available
+
+    root = "/tmp/spark_graft_ssj_test"
+    shutil.rmtree(root, ignore_errors=True)
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    for b in (ev.filter(F.col("ts") < "2024-01-20"),
+              ev.filter(F.col("ts") >= "2024-01-20")):
+        b.coalesce(1).write.mode("append").parquet(root + "/in")
+        interval_join_available(spark, root + "/in", root + "/out", root + "/ckpt")
+    got = {
+        (int(r["view_id"]), int(r["purchase_id"]))
+        for r in spark.read.parquet(root + "/out").collect()
+    }
+    v = ev.filter("event_type = 'view'").select(
+        F.col("event_id").alias("view_id"), "user_id", F.col("ts").alias("v_ts")
+    )
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+    )
+    want = {
+        (int(r["view_id"]), int(r["purchase_id"]))
+        for r in v.join(
+            p,
+            (v.user_id == p.p_user)
+            & (p.p_ts >= v.v_ts)
+            & (p.p_ts <= v.v_ts + F.expr("interval 30 minutes")),
+        ).collect()
+    }
+    assert got == want and want
