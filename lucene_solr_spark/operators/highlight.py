@@ -39,13 +39,36 @@ def highlight(
     max_snippets: int = 2,
     pre: str = "<em>",
     post: str = "</em>",
+    rank_passages: bool = False,
 ) -> DataFrame:
     """Per-doc snippets for ``doc_ids``: (doc_id, n_hits, snippet) where
-    snippet joins up to ``max_snippets`` windows with ' ... '."""
+    snippet joins up to ``max_snippets`` windows with ' ... '.
+
+    ``rank_passages=False`` keeps the earliest-first greedy windows (the
+    engine row's pinned behavior). ``rank_passages=True`` is the
+    UnifiedHighlighter PassageScorer analog: candidate windows centered
+    on each hit are scored by the sum of the hit terms' idfs inside the
+    window (rarer query terms dominate passage choice), the top
+    ``max_snippets`` non-overlapping passages win (score desc, start asc
+    tie-break), and render in document order."""
     assert segment.has_table("positions"), "highlighting needs positions"
     q_terms = set(tokenize_text(query_text))
     if not q_terms or not doc_ids:
         return spark.createDataFrame([], _SCHEMA)
+    idf_by_term: dict[str, float] = {}
+    if rank_passages:
+        from . import bm25
+
+        stats = (
+            segment.table(spark, "terms")
+            .filter(F.col("term").isin(sorted(q_terms)))
+            .select("term", "df")
+            .collect()
+        )
+        n_docs = segment.stats.n_docs
+        idf_by_term = {
+            r["term"]: bm25.idf(n_docs, int(r["df"])) for r in stats
+        }
     rows = segment.table(spark, "positions").filter(
         F.col("doc_id").isin([int(d) for d in doc_ids])
     )
@@ -65,17 +88,42 @@ def highlight(
                 continue
             hits.sort()
             n = max(toks) + 1
-            # greedy non-overlapping windows, earliest-first (the reference's
-            # default passage order for equal scores)
-            spans: list[tuple[int, int]] = []
-            for h in hits:
-                lo, hi = max(0, h - window // 2), min(n - 1, h + window // 2)
-                if spans and lo <= spans[-1][1]:
-                    spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
-                else:
+            if rank_passages:
+                # PassageScorer analog: score candidate windows by summed
+                # idf of contained hits; top-N non-overlapping, rendered
+                # in doc order
+                hitset = set(hits)
+                cands: list[tuple[float, int, int]] = []
+                for h in hits:
+                    lo = max(0, h - window // 2)
+                    hi = min(n - 1, h + window // 2)
+                    sc = sum(
+                        idf_by_term.get(toks.get(p, ""), 0.0)
+                        for p in range(lo, hi + 1)
+                        if p in hitset
+                    )
+                    cands.append((sc, lo, hi))
+                cands.sort(key=lambda c: (-c[0], c[1]))
+                spans = []
+                for _, lo, hi in cands:
+                    if any(lo <= e and hi >= s for s, e in spans):
+                        continue
+                    spans.append((lo, hi))
                     if len(spans) == max_snippets:
                         break
-                    spans.append((lo, hi))
+                spans.sort()
+            else:
+                # greedy non-overlapping windows, earliest-first (the
+                # reference's default passage order for equal scores)
+                spans = []
+                for h in hits:
+                    lo, hi = max(0, h - window // 2), min(n - 1, h + window // 2)
+                    if spans and lo <= spans[-1][1]:
+                        spans[-1] = (spans[-1][0], max(spans[-1][1], hi))
+                    else:
+                        if len(spans) == max_snippets:
+                            break
+                        spans.append((lo, hi))
             parts = []
             for lo, hi in spans:
                 words = []

@@ -168,3 +168,39 @@ def test_match_docs_and_facet(spark, seg):
     assert got == want
     counts = [r["count"] for r in facets]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_ranked_passages_prefer_rare_dense_cluster(spark):
+    """UnifiedHighlighter PassageScorer analog: rank_passages=True picks
+    the window with the highest summed-idf hit density, not the earliest
+    hit; default mode keeps earliest-first (engine-row behavior pinned)."""
+    from lucene_solr_spark.operators.highlight import highlight
+    from lucene_solr_spark.operators.indexer import build_index
+
+    common, rare = "merge", "quasar"
+    filler = "alpha beta gamma delta epsilon zeta eta theta"
+    # doc 0: one early common hit, then a late dense cluster with the rare
+    # term; several other docs make 'quasar' rare and 'merge' common
+    text0 = (
+        f"{common} {filler} {filler} {filler} "
+        f"{rare} {common} {rare} {filler}"
+    )
+    rows = [("r", "d0", "c", "t", text0, 0)] + [
+        ("r", f"d{i}", "c", "t", f"{common} {filler}", i) for i in range(1, 6)
+    ]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    seg = build_index(spark, corpus, out_dir=None, bucket_docs=8,
+                      with_positions=True)
+    q = f"{common} {rare}"
+    ranked = highlight(
+        spark, seg, q, [0], window=5, max_snippets=1, rank_passages=True
+    ).collect()[0]
+    default = highlight(
+        spark, seg, q, [0], window=5, max_snippets=1
+    ).collect()[0]
+    assert rare in ranked["snippet"]           # dense rare cluster wins
+    assert rare not in default["snippet"]      # earliest-first stays put
+    assert "<em>" in ranked["snippet"] and ranked["n_hits"] == 4
