@@ -53,6 +53,42 @@ class TermStats:
     idf: float
 
 
+def osa_distance(a: str, b: str) -> int:
+    """Optimal string alignment distance — Levenshtein + adjacent
+    transposition, each substring transposed at most once. This is the
+    metric of Lucene's LevenshteinAutomata with transpositions=true
+    (FuzzyQuery's default), NOT unrestricted Damerau."""
+    la, lb = len(a), len(b)
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if (
+                i > 1
+                and j > 1
+                and a[i - 1] == b[j - 2]
+                and a[i - 2] == b[j - 1]
+            ):
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _osa_udf(query_term: str):
+    """Vectorized OSA distance to ``query_term`` (runs only on the
+    Levenshtein-pre-filtered sliver of the terms dict)."""
+    import pandas as pd
+
+    @F.pandas_udf("int")
+    def dist(terms):
+        return terms.map(lambda t: osa_distance(t, query_term)).astype("int32")
+
+    return dist
+
+
 def _apply_term_patterns(t, prefix, wildcard, fuzzy, regexp, term_range):
     """Shared MultiTermQuery predicate set over a terms-dict DataFrame
     (used by Searcher.expand_terms and MultiSearcher.expand_terms)."""
@@ -63,8 +99,25 @@ def _apply_term_patterns(t, prefix, wildcard, fuzzy, regexp, term_range):
             F.col("term").like(wildcard.replace("*", "%").replace("?", "_"))
         )
     if fuzzy is not None:
-        term, max_edits = fuzzy
-        t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        # FuzzyQuery (search/FuzzyQuery.java): Lucene's metric is OSA
+        # (Damerau with transpositions, the LevenshteinAutomata default,
+        # transpositions=true). 2-tuple keeps the legacy plain-Levenshtein
+        # behavior; 3-tuple (term, max_edits, True) enables transpositions:
+        # a sound JVM-side Levenshtein pre-filter (osa <= lev <= 2*osa, so
+        # lev <= 2k contains every osa <= k term) narrows the dictionary
+        # before the exact OSA check runs vectorized on the sliver.
+        if len(fuzzy) == 3:
+            term, max_edits, transpositions = fuzzy
+        else:
+            term, max_edits = fuzzy
+            transpositions = False
+        if not transpositions:
+            t = t.filter(F.levenshtein(F.col("term"), F.lit(term)) <= max_edits)
+        else:
+            t = t.filter(
+                F.levenshtein(F.col("term"), F.lit(term)) <= 2 * max_edits
+            )
+            t = t.filter(_osa_udf(term)(F.col("term")) <= max_edits)
     if regexp is not None:
         t = t.filter(F.col("term").rlike(regexp))
     if term_range is not None:

@@ -372,6 +372,35 @@ def bloom_term_pruning(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# FuzzyQuery with transpositions — search/FuzzyQuery.java: Lucene's
+# default metric is OSA (Damerau restricted to one transposition per
+# substring, LevenshteinAutomata transpositions=true), under which
+# 'mrege' is ONE edit from 'merge' where plain Levenshtein counts two.
+# Engine: sound lev <= 2k JVM-side pre-filter over the terms dict, exact
+# vectorized OSA on the sliver (search.py#osa_distance). Oracle: DuckDB's
+# damerau_levenshtein (identical to OSA on this vocabulary).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fuzzy_transpositions_terms",
+    f"""WITH t AS (SELECT DISTINCT unnest({duckdb_tokenize_sql('text')}) AS term
+           FROM documents)
+SELECT term FROM t WHERE damerau_levenshtein(term, 'mrege') <= 1
+ORDER BY term""",
+)
+def fuzzy_transpositions_terms(spark, sf_dir):
+    """Terms within OSA distance 1 of the transposed probe 'mrege'."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    terms = s.expand_terms(fuzzy=("mrege", 1, True))
+    return spark.createDataFrame(
+        [(t,) for t in sorted(terms)], "term string"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stream-stream event-time interval join (streaming/windowed.py
 # #interval_join_stream): views join the same user's purchases landing
 # within 30 minutes after the view, both sides watermarked so join state

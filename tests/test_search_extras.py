@@ -204,3 +204,25 @@ def test_ranked_passages_prefer_rare_dense_cluster(spark):
     assert rare in ranked["snippet"]           # dense rare cluster wins
     assert rare not in default["snippet"]      # earliest-first stays put
     assert "<em>" in ranked["snippet"] and ranked["n_hits"] == 4
+
+
+def test_fuzzy_transpositions_osa(spark):
+    """FuzzyQuery transpositions=true: OSA metric (Lucene default) — a
+    transposed probe finds the term plain Levenshtein misses; the 2-tuple
+    legacy form stays plain-Levenshtein (engine rows pinned)."""
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher, osa_distance
+
+    assert osa_distance("mrege", "merge") == 1
+    assert osa_distance("ca", "abc") == 3  # OSA, not unrestricted Damerau
+    rows = [("r", f"d{i}", "c", "t", txt, i) for i, txt in enumerate(
+        ["merge sort data", "marge likes tables", "purge the cache"]
+    )]
+    corpus = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    s = Searcher(spark, build_index(spark, corpus, out_dir=None, bucket_docs=8))
+    assert s.expand_terms(fuzzy=("mrege", 1)) == []
+    assert s.expand_terms(fuzzy=("mrege", 1, True)) == ["merge"]
+    assert sorted(s.expand_terms(fuzzy=("marge", 1, True))) == ["marge", "merge"]
