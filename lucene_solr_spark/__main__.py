@@ -40,13 +40,20 @@ def _build(args) -> int:
         corpus = documents_as_corpus(spark, args.input)
     else:
         corpus = stamp_sha256(spark.read.parquet(args.input))
+    synonyms = None
+    if args.synonyms:
+        from .functions.synonyms import parse_synonym_rules
+
+        with open(args.synonyms) as fh:
+            synonyms = parse_synonym_rules(fh.read().splitlines())
     seg = build_index(
         spark,
         corpus,
         out_dir=args.out,
         segment_id=args.segment_id,
         bucket_docs=args.bucket_docs,
-        with_positions=args.positions,
+        with_positions=args.positions or synonyms is not None,
+        synonyms=synonyms,
     )
     if args.commit:
         Catalog(args.out).commit_swap(add=[seg.segment_id])
@@ -159,6 +166,9 @@ def main(argv: list[str] | None = None) -> int:
                         "any table with (repo,path,commit,lang,content)")
     b.add_argument("--segment-id", default=None)
     b.add_argument("--bucket-docs", type=int, default=8192)
+    b.add_argument("--synonyms", default=None,
+                   help="synonyms.txt (Solr format) for index-time "
+                        "SynonymGraphFilter injection (implies --positions)")
     b.add_argument("--positions", action="store_true",
                    help="store positional postings (phrase/span queries)")
     b.add_argument("--no-commit", dest="commit", action="store_false",

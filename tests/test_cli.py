@@ -124,3 +124,18 @@ def test_cli_facet(spark, capsys):
     assert rc == 0
     rows = _lines(capsys)
     assert rows and all({"lang", "count", "avg_len"} <= set(r) for r in rows)
+
+
+def test_cli_build_with_synonyms(spark, tmp_path, capsys):
+    syn = tmp_path / "syn.txt"
+    syn.write_text("spark, big data\n")
+    idx = str(tmp_path / "idx")
+    rc = main(["build", "--input", SF, "--out", idx,
+               "--synonyms", str(syn), "--segment-id", "syn0"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["search", "--index", idx, "--query", '"big data"', "--k", "3"])
+    assert rc == 0
+    rows = _lines(capsys)
+    # graph survives the on-disk round-trip: expansion docs match
+    assert len(rows) == 3 and rows[0]["doc_id"] == 276
