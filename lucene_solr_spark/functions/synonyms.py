@@ -30,6 +30,37 @@ from __future__ import annotations
 
 import numpy as np
 
+# Fresh-node id scheme: injected internal boundary nodes are addressed as
+#   FRESH_BASE + site*_OUT_SLOTS*_CHAIN + out_idx*_CHAIN + (chain_pos - 1)
+# so any consumer can recover, from the START node alone, the injection
+# site and the token's chain position — i.e. the position Lucene's
+# FlattenGraphFilter would assign (site + chain_pos, the classic
+# "sausage"). That keeps exact matching lossless (path-chaining over
+# unique node ids) while giving sloppy/highlight paths a faithful
+# flattened view (see flatten_starts).
+#
+# Bounds (explicit, erroring — not silently wrong): docs are limited to
+# FRESH_BASE tokens (Lucene itself caps positions at IndexWriter.MAX_POSITION),
+# a site to _OUT_SLOTS fresh-allocating outputs, an output to _CHAIN+1 tokens.
+FRESH_BASE = 1 << 21
+_OUT_SLOTS = 16
+_CHAIN = 16
+
+
+def flatten_starts(starts: np.ndarray) -> np.ndarray:
+    """Start nodes -> FlattenGraphFilter-style positions: an original (or
+    first-of-chain) token keeps its boundary position; the j-th token of an
+    injected chain lands at site + j. Lossy by design — this is the view
+    Lucene indexes after flattening, used here ONLY where exact graph
+    matching is impossible (slop>0, multi-phrase, highlighting)."""
+    starts = np.asarray(starts, dtype=np.int64)
+    rel = starts - FRESH_BASE
+    return np.where(
+        starts < FRESH_BASE,
+        starts,
+        rel // (_OUT_SLOTS * _CHAIN) + rel % _CHAIN + 1,
+    )
+
 
 class SynonymRules:
     """Compiled synonym rules: first-input-token -> [(input_tuple, outputs)],
@@ -94,10 +125,14 @@ def apply_synonym_graph(
     outputs keep internal adjacency without colliding with original
     positions."""
     n = len(tokens)
+    if n >= FRESH_BASE:
+        raise ValueError(
+            f"doc has {n} tokens >= FRESH_BASE ({FRESH_BASE}); synonym-graph "
+            "indexing caps per-doc positions (IndexWriter.MAX_POSITION analog)"
+        )
     terms: list[str] = []
     starts: list[int] = []
     ends: list[int] = []
-    fresh = n + 1
     i = 0
     while i < n:
         rule = None
@@ -115,6 +150,7 @@ def apply_synonym_graph(
             i += 1
             continue
         inp, outs, L = rule
+        out_idx = 0  # fresh-allocating outputs at this site
         for out in outs:
             if not out:
                 continue
@@ -126,15 +162,27 @@ def apply_synonym_graph(
                     ends.append(i + j + 1)
                 continue
             m = len(out)
+            if m > 1:
+                if m - 1 > _CHAIN:
+                    raise ValueError(
+                        f"synonym output {out} longer than {_CHAIN + 1} tokens"
+                    )
+                if out_idx >= _OUT_SLOTS:
+                    raise ValueError(
+                        f"more than {_OUT_SLOTS} multi-token outputs at one site"
+                    )
             prev = i
             for j, t in enumerate(out):
-                nxt = i + L if j == m - 1 else fresh
-                if j != m - 1:
-                    fresh += 1
+                if j == m - 1:
+                    nxt = i + L
+                else:
+                    nxt = FRESH_BASE + (i * _OUT_SLOTS + out_idx) * _CHAIN + j
                 terms.append(t)
                 starts.append(prev)
                 ends.append(nxt)
                 prev = nxt
+            if m > 1:
+                out_idx += 1
         i += L
     s = np.asarray(starts, dtype=np.int64)
     e = np.asarray(ends, dtype=np.int64)

@@ -74,20 +74,38 @@ def highlight(
     )
 
     def _one_doc(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.synonyms import FRESH_BASE, flatten_starts
+
+        graph = "end_bin" in pdf.columns and pdf["end_bin"].notna().any()
         out = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
             toks: dict[int, str] = {}
             hits: list[int] = []
             for r in g.itertuples():
                 pos = delta_decode(unpack_ints(r.pos_bin)).astype(np.int64)
-                for p in pos:
-                    toks[int(p)] = r.term
-                if r.term in q_terms:
-                    hits.extend(int(p) for p in pos)
-            if not hits:
+                if graph:
+                    # synonym-graph index: rebuild the DISPLAY stream from
+                    # fully original-boundary edges only (injected chain
+                    # tokens sit on fresh nodes and are not document text);
+                    # hits use flattened positions so a synonym match
+                    # highlights the region of the original token it spans.
+                    ends = unpack_ints(r.end_bin).astype(np.int64)
+                    for p, e in zip(pos, ends):
+                        if p < FRESH_BASE and e < FRESH_BASE:
+                            toks[int(p)] = r.term
+                    if r.term in q_terms:
+                        hits.extend(int(x) for x in flatten_starts(pos))
+                else:
+                    for p in pos:
+                        toks[int(p)] = r.term
+                    if r.term in q_terms:
+                        hits.extend(int(p) for p in pos)
+            if not hits or not toks:
                 continue
-            hits.sort()
             n = max(toks) + 1
+            # clamp: flattened chain positions can run past the original
+            # token range when an injected output is longer than its input
+            hits = sorted(min(h, n - 1) for h in hits)
             if rank_passages:
                 # PassageScorer analog: score candidate windows by summed
                 # idf of contained hits; top-N non-overlapping, rendered

@@ -31,11 +31,28 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.packing import delta_decode, unpack_ints
+from ..functions.packing import delta_decode, pack_ints, unpack_ints
 from ..sources.catalog import Catalog, Segment, new_segment_id
 from .indexer import DEFAULT_BUCKET_DOCS, assemble_segment, assign_doc_ids
 
 _DECODED_SCHEMA = "doc_id long, term string, freq int, norm_byte int"
+
+
+def _ends_from_starts_udf():
+    """end_bin for a PLAIN (non-graph) positions row: every token is the
+    trivial edge (i -> i+1), so ends = starts + 1. Used when merging a
+    plain segment into a synonym-graph index so the merged segment stays
+    graph-aware. (Built lazily: pandas_udf needs an active session to
+    parse its return type.)"""
+
+    def one(b):
+        starts = delta_decode(unpack_ints(b)).astype(np.uint64)
+        return pack_ints(starts + np.uint64(1))
+
+    def _map(pos_bin):
+        return pos_bin.map(one)
+
+    return F.pandas_udf(_map, "binary")
 
 
 def decode_postings(postings: DataFrame) -> DataFrame:
@@ -95,8 +112,12 @@ def merge_segments(
     deletes = catalog.deletes(spark) if catalog else None
     has_pos = all(s.has_table("positions") for s in segments)
     # synonym-graph indexes carry token-graph end nodes (indexer.py) — the
-    # payloads are doc-relative like pos_bin, so they ride the merge intact
-    has_graph = has_pos and all(
+    # payloads are doc-relative like pos_bin, so they ride the merge intact.
+    # ANY graph segment makes the merged segment graph-aware: a plain
+    # segment's tokens are the trivial edges (i -> i+1), so end_bin is
+    # synthesized for it (silently dropping end_bin while keeping fresh
+    # start nodes would corrupt phrase semantics on the merged segment).
+    has_graph = has_pos and any(
         "end_bin" in s.table(spark, "positions").columns for s in segments
     )
 
@@ -107,7 +128,12 @@ def merge_segments(
             "_seg_order", F.lit(order)
         )
         if has_pos:
-            pos = seg.table(spark, "positions").select(
+            pos_tbl = seg.table(spark, "positions")
+            if has_graph and "end_bin" not in pos_tbl.columns:
+                pos_tbl = pos_tbl.withColumn(
+                    "end_bin", _ends_from_starts_udf()(F.col("pos_bin"))
+                )
+            pos = pos_tbl.select(
                 "term", "doc_id", "pos_bin",
                 *(["end_bin"] if has_graph else []),
             ).withColumn("_seg_order", F.lit(order))

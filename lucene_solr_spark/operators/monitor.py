@@ -105,7 +105,10 @@ def _matches(node, toks: list[str], tokset: set[str]) -> bool:
             0 if (node.must or node.filter) else 1
         )
         return n >= need
-    return bool(node.must or node.filter or node.must_not)
+    # Lucene semantics at EVERY depth: a BooleanQuery whose only clauses
+    # are must_not matches nothing (Solr's *:* rewrite of pure-negative
+    # queries is a top-level parser convenience, not query semantics).
+    return bool(node.must or node.filter)
 
 
 class Monitor:

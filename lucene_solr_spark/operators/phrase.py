@@ -164,10 +164,22 @@ def bucket_phrase_freqs(
     elif slop == 0:
         ids, freqs = _exact_freqs(per_term, offsets_by_term)
     else:
-        # on a synonym-graph index the sloppy matcher runs over start nodes
-        # (the flattened view — same approximation Lucene accepts via
-        # FlattenGraphFilter for everything, here confined to slop>0)
-        ids, freqs = _sloppy_freqs(per_term, offsets_by_term, slop)
+        if graph:
+            # on a synonym-graph index the sloppy matcher runs over the
+            # FLATTENED positions (FlattenGraphFilter view: injected chain
+            # token j lands at site + j, derived from the site-addressed
+            # fresh-node ids — functions/synonyms.py#flatten_starts), the
+            # same approximation Lucene accepts for everything, here
+            # confined to slop>0. Raw fresh-node ids would create spurious
+            # adjacencies between unrelated injection sites.
+            from ..functions.synonyms import flatten_starts
+
+            per_term = {
+                t: (docs, flatten_starts(pos_all), lens)
+                for t, (docs, pos_all, lens) in per_term.items()
+            }
+        # flattened per-doc slices are not necessarily sorted -> resort
+        ids, freqs = _sloppy_freqs(per_term, offsets_by_term, slop, resort=graph)
     if ids.size == 0:
         return empty
     norms = np.array([norm_by_doc[int(d)] for d in ids], dtype=np.uint8)
@@ -381,10 +393,13 @@ def _sloppy_freqs(
     per_term: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]],
     offsets_by_term: dict[str, list[int]],
     slop: int,
+    resort: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Per-candidate-doc sloppy freq (fractional), repeats included.
     Candidates are the conjunction of all distinct phrase terms — already
-    filtered by the caller."""
+    filtered by the caller. ``resort``: sort each per-doc leg (needed when
+    the caller substituted flattened graph positions, which are not
+    monotone in emission order)."""
     # leg layout: one leg per phrase position, in phrase-offset order;
     # legs of a repeated term share the raw position array
     leg_specs = sorted(
@@ -404,7 +419,10 @@ def _sloppy_freqs(
         starts = np.zeros(lens.size + 1, dtype=np.int64)
         np.cumsum(lens, out=starts[1:])
         for j, d in enumerate(docs):
-            by_doc.setdefault(int(d), {})[t] = pos_all[starts[j] : starts[j + 1]]
+            leg = pos_all[starts[j] : starts[j + 1]]
+            if resort:
+                leg = np.sort(leg)
+            by_doc.setdefault(int(d), {})[t] = leg
     n_terms = len(offsets_by_term)
     ids, freqs = [], []
     for d, raw_by_term in by_doc.items():
@@ -580,6 +598,17 @@ def bucket_multi_phrase_freqs(
         )
         for d, nb in zip(docs, g["norm_byte"].to_numpy()):
             norm_by_doc[int(d)] = int(nb)
+
+    # On a synonym-graph index, MultiPhraseQuery runs over the FLATTENED
+    # positions (Lucene indexes the flattened graph for multi-phrase too);
+    # both kernels re-sort/unique per leg, so substitution is enough.
+    if "end_bin" in sub.columns and sub["end_bin"].notna().any():
+        from ..functions.synonyms import flatten_starts
+
+        per_term = {
+            t: (d_, flatten_starts(p_), l_)
+            for t, (d_, p_, l_) in per_term.items()
+        }
 
     if slop == 0:
         ids, freqs = _multi_exact_freqs(per_term, slots)

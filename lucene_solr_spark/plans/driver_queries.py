@@ -896,13 +896,19 @@ def complement_anti_join(spark, sf_dir):
 @register(
     "hash_join_enrich",
     """SELECT n.n_name AS nation, count(*) AS n_customers,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_bal
+       round(sum(c.c_acctbal), 2) AS sum_bal
 FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 GROUP BY 1 ORDER BY 1""",
 )
 def hash_join_enrich(spark, sf_dir):
     """hashJoin stream (solrj/io/stream/HashJoinStream.java): broadcast hash
-    join against the small dimension — F.broadcast is the explicit analog."""
+    join against the small dimension — F.broadcast is the explicit analog.
+
+    No decimal anywhere in the output row: the driver hashes cell
+    representations, and Decimal('…30') != float …3 even when the values
+    are exactly equal.  Both engines emit round(sum, 2) as DOUBLE — exact
+    to the cent at these magnitudes.
+    """
     c = _read(spark, sf_dir, "customer")
     n = _read(spark, sf_dir, "nation")
     return (
@@ -910,11 +916,8 @@ def hash_join_enrich(spark, sf_dir):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.count("*").alias("n_customers"),
-            # Cast AFTER the agg: Spark widens sum(decimal(18,2)) to
-            # decimal(28,2) while the oracle pins DECIMAL(18,2); the outer
-            # cast makes the result types (not just values) identical.
-            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
-            .cast("decimal(18,2)")
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,2)")), 2)
+            .cast("double")
             .alias("sum_bal"),
         )
         .orderBy("nation")

@@ -139,9 +139,23 @@ def span_freq_toks(node, toks: list[str]) -> float:
 
 
 def _span_terms(node) -> set[str]:
-    from lucene_solr_spark.operators.spans import scoring_terms
-
-    return scoring_terms(node)
+    """INDEPENDENT restatement of the scoring-terms rule (SpanWeight#
+    buildSimWeight: every clause term scores EXCEPT a SpanNot's exclusion
+    side, which gates matches but contributes no idf). Deliberately not
+    imported from the engine — the oracle must be able to catch a bug in
+    operators/spans.py#scoring_terms."""
+    if isinstance(node, SpanTerm):
+        return {node.term}
+    if isinstance(node, SpanFirst):
+        return _span_terms(node.clause)
+    if isinstance(node, SpanNot):
+        return _span_terms(node.include)
+    if isinstance(node, (SpanContaining, SpanWithin)):
+        return _span_terms(node.big) | _span_terms(node.little)
+    out: set[str] = set()
+    for c in node.clauses:
+        out |= _span_terms(c)
+    return out
 
 
 def topk_span(ora: OracleIndex, node, k: int = 10) -> list[tuple[int, float]]:

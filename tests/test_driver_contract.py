@@ -30,6 +30,8 @@ def _duck(sf_dir: str):
 
 def _normalize(rows, cols):
     # sort columns by name (driver semantics), then rows
+    import decimal
+
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -41,6 +43,12 @@ def _normalize(rows, cols):
                     v = "nan"
                 else:
                     v = round(v, 9)
+            elif isinstance(v, decimal.Decimal):
+                # The driver hashes cell REPRESENTATIONS: Decimal('1.30')
+                # vs float 1.3 is a mismatch there even though the values
+                # are equal, so the mirror must compare representations
+                # too (do not normalize decimals to float).
+                v = ("dec", str(v))
             vals.append(v)
         out.append(tuple(vals))
     out.sort(key=lambda t: tuple(str(x) for x in t))
@@ -65,17 +73,8 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.execute(entry_mod.oracle_sql()[name])
     d_cols = [c[0] for c in res.description]
     d_rows = [tuple(r) for r in res.fetchall()]
-    # decimals -> float for comparison symmetry
-    import decimal
-
-    def conv(rows):
-        return [
-            tuple(float(v) if isinstance(v, decimal.Decimal) else v for v in r)
-            for r in rows
-        ]
-
-    sc, sr = _normalize(conv(s_rows), s_cols)
-    dc, dr = _normalize(conv(d_rows), d_cols)
+    sc, sr = _normalize(s_rows, s_cols)
+    dc, dr = _normalize(d_rows, d_cols)
     assert sc == dc, f"{name}: column mismatch {sc} vs {dc}"
     assert len(sr) == len(dr), f"{name}: row count {len(sr)} vs {len(dr)}"
     assert sr == dr, f"{name}: first diff: " + str(

@@ -63,3 +63,23 @@ def test_trigger_pruning_is_lossless(spark):
 def test_unsupported_leaf_raises(spark):
     with pytest.raises(ValueError, match="multi-term"):
         Monitor([("w", "mer*")])
+
+
+def test_pure_negative_query_matches_nothing(spark):
+    # Lucene Monitor semantics: a BooleanQuery whose only clauses are
+    # must_not matches NO document, at any nesting depth (ADVICE r03 —
+    # previously '-merge' percolated as matching every doc lacking it)
+    res = _percolate(spark, [("neg", "-merge"), ("pos", "batch")])
+    assert "neg" not in res
+    assert res["pos"] == {3}
+
+
+def test_nested_pure_negative_clause():
+    # the nested pure-negative never matches -> the conjunction fails
+    from lucene_solr_spark.operators.monitor import Bool, Term
+
+    node = Bool(
+        must=(Term("spark"), Bool(must_not=(Term("merge"),))),
+    )
+    toks = ["spark", "rocks"]
+    assert _matches(node, toks, set(toks)) is False

@@ -221,3 +221,109 @@ def test_plain_index_unchanged(spark, seg_syn):
     # and the no-graph phrase result still works through the same kernel
     hits = _hits(phrase_topk(spark, plain, "ny subway", k=10))
     assert set(hits) == {2}
+
+
+# ---------- flattened-position semantics (slop>0 / highlight / merge) ----------
+
+EXP_RULES = parse_synonym_rules(["spark, big data"])
+
+
+def _mini_seg(spark, texts):
+    rows = [
+        ("r", f"m{i}.txt", "c0", "text", t, i) for i, t in enumerate(texts)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    return build_index(
+        spark, df, out_dir=None, bucket_docs=4, with_positions=True,
+        synonyms=EXP_RULES,
+    )
+
+
+def test_flatten_starts_unit():
+    from lucene_solr_spark.functions.synonyms import FRESH_BASE, flatten_starts
+
+    t, s, _ = apply_synonym_graph("spark x y z spark".split(), EXP_RULES)
+    flat = flatten_starts(s)
+    by_term: dict[str, list[int]] = {}
+    for term, f in zip(t, flat.tolist()):
+        by_term.setdefault(term, []).append(f)
+    # injected chains land at site + chain_pos (FlattenGraphFilter sausage)
+    assert sorted(by_term["big"]) == [0, 4]
+    assert sorted(by_term["data"]) == [1, 5]
+    assert sorted(by_term["spark"]) == [0, 4]
+    # and originals are untouched
+    assert by_term["x"] == [1] and by_term["z"] == [3]
+    # fresh nodes are site-addressed above FRESH_BASE
+    assert all(x < FRESH_BASE for x in flat.tolist())
+
+
+def test_sloppy_no_cross_site_adjacency(spark):
+    # ADVICE r03: with raw sequential fresh ids, the two injected 'data'
+    # tokens of distant sites were ADJACENT in id space and "data data"~1
+    # matched doc 'spark x y z spark'. Flattened positions (1 and 5) must
+    # not match at slop 1.
+    seg = _mini_seg(spark, ["spark x y z spark"])
+    assert phrase_topk(spark, seg, "data data", k=10, slop=1).count() == 0
+    # sanity: the pair DOES match once the slop covers the real distance
+    # (adjusted gap |(5-1) - 1| = 3)
+    assert phrase_topk(spark, seg, "data data", k=10, slop=3).count() == 1
+
+
+def test_sloppy_flattened_keeps_region_matches(spark):
+    # the converse miss: injected 'data' sits AT its site region, so a
+    # sloppy phrase pairing it with the next original token must match
+    # (raw fresh ids were far from the region and missed it)
+    seg = _mini_seg(spark, ["spark fast"])
+    assert phrase_topk(spark, seg, "data fast", k=10, slop=1).count() == 1
+
+
+def test_merge_mixed_graph_and_plain_segments(spark):
+    # ADVICE r03: merging a graph segment with a PLAIN segment silently
+    # dropped end_bin while keeping fresh start nodes. The merge must stay
+    # graph-aware (trivial edges synthesized for the plain side).
+    from lucene_solr_spark.operators.merge import merge_segments
+
+    seg_g = _mini_seg(spark, ["spark pipelines"])
+    plain_rows = [("r", "p0.txt", "c0", "text", "big data pipelines", 50)]
+    plain_df = spark.createDataFrame(
+        plain_rows,
+        "repo string, path string, commit string, lang string, content string, doc_id long",
+    )
+    seg_p = build_index(
+        spark, plain_df, out_dir=None, bucket_docs=4, with_positions=True
+    )
+    merged = merge_segments(spark, [seg_g, seg_p], out_dir=None)
+    assert "end_bin" in merged.table(spark, "positions").columns
+    # graph path still matches the injected doc AND the literal doc
+    assert phrase_topk(spark, merged, "big data", k=10).count() == 2
+    # both docs match the trigram: the plain doc literally, the graph doc
+    # via the injected chain big->data ending where 'pipelines' starts
+    assert phrase_topk(spark, merged, "big data pipelines", k=10).count() == 2
+    # and a phrase ABSENT from both graphs stays absent (no spurious
+    # adjacency from the synthesized trivial edges)
+    assert phrase_topk(spark, merged, "pipelines big", k=10).count() == 0
+
+
+def test_highlight_on_graph_index(spark, seg_syn):
+    # highlighting a synonym hit: injected 'ny' spans the 'new york'
+    # region; snippet must render ORIGINAL document tokens only (no
+    # injected chain terms from fresh nodes) and positions stay in range
+    from lucene_solr_spark.operators.highlight import highlight
+
+    res = {
+        int(r["doc_id"]): r
+        for r in highlight(spark, seg_syn, "subway", [1, 2], window=5).collect()
+    }
+    assert res[1]["n_hits"] == 2 and res[2]["n_hits"] == 1
+    # doc 2 is literal text "ny subway map of the ny region"
+    assert "<em>subway</em>" in res[2]["snippet"]
+    # a query for the INJECTED side highlights the original region too
+    res1 = {
+        int(r["doc_id"]): r
+        for r in highlight(spark, seg_syn, "usa", [5, 6], window=3).collect()
+    }
+    assert 6 in res1 and res1[6]["n_hits"] >= 1
+    assert 5 in res1  # 'united states' doc: usa injected at site 0
