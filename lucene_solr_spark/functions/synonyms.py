@@ -77,6 +77,65 @@ class SynonymRules:
         return bool(self.by_first)
 
 
+def expand_query_synonyms(terms: list[str], rules: SynonymRules):
+    """QUERY-TIME SynonymGraphFilter analog — the common Solr deployment
+    (apply the rules in the query analyzer so synonyms change without
+    reindexing). The analyzed query token sequence is scanned greedy
+    leftmost-longest (same matcher as the index-time path); each match
+    site rewrites to:
+
+      * single-token outputs -> ONE ``Synonym`` leaf (SynonymQuery.java
+        semantics: blended df = max over members, freq = sum — built by
+        Lucene's QueryBuilder for same-position alternatives),
+      * multi-token outputs  -> a ``Phrase`` leaf each (QueryBuilder's
+        graph phrase branch),
+      * several alternatives -> an OR ``Bool`` over those leaves.
+
+    Unmatched tokens stay plain ``Term`` leaves; multiple sites combine as
+    SHOULD clauses (default-OR operator). Returns a query.py IR node ready
+    for Searcher.topk_query."""
+    from ..operators.query import Bool, Phrase, Synonym, Term
+
+    sites: list = []
+    i, n = 0, len(terms)
+    while i < n:
+        rule = None
+        cands = rules.by_first.get(terms[i])
+        if cands:
+            for inp, outs in cands:
+                L = len(inp)
+                if i + L <= n and tuple(terms[i : i + L]) == inp:
+                    rule = (inp, outs, L)
+                    break
+        if rule is None:
+            sites.append(Term(terms[i]))
+            i += 1
+            continue
+        inp, outs, L = rule
+        singles = sorted({o[0] for o in outs if len(o) == 1})
+        multis = [o for o in outs if len(o) > 1]
+        parts: list = []
+        if singles:
+            parts.append(
+                Synonym(tuple(singles)) if len(singles) > 1 else Term(singles[0])
+            )
+        parts.extend(Phrase(tuple(m)) for m in multis)
+        if not parts:
+            i += L
+            continue
+        sites.append(parts[0] if len(parts) == 1 else Bool(should=tuple(parts)))
+        i += L
+    if not sites:
+        from ..operators.query import Bool as _B
+
+        return _B()
+    if len(sites) == 1:
+        return sites[0]
+    from ..operators.query import Bool as _B
+
+    return _B(should=tuple(sites))
+
+
 def parse_synonym_rules(lines: list[str], expand: bool = True) -> SynonymRules:
     """Solr synonyms.txt format. ``"a b => c"`` replaces input with outputs;
     ``"x, y z"`` is an equivalence set — with expand=True every member maps

@@ -355,6 +355,21 @@ class Searcher:
             )
         return hits
 
+    def search_synonyms(
+        self, query_text: str, rules, k: int = 10, fq: str | None = None
+    ) -> DataFrame:
+        """QUERY-TIME synonym search (SynonymGraphFilter in the query
+        analyzer — the deployment that lets synonyms change without
+        reindexing): the analyzed query rewrites through ``rules``
+        (functions/synonyms.py#expand_query_synonyms) into Synonym /
+        Phrase / Term leaves, then runs the ordinary Boolean-tree scorer
+        against this PLAIN index."""
+        from ..functions.analysis import tokenize_text
+        from ..functions.synonyms import expand_query_synonyms
+
+        node = expand_query_synonyms(tokenize_text(query_text), rules)
+        return self.topk_query(node, k=k, fq=fq)
+
     def topk_multi_phrase(self, slots: list, k: int = 10, slop: int = 0) -> DataFrame:
         """MultiPhraseQuery (search/MultiPhraseQuery.java): slot i of the
         phrase accepts any member of ``slots[i]``; ``slop`` enables sloppy

@@ -1426,6 +1426,25 @@ def multisearcher_engine_topk(spark, sf_dir):
 _DM_ENGINE_CACHE: dict = {}
 
 
+def _title_segment(spark, sf_dir):
+    """The shared first-5-token 'title' field segment (one per sf_dir),
+    used by the dismax/fielded/edismax engine rows."""
+    if sf_dir not in _DM_ENGINE_CACHE:
+        from ..corpus import documents_as_corpus
+        from ..operators.indexer import build_index
+
+        docs = documents_as_corpus(spark, sf_dir)
+        title_content = _tokens(spark, sf_dir).select(
+            "doc_id",
+            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
+        )
+        title = docs.drop("content", "content_sha256").join(
+            title_content, "doc_id"
+        )
+        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    return _DM_ENGINE_CACHE[sf_dir]
+
+
 @register(
     "dismax_engine_topk",
     f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),

@@ -200,8 +200,6 @@ def ltr_rerank(spark, sf_dir):
     from norms, n_chars from doc values) — extraction is a narrow join on
     the top-N doc ids only, never a corpus scan per feature.
     """
-    from pyspark.sql import Window
-
     toks = _toks_flat(spark, sf_dir)
     feat = toks.groupBy("doc_id").agg(
         F.sum(F.when(F.col("term") == "stream", 1).otherwise(0)).alias("tf_stream"),
@@ -209,12 +207,14 @@ def ltr_rerank(spark, sf_dir):
         F.count("*").alias("dl"),
     )
     docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    w = Window.orderBy(F.desc("tf_stream"), F.asc("doc_id"))
+    # first-pass window selection as TakeOrderedAndProject (distributed),
+    # not a global row_number window (single-partition at scale); the
+    # selected set and order are identical to the oracle's rnk <= N
     fp = (
         feat.join(docs, "doc_id")
         .filter(F.col("tf_stream") > 0)
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _LTR_N)
+        .orderBy(F.desc("tf_stream"), F.asc("doc_id"))
+        .limit(_LTR_N)
     )
     return (
         fp.select(
