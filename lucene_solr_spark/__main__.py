@@ -72,14 +72,55 @@ def _build(args) -> int:
 
 
 def _search(args) -> int:
-    from .operators.search import MultiSearcher
+    from .operators.search import MultiSearcher, Searcher
     from .session import get_spark
     from .sources.catalog import Catalog
 
     spark = get_spark(app_name="fulltext-search")
-    ms = MultiSearcher.from_catalog(spark, Catalog(args.index))
-    rows = ms.search(args.query, k=args.k, fq=args.fq).collect()
-    for r in rows:
+    cat = Catalog(args.index)
+    if getattr(args, "deftype", "lucene") == "edismax":
+        # eDisMax request (ExtendedDismaxQParser analog): the catalog's
+        # single field is addressed as 'content' in qf/pf specs
+        from .operators.edismax import edismax_topk
+
+        segs = cat.segments()
+        if len(segs) != 1:
+            print(
+                json.dumps({"error": "edismax CLI needs one segment; run merge"}),
+                file=sys.stderr,
+            )
+            return 2
+        params = {
+            "q": args.query,
+            "qf": args.qf or "content",
+            "tie": args.tie,
+            "mm": args.mm,
+        }
+        if args.pf:
+            params["pf"] = args.pf
+        if args.ps:
+            params["ps"] = args.ps
+        hits = edismax_topk(spark, {"content": segs[0]}, params, k=args.k)
+    elif getattr(args, "synonyms", None):
+        # query-time synonym expansion against the plain index
+        from .functions.synonyms import parse_synonym_rules
+
+        segs = cat.segments()
+        if len(segs) != 1:
+            print(
+                json.dumps({"error": "synonym CLI needs one segment; run merge"}),
+                file=sys.stderr,
+            )
+            return 2
+        with open(args.synonyms) as f:
+            rules = parse_synonym_rules(f.read().splitlines())
+        hits = Searcher(spark, segs[0]).search_synonyms(
+            args.query, rules, k=args.k, fq=args.fq
+        )
+    else:
+        ms = MultiSearcher.from_catalog(spark, cat)
+        hits = ms.search(args.query, k=args.k, fq=args.fq)
+    for r in hits.collect():
         print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
     return 0
 
@@ -183,6 +224,17 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fq", default=None,
                    help="filter query: SQL predicate over stored fields "
                         "(mask only — scores and stats untouched)")
+    s.add_argument("--deftype", default="lucene", choices=["lucene", "edismax"],
+                   help="query parser: classic (default) or edismax")
+    s.add_argument("--qf", default=None,
+                   help="edismax qf spec (field^boost ...; field = 'content')")
+    s.add_argument("--pf", default=None, help="edismax phrase-boost fields")
+    s.add_argument("--ps", default=None, help="edismax phrase slop for pf")
+    s.add_argument("--mm", default=None,
+                   help="edismax min-should-match spec (e.g. 2, -1, 75%%, '2<-25%%')")
+    s.add_argument("--tie", type=float, default=0.0, help="edismax tie-breaker")
+    s.add_argument("--synonyms", default=None,
+                   help="synonyms.txt for QUERY-TIME expansion (classic parser path)")
     s.set_defaults(func=_search)
 
     c = sub.add_parser("check", help="CheckIndex every committed segment")

@@ -98,6 +98,59 @@ def duckdb_tokenize_sql(text_expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Tokenizer VARIANTS (analysis/core/*Tokenizer.java) — the non-default
+# tokenizers a Solr schema can pick instead of the pinned standard spec.
+# All pure JVM-side Column expressions (no Python), each with a DuckDB
+# mirror so rows over them stay in the oracle gate.
+# ---------------------------------------------------------------------------
+
+
+def _txt(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def whitespace_tokens_col(text_col):
+    """WhitespaceTokenizer analog (analysis/core/WhitespaceTokenizer.java):
+    maximal runs of non-whitespace, case and punctuation preserved."""
+    c = _txt(text_col)
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda x: x != "")
+
+
+def whitespace_tokens_sql(text_expr: str) -> str:
+    return (
+        f"CASE WHEN trim({text_expr}) = '' THEN [] "
+        f"ELSE string_split_regex(trim({text_expr}), '\\s+') END"
+    )
+
+
+def letter_tokens_col(text_col):
+    """LetterTokenizer analog (analysis/core/LetterTokenizer.java): maximal
+    runs of letters (ASCII [A-Za-z] — the corpora are asserted-ASCII; the
+    reference uses Character.isLetter), case preserved."""
+    return F.regexp_extract_all(_txt(text_col), F.lit("[A-Za-z]+"), 0)
+
+
+def letter_tokens_sql(text_expr: str) -> str:
+    return f"regexp_extract_all({text_expr}, '[A-Za-z]+')"
+
+
+def keyword_tokens_col(text_col):
+    """KeywordTokenizer analog (analysis/core/KeywordTokenizer.java): the
+    whole input as ONE token; empty/null input emits none."""
+    c = _txt(text_col)
+    return F.when(
+        c.isNotNull() & (F.length(c) > 0), F.array(c)
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def keyword_tokens_sql(text_expr: str) -> str:
+    return (
+        f"CASE WHEN {text_expr} IS NULL OR {text_expr} = '' THEN [] "
+        f"ELSE [{text_expr}] END"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Additional analysis components (Lucene TokenFilter analogs) as pure
 # DataFrame column expressions — JVM-side, no Python.
 # ---------------------------------------------------------------------------

@@ -180,13 +180,16 @@ def edismax_topk(
     if not req and opt:
         mm_eff = max(mm_eff, 1)  # BooleanQuery: some SHOULD must match
 
-    # phrase-boost clauses: (field, terms, boost, offsets) in pinned order
+    # phrase-boost clauses: (field, terms, boost, slop) in pinned order;
+    # ps/ps2/ps3 set the slop of the corresponding phrase tier (edismax's
+    # phrase-slop params — SloppyPhraseMatcher semantics, fractional freq)
     phrase_terms = req + opt  # pf uses the sequence of scoring terms
-    pclauses: list[tuple[str, list[str], np.float32]] = []
-    for key, size in (("pf", 0), ("pf2", 2), ("pf3", 3)):
+    pclauses: list[tuple[str, list[str], np.float32, int]] = []
+    for key, size, ps_key in (("pf", 0, "ps"), ("pf2", 2, "ps2"), ("pf3", 3, "ps3")):
         spec = params.get(key)
         if not spec:
             continue
+        slop = int(params.get(ps_key, params.get("ps", 0)) or 0)
         seqs = (
             [phrase_terms] if size == 0 else _shingles(phrase_terms, size)
         )
@@ -197,7 +200,7 @@ def edismax_topk(
                 f"{key} field {f!r} was built without positions"
             )
             for seq in seqs:
-                pclauses.append((f, seq, np.float32(b)))
+                pclauses.append((f, seq, np.float32(b), slop))
 
     # ---- driver-side stats pre-pass (Weight analog) -----------------------
     all_terms = sorted(set(clause_seq) | set(neg))
@@ -219,7 +222,7 @@ def edismax_topk(
     # phrase idf sums per (field, phrase): f64 sum of present terms, one
     # f32 cast (PhraseWeight / BM25Similarity#idfExplain discipline)
     pidf: list[np.float32] = []
-    for f, seq, _b in pclauses:
+    for f, seq, _b, _sl in pclauses:
         seg = segments[f]
         dfs = {
             r["term"]: int(r["df"])
@@ -311,14 +314,14 @@ def edismax_topk(
 
         # phrase boosts ride the SAME bucket (positions rows, kind == 1)
         pos = pdf[pdf["kind"] == 1]
-        for ci, (f, seq, b) in enumerate(pclauses):
+        for ci, (f, seq, b, slop) in enumerate(pclauses):
             if pidf[ci] is None:
                 continue
             sub = pos[(pos["field"] == f) & (pos["term"].isin(set(seq)))]
             if len(sub) == 0:
                 continue
             ids, freqs, norms = bucket_phrase_freqs(
-                sub, phrase_offsets(seq), 0
+                sub, phrase_offsets(seq), slop
             )
             if ids.size == 0:
                 continue
@@ -365,10 +368,10 @@ def edismax_topk(
                 null_bin.alias("end_bin"),
             )
         )
-    for f in sorted({f for f, _s, _b in pclauses}):
+    for f in sorted({f for f, _s, _b, _sl in pclauses}):
         ptbl = segments[f].table(spark, "positions")
         pterms = sorted(
-            {t for pf_f, seq, _b in pclauses if pf_f == f for t in seq}
+            {t for pf_f, seq, _b, _sl in pclauses if pf_f == f for t in seq}
         )
         has_end = "end_bin" in ptbl.columns
         parts.append(

@@ -444,3 +444,73 @@ def topic_stream_drain(spark, sf_dir):
     return spark.createDataFrame(
         [(1, n1), (2, n2)], "drain int, n_docs long"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer variants — analysis/core/{Whitespace,Letter,Keyword}Tokenizer
+# .java alongside the pinned standard spec (functions/analysis.py): one
+# whole-stage-codegen pass computes each tokenizer's per-doc counts, then
+# F.stack unpivots to (tokenizer, n_tokens, n_docs_nonempty) rows. Closes
+# the §2.H "tokenizer variants" partial with oracled conformance counts.
+# ---------------------------------------------------------------------------
+
+
+def _tokvar_oracle_sql() -> str:
+    from ..functions.analysis import (
+        keyword_tokens_sql,
+        letter_tokens_sql,
+        whitespace_tokens_sql,
+    )
+
+    return f"""WITH per_doc AS (SELECT
+       len({duckdb_tokenize_sql('text')}) AS n_std,
+       len({whitespace_tokens_sql('text')}) AS n_ws,
+       len({letter_tokens_sql('text')}) AS n_lt,
+       len({keyword_tokens_sql('text')}) AS n_kw
+    FROM documents)
+SELECT * FROM (
+  SELECT 'keyword' AS tokenizer, sum(n_kw)::BIGINT AS n_tokens,
+         count(*) FILTER (n_kw > 0)::BIGINT AS n_docs_nonempty FROM per_doc
+  UNION ALL
+  SELECT 'letter', sum(n_lt)::BIGINT, count(*) FILTER (n_lt > 0)::BIGINT FROM per_doc
+  UNION ALL
+  SELECT 'standard', sum(n_std)::BIGINT, count(*) FILTER (n_std > 0)::BIGINT FROM per_doc
+  UNION ALL
+  SELECT 'whitespace', sum(n_ws)::BIGINT, count(*) FILTER (n_ws > 0)::BIGINT FROM per_doc
+) ORDER BY tokenizer"""
+
+
+@register("tokenizer_variants", _tokvar_oracle_sql())
+def tokenizer_variants(spark, sf_dir):
+    """Per-tokenizer corpus totals: one codegen pass + stack unpivot."""
+    from ..functions.analysis import (
+        keyword_tokens_col,
+        letter_tokens_col,
+        tokens_col,
+        whitespace_tokens_col,
+    )
+
+    d = _read(spark, sf_dir, "documents").select(F.col("text").alias("content"))
+    sizes = d.select(
+        F.size(tokens_col("content")).alias("n_std"),
+        F.size(whitespace_tokens_col("content")).alias("n_ws"),
+        F.size(letter_tokens_col("content")).alias("n_lt"),
+        F.size(keyword_tokens_col("content")).alias("n_kw"),
+    )
+    agg = sizes.agg(
+        F.sum("n_std").alias("s_std"),
+        F.sum("n_ws").alias("s_ws"),
+        F.sum("n_lt").alias("s_lt"),
+        F.sum("n_kw").alias("s_kw"),
+        F.sum((F.col("n_std") > 0).cast("long")).alias("d_std"),
+        F.sum((F.col("n_ws") > 0).cast("long")).alias("d_ws"),
+        F.sum((F.col("n_lt") > 0).cast("long")).alias("d_lt"),
+        F.sum((F.col("n_kw") > 0).cast("long")).alias("d_kw"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(4, 'keyword', s_kw, d_kw, 'letter', s_lt, d_lt, "
+            "'standard', s_std, d_std, 'whitespace', s_ws, d_ws) "
+            "AS (tokenizer, n_tokens, n_docs_nonempty)"
+        )
+    ).orderBy("tokenizer")

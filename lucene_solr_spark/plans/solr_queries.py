@@ -334,7 +334,7 @@ def regexp_query_terms(spark, sf_dir):
     f"""WITH {_TOKS_CTE},
 tf AS (SELECT doc_id, count(*) AS base FROM toks WHERE term = 'merge' GROUP BY doc_id)
 SELECT t.doc_id,
-       t.base * (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END) AS score
+       t.base * (CASE WHEN d.lang = 'en' THEN 2.0 ELSE 1.0 END)::DOUBLE AS score
 FROM tf t JOIN documents d ON d.doc_id = t.doc_id
 ORDER BY score DESC, t.doc_id ASC LIMIT 20""",
 )

@@ -139,3 +139,39 @@ def test_cli_build_with_synonyms(spark, tmp_path, capsys):
     rows = _lines(capsys)
     # graph survives the on-disk round-trip: expansion docs match
     assert len(rows) == 3 and rows[0]["doc_id"] == 276
+
+
+def test_cli_edismax(spark, cli_index, capsys):
+    rc = main([
+        "search", "--index", cli_index, "--query", "key order",
+        "--deftype", "edismax", "--qf", "content", "--mm", "2",
+        "--pf", "content^1.5", "--tie", "0.3", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    from lucene_solr_spark.operators.edismax import edismax_topk
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    seg = Catalog(cli_index).segments()[0]
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in edismax_topk(
+            spark, {"content": seg},
+            {"q": "key order", "qf": "content", "mm": "2",
+             "pf": "content^1.5", "tie": 0.3},
+            k=5,
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_cli_query_time_synonyms(spark, cli_index, tmp_path, capsys):
+    syn = tmp_path / "syn.txt"
+    syn.write_text("spark, big data\n")
+    rc = main([
+        "search", "--index", cli_index, "--query", "spark",
+        "--synonyms", str(syn), "--k", "5",
+    ])
+    assert rc == 0
+    got = _lines(capsys)
+    assert got and all("doc_id" in r for r in got)

@@ -117,9 +117,11 @@ def test_parse_user_query_graceful_fallback():
 # ---------------------------------------------------------------------------
 
 
-def _phrase_freq(toks: list[str], seq: list[str]) -> int:
+def _phrase_freq(toks: list[str], seq: list[str], slop: int = 0) -> float:
+    if slop > 0:
+        return OracleIndex._sloppy_freq_doc(toks, list(seq), slop)
     n, m = len(toks), len(seq)
-    return sum(1 for i in range(n - m + 1) if toks[i : i + m] == seq)
+    return float(sum(1 for i in range(n - m + 1) if toks[i : i + m] == seq))
 
 
 def _shingles(seq, size):
@@ -139,15 +141,16 @@ def oracle_edismax(oras, params, k=10):
         mm_eff = max(mm_eff, 1)
 
     pclauses = []
-    for key, size in (("pf", 0), ("pf2", 2), ("pf3", 3)):
+    for key, size, ps_key in (("pf", 0, "ps"), ("pf2", 2, "ps2"), ("pf3", 3, "ps3")):
         spec = params.get(key)
         if not spec:
             continue
+        slop = int(params.get(ps_key, params.get("ps", 0)) or 0)
         seqs = [clause_seq] if size == 0 else _shingles(clause_seq, size)
         seqs = [s for s in seqs if len(s) >= 2]
         for f, b in sorted(parse_field_boosts(spec).items()):
             for seq in seqs:
-                pclauses.append((f, seq, np.float32(b)))
+                pclauses.append((f, seq, np.float32(b), slop))
 
     all_terms = sorted(set(clause_seq) | set(neg))
     per = {
@@ -191,11 +194,11 @@ def oracle_edismax(oras, params, k=10):
         for t in clause_seq:
             if hit.get(t):
                 acc = np.float32(acc + dmx[t])
-        for f, seq, b in pclauses:
+        for f, seq, b, slop in pclauses:
             ora = oras[f]
             if any(not ora.tf.get(t) for t in seq):
                 continue
-            fr = _phrase_freq(ora.tokens[d], seq)
+            fr = _phrase_freq(ora.tokens[d], seq, slop)
             if not fr:
                 continue
             idf_sum = np.float32(sum(ora.idf(t) for t in seq))
@@ -218,6 +221,8 @@ CASES = [
     ("import return", {"mm": "2", "tie": 0.1, "pf": "body^1.5"}),
     ("import return self", {"tie": 0.2, "pf": "body", "pf2": "body^0.5"}),
     ("import return self public", {"mm": "1", "pf3": "body^2"}),
+    ("import return", {"mm": "2", "pf": "body^1.5", "ps": "2"}),
+    ("import return self", {"pf": "body", "ps": "3", "pf2": "body^0.5", "ps2": "1"}),
     ('"import return]', {"mm": "2"}),  # fallback still scores
 ]
 
