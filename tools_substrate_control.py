@@ -52,6 +52,31 @@ def run_single(kind: str, cpus: int) -> float:
             "k"
         ).sum("v").collect()
         dt = time.time() - t0
+    elif kind == "shuffle_volume":
+        # ENGINE-SHAPED control (VERDICT r03 ask #9): the exact tf-shuffle
+        # volume of the 500k-doc build the 4v16 number was measured on —
+        # 47,787,164 rows of (term string, bucket, doc_id, freq) hash-
+        # partitioned by (term, bucket) with ~60k-term × 61-bucket group
+        # cardinality. Pure JVM (expr-generated rows, codegen aggregates,
+        # scalar collect) — no Python anywhere, so whatever efficiency
+        # this job shows at N vs 4N is the SUBSTRATE's shuffle ceiling
+        # for the engine's dominant stage, attributable to nothing else.
+        n = 47_787_164
+        t0 = time.time()
+        (
+            spark.range(n)
+            .selectExpr(
+                "concat('t', id % 60000) AS term",
+                "id % 61 AS bucket",
+                "id AS doc_id",
+                "CAST(id % 7 + 1 AS INT) AS freq",
+            )
+            .groupBy("term", "bucket")
+            .agg({"freq": "sum", "doc_id": "max"})
+            .selectExpr("sum(`sum(freq)`) AS s", "max(`max(doc_id)`) AS m")
+            .collect()
+        )
+        dt = time.time() - t0
     else:
         n = 4_000_000_000
         t0 = time.time()
