@@ -29,6 +29,9 @@ ANYTOKEN fallback.
 
 from __future__ import annotations
 
+import functools
+import re
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -38,6 +41,70 @@ from pyspark.sql import DataFrame, SparkSession
 from ..functions.analysis import tokenize_pandas
 from .query import Bool, Phrase, Synonym, Term, rewrite
 
+# ---------------------------------------------------------------------------
+# Multi-term leaves — MultiTermQuery inside a monitored query. There is no
+# terms dictionary to expand against (the "index" is each incoming doc),
+# so these match like CONSTANT_SCORE rewrites evaluated per doc: the leaf
+# matches iff ANY doc token satisfies it. They contribute NO trigger term
+# (exact-term trigger index can't gate a pattern) — a query gated only by
+# such a leaf becomes an always-candidate, Monitor's ANYTOKEN fallback.
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class WildcardLeaf:
+    pattern: str  # lowercased, * = any run, ? = one char
+
+
+@dataclass(frozen=True)
+class FuzzyLeaf:
+    term: str
+    edits: int  # OSA distance bound (FuzzyQuery transpositions=true)
+
+
+@dataclass(frozen=True)
+class RangeLeaf:
+    lo: str | None
+    hi: str | None
+    inc_lo: bool
+    inc_hi: bool
+
+
+@functools.lru_cache(maxsize=4096)
+def _wc_re(pattern: str):
+    return re.compile(
+        "".join(
+            ".*" if ch == "*" else "." if ch == "?" else re.escape(ch)
+            for ch in pattern
+        )
+        + r"\Z"
+    )
+
+
+def _leaf_matches_any(node, tokset: set[str]) -> bool:
+    if isinstance(node, WildcardLeaf):
+        rx = _wc_re(node.pattern)
+        return any(rx.match(t) for t in tokset)
+    if isinstance(node, FuzzyLeaf):
+        from .search import osa_distance
+
+        lo, hi = len(node.term) - node.edits, len(node.term) + node.edits
+        return any(
+            lo <= len(t) <= hi and osa_distance(node.term, t) <= node.edits
+            for t in tokset
+        )
+    assert isinstance(node, RangeLeaf)
+    for t in tokset:
+        if node.lo is not None and (t < node.lo or (t == node.lo and not node.inc_lo)):
+            continue
+        if node.hi is not None and (t > node.hi or (t == node.hi and not node.inc_hi)):
+            continue
+        return True
+    return False
+
+
+_MULTI = (WildcardLeaf, FuzzyLeaf, RangeLeaf)
+
 
 def _triggers(node) -> set[str]:
     if isinstance(node, Term):
@@ -46,6 +113,8 @@ def _triggers(node) -> set[str]:
         return {node.terms[0]} if node.terms else set()
     if isinstance(node, Synonym):
         return set(node.terms)
+    if isinstance(node, _MULTI):
+        return set()  # patterns can't gate an exact-term trigger index
     assert isinstance(node, Bool)
     positives = list(node.must) + list(node.filter)
     for c in positives:
@@ -66,6 +135,8 @@ def _matches(node, toks: list[str], tokset: set[str]) -> bool:
         return node.term in tokset
     if isinstance(node, Synonym):
         return any(t in tokset for t in node.terms)
+    if isinstance(node, _MULTI):
+        return _leaf_matches_any(node, tokset)
     if isinstance(node, Phrase):
         k = len(node.terms)
         if k == 0 or any(t not in tokset for t in node.terms):
@@ -113,19 +184,29 @@ def _matches(node, toks: list[str], tokset: set[str]) -> bool:
 
 class Monitor:
     """Query registry + percolation. ``queries``: (query_id, query_string)
-    pairs in the classic qparser syntax."""
+    pairs in the classic qparser syntax — term / phrase / boolean trees
+    plus wildcard, fuzzy (OSA) and term-range leaves (evaluated per doc,
+    MultiTermQuery CONSTANT_SCORE semantics)."""
 
     def __init__(self, queries: list[tuple[str, str]]):
         from ..plans.qparser import parse
 
         def to_ir(node):
             if isinstance(node, tuple):
-                if node[0] == "phrase":
+                kind = node[0]
+                if kind != "phrase" and node[-1] is not None:
+                    raise ValueError(
+                        f"field-scoped {kind} queries need a per-field Monitor"
+                    )
+                if kind == "phrase":
                     return Phrase(tuple(node[1]), node[2], node[3], node[4])
-                raise ValueError(
-                    f"Monitor supports term/phrase/bool queries; got {node[0]!r} "
-                    "(multi-term leaves need an index to expand against)"
-                )
+                if kind == "wildcard":
+                    return WildcardLeaf(node[1])
+                if kind == "fuzzy":
+                    return FuzzyLeaf(node[1], node[2])
+                if kind == "range":
+                    return RangeLeaf(node[1], node[2], node[3], node[4])
+                raise ValueError(f"Monitor cannot evaluate {kind!r} leaves")
             if isinstance(node, Bool):
                 return Bool(
                     must=tuple(to_ir(c) for c in node.must),

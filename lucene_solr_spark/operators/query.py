@@ -201,7 +201,9 @@ def rewrite(node):
     """BooleanQuery#rewrite analog — conservative, score-preserving in
     float32 (only boost==1 splices and exact single-clause collapses, so the
     rewritten tree is bit-identical to the original under eval_node)."""
-    if isinstance(node, (Term, Phrase, Synonym)):
+    if not isinstance(node, Bool):
+        # Term/Phrase/Synonym and any extension leaf (e.g. the Monitor's
+        # multi-term leaves) pass through untouched
         return node
     must = tuple(rewrite(c) for c in node.must)
     should = tuple(rewrite(c) for c in node.should)

@@ -454,14 +454,21 @@ def _span_score_bucket(
     else:
         sub = pdf
 
-    # decode positions once per (term, doc) row
+    # decode positions once per (term, doc) row; on a synonym-graph index
+    # span queries run over the FLATTENED positions (Lucene evaluates
+    # spans on the flattened index — raw fresh-node ids would fabricate
+    # intervals between unrelated injection sites)
+    graph = "end_bin" in sub.columns and sub["end_bin"].notna().any()
+    if graph:
+        from ..functions.synonyms import flatten_starts
     by_doc: dict[int, dict[str, np.ndarray]] = {}
     norm_by_doc: dict[int, int] = {}
     for row in sub.itertuples():
         d = int(row.doc_id)
-        by_doc.setdefault(d, {})[row.term] = delta_decode(
-            unpack_ints(row.pos_bin)
-        ).astype(np.int64)
+        pos = delta_decode(unpack_ints(row.pos_bin)).astype(np.int64)
+        if graph:
+            pos = np.sort(flatten_starts(pos))
+        by_doc.setdefault(d, {})[row.term] = pos
         norm_by_doc[d] = int(row.norm_byte)
 
     ids, freqs = [], []

@@ -60,9 +60,34 @@ def test_trigger_pruning_is_lossless(spark):
     assert "q2" in mon2.always
 
 
-def test_unsupported_leaf_raises(spark):
-    with pytest.raises(ValueError, match="multi-term"):
-        Monitor([("w", "mer*")])
+def test_multi_term_leaves_percolate(spark):
+    # MultiTermQuery leaves match per-doc (CONSTANT_SCORE-over-doc-tokens
+    # rewrite): wildcard / fuzzy (OSA, FuzzyQuery's default) / term range
+    res = _percolate(spark, [
+        ("w", "mer*"),                 # prefix wildcard
+        ("wq", "b?tch"),               # single-char wildcard
+        ("fz", "merge~1"),             # 'merge' within 1 edit
+        ("rg", "[bata TO bigg]"),      # range: 'batch'/'big' inside
+        ("gated", "+spark mer*"),      # wildcard under a MUST gate
+        ("conj", "+spark +mer*"),      # wildcard REQUIRED
+    ])
+    assert res["w"] == {1, 2, 5}
+    assert res["wq"] == {3}
+    assert res["fz"] == {1, 2, 5}      # 'merge' itself (d=0)
+    assert res["rg"] == {1, 3, 5, 6}   # batch(3), big(1,5,6)
+    # SHOULD beside a MUST is optional (pure booster) -> spark docs match
+    assert res["gated"] == {2, 6}
+    assert res["conj"] == {2}
+    # pattern leaves contribute no trigger: pure-pattern queries are
+    # always-candidates, gated ones still prune on the exact term
+    mon = Monitor([("w", "mer*"), ("gated", "+spark mer*")])
+    assert "w" in mon.always and "gated" not in mon.always
+    assert set(mon.trigger_index) == {"spark"}
+
+
+def test_field_scoped_multi_term_raises(spark):
+    with pytest.raises(ValueError, match="field-scoped"):
+        Monitor([("w", "title:mer*")])
 
 
 def test_pure_negative_query_matches_nothing(spark):

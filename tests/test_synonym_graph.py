@@ -327,3 +327,18 @@ def test_highlight_on_graph_index(spark, seg_syn):
     }
     assert 6 in res1 and res1[6]["n_hits"] >= 1
     assert 5 in res1  # 'united states' doc: usa injected at site 0
+
+
+def test_spans_on_graph_index_use_flattened_positions(spark):
+    # span queries on a synonym-graph index run over FLATTENED positions:
+    # the injected 'data' of site 0 sits at position 1, adjacent to 'x' —
+    # raw fresh-node ids (>= FRESH_BASE) would never match, and the two
+    # distant injection sites must not fabricate adjacency
+    from lucene_solr_spark.operators.spans import SpanNear, SpanTerm, span_topk
+
+    seg = _mini_seg(spark, ["spark x y z spark"])
+    near = SpanNear((SpanTerm("data"), SpanTerm("y")), slop=0, in_order=True)
+    assert span_topk(spark, seg, near, k=5).count() == 1
+    # the two injected 'data' tokens (flat 1 and 5) are NOT near each other
+    dd = SpanNear((SpanTerm("data"), SpanTerm("data")), slop=1, in_order=True)
+    assert span_topk(spark, seg, dd, k=5).count() == 0
