@@ -39,10 +39,11 @@ def _normalize(rows, cols):
         for i in idx:
             v = r[i]
             if isinstance(v, float):
+                # EXACT comparison (the driver hashes raw cell values —
+                # any bit drift is a real mismatch there; rows are built
+                # to be f32/f64 exact cross-engine, so demand it here too)
                 if math.isnan(v):
                     v = "nan"
-                else:
-                    v = round(v, 9)
             elif isinstance(v, decimal.Decimal):
                 # The driver hashes cell REPRESENTATIONS: Decimal('1.30')
                 # vs float 1.3 is a mismatch there even though the values
