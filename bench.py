@@ -67,7 +67,9 @@ def main() -> None:
     # ~2.4s of this; timing it was measuring JVM warmup, not the engine.
     warm = synth_corpus(spark, 2000, partitions=max(n_cpus, 8)).persist()
     warm.count()
-    build_index(spark, warm, out_dir=None, bucket_docs=8192)
+    warm_seg = build_index(spark, warm, out_dir=None, bucket_docs=8192)
+    for _df in warm_seg.dfs.values():  # release cached warmup frames
+        _df.unpersist()
     warm.unpersist()
 
     def timed_build(src, repeats: int = 2):

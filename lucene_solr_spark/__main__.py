@@ -83,6 +83,14 @@ def _search(args) -> int:
         # single field is addressed as 'content' in qf/pf specs
         from .operators.edismax import edismax_topk
 
+        if args.fq:
+            # refuse rather than silently drop a filter the user relies on
+            print(
+                json.dumps({"error": "--fq is not supported with "
+                            "--deftype edismax; use the classic parser"}),
+                file=sys.stderr,
+            )
+            return 2
         segs = cat.segments()
         if len(segs) != 1:
             print(

@@ -98,16 +98,21 @@ def calculate_mm(spec: str | int | None, n_optional: int) -> int:
     return max(0, min(n, val))
 
 
-def parse_user_query(q: str) -> tuple[list[str], list[str], list[str]]:
-    """User query -> (required, optional, prohibited) analyzed term lists,
-    in query order. Supports +term / -term / NOT / AND / OR (classic
-    translation: AND marks both neighbors required). Anything else —
-    quotes, parens, stray syntax — is ESCAPED, not rejected: edismax's
-    documented fallback strips the special characters and treats the rest
-    as plain terms."""
+def parse_user_query(
+    q: str,
+) -> tuple[list[str], list[str], list[str], list[str]]:
+    """User query -> (required, optional, prohibited, scoring-sequence)
+    analyzed term lists. The first three are per-occur lists; the fourth
+    is the scoring terms (required + optional) in USER QUERY ORDER — the
+    sequence eDisMax builds pf phrases and the score fold from. Supports
+    +term / -term / NOT / AND / OR (classic translation: AND marks both
+    neighbors required). Anything else — quotes, parens, stray syntax —
+    is ESCAPED, not rejected: edismax's documented fallback strips the
+    special characters and treats the rest as plain terms."""
     req: list[str] = []
     opt: list[str] = []
     neg: list[str] = []
+    seq: list[str] = []
     pending: str | None = None
     and_next = False
     slots: list[tuple[str, list[str]]] = []  # (occur, analyzed terms)
@@ -137,7 +142,9 @@ def parse_user_query(q: str) -> tuple[list[str], list[str], list[str]]:
             slots.append((occ, terms))
     for occ, terms in slots:
         {"req": req, "opt": opt, "neg": neg}[occ].extend(terms)
-    return req, opt, neg
+        if occ != "neg":
+            seq.extend(terms)
+    return req, opt, neg, seq
 
 
 def _shingles(seq: list[str], size: int) -> list[list[str]]:
@@ -171,9 +178,10 @@ def edismax_topk(
     assert len(bd) == 1, f"segments disagree on bucket_docs: {bd}"
     tie32 = np.float32(float(params.get("tie", 0.0)))
 
-    req, opt, neg = parse_user_query(params.get("q", ""))
-    clause_seq = req + opt  # scoring clauses, query order (req first: the
-    # '+' prefix binds tighter than position in edismax's rewritten tree)
+    # clause_seq: the scoring clauses in USER QUERY ORDER (required and
+    # optional interleaved as typed — the order eDisMax scores in and
+    # builds pf phrases from)
+    req, opt, neg, clause_seq = parse_user_query(params.get("q", ""))
     if not clause_seq:
         return spark.createDataFrame([], _TOPK_SCHEMA)
     mm_eff = calculate_mm(params.get("mm"), len(opt))
@@ -183,7 +191,7 @@ def edismax_topk(
     # phrase-boost clauses: (field, terms, boost, slop) in pinned order;
     # ps/ps2/ps3 set the slop of the corresponding phrase tier (edismax's
     # phrase-slop params — SloppyPhraseMatcher semantics, fractional freq)
-    phrase_terms = req + opt  # pf uses the sequence of scoring terms
+    phrase_terms = clause_seq  # pf phrases follow the user's term order
     pclauses: list[tuple[str, list[str], np.float32, int]] = []
     for key, size, ps_key in (("pf", 0, "ps"), ("pf2", 2, "ps2"), ("pf3", 3, "ps3")):
         spec = params.get(key)
@@ -202,11 +210,15 @@ def edismax_topk(
             for seq in seqs:
                 pclauses.append((f, seq, np.float32(b), slop))
 
-    # ---- driver-side stats pre-pass (Weight analog) -----------------------
+    # ---- driver-side stats pre-pass (Weight analog): ONE terms-dict
+    # collect per involved field, shared by the clause idfs AND the
+    # phrase-boost idf sums -------------------------------------------------
     all_terms = sorted(set(clause_seq) | set(neg))
+    pf_fields = sorted({f for f, _s, _b, _sl in pclauses})
     idfs: dict[tuple[str, str], np.float32] = {}
+    raw_df: dict[tuple[str, str], int] = {}
     caches: dict[str, np.ndarray] = {}
-    for f in fields:
+    for f in sorted(set(fields) | set(pf_fields)):
         seg = segments[f]
         caches[f] = bm25.norm_cache(seg.stats.avgdl)
         rows = (
@@ -216,27 +228,22 @@ def edismax_topk(
             .collect()
         )
         for r in rows:
-            idfs[(f, r["term"])] = np.float32(
-                bm25.idf(seg.stats.n_docs, int(r["df"]))
-            )
+            raw_df[(f, r["term"])] = int(r["df"])
+            if f in qf:
+                idfs[(f, r["term"])] = np.float32(
+                    bm25.idf(seg.stats.n_docs, int(r["df"]))
+                )
     # phrase idf sums per (field, phrase): f64 sum of present terms, one
     # f32 cast (PhraseWeight / BM25Similarity#idfExplain discipline)
     pidf: list[np.float32] = []
     for f, seq, _b, _sl in pclauses:
-        seg = segments[f]
-        dfs = {
-            r["term"]: int(r["df"])
-            for r in seg.table(spark, "terms")
-            .filter(F.col("term").isin(sorted(set(seq))))
-            .select("term", "df")
-            .collect()
-        }
-        if len(dfs) < len(set(seq)):
+        if any((f, t) not in raw_df for t in seq):
             pidf.append(None)  # a phrase term absent from the field
         else:
+            n_docs_f = segments[f].stats.n_docs
             pidf.append(
                 np.float32(
-                    sum(bm25.idf(seg.stats.n_docs, dfs[t]) for t in seq)
+                    sum(bm25.idf(n_docs_f, raw_df[(f, t)]) for t in seq)
                 )
             )
     boosts = {f: np.float32(qf[f]) for f in fields}

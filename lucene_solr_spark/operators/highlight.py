@@ -80,19 +80,26 @@ def highlight(
         out = []
         for doc_id, g in pdf.groupby("doc_id", sort=False):
             toks: dict[int, str] = {}
+            span_toks: dict[int, str] = {}  # graph: non-trivial edges
             hits: list[int] = []
             for r in g.itertuples():
                 pos = delta_decode(unpack_ints(r.pos_bin)).astype(np.int64)
                 if graph:
                     # synonym-graph index: rebuild the DISPLAY stream from
-                    # fully original-boundary edges only (injected chain
-                    # tokens sit on fresh nodes and are not document text);
-                    # hits use flattened positions so a synonym match
+                    # original-boundary edges; TRIVIAL edges (i -> i+1, the
+                    # document's own tokens) always win over injected
+                    # boundary-spanning outputs (e.g. a contraction 'ny'
+                    # over 'new york') — deterministic regardless of row
+                    # order. Fresh-node chain tokens are never displayed.
+                    # Hits use flattened positions so a synonym match
                     # highlights the region of the original token it spans.
                     ends = unpack_ints(r.end_bin).astype(np.int64)
                     for p, e in zip(pos, ends):
                         if p < FRESH_BASE and e < FRESH_BASE:
-                            toks[int(p)] = r.term
+                            if e == p + 1:
+                                toks[int(p)] = r.term
+                            else:
+                                span_toks[int(p)] = r.term
                     if r.term in q_terms:
                         hits.extend(int(x) for x in flatten_starts(pos))
                 else:
@@ -100,6 +107,11 @@ def highlight(
                         toks[int(p)] = r.term
                     if r.term in q_terms:
                         hits.extend(int(p) for p in pos)
+            if span_toks:
+                # replacement rules consume their originals: fill display
+                # gaps with the spanning output, never overwrite a real token
+                for p, t in span_toks.items():
+                    toks.setdefault(p, t)
             if not hits or not toks:
                 continue
             n = max(toks) + 1
@@ -142,13 +154,18 @@ def highlight(
                         if len(spans) == max_snippets:
                             break
                         spans.append((lo, hi))
+            # emphasis marks the HIT POSITIONS (offset semantics — on a
+            # plain index identical to marking query-term tokens; on a
+            # graph index the synonym-matched region gets marked even
+            # though the displayed word is the document's own token)
+            hitset_render = set(hits)
             parts = []
             for lo, hi in spans:
                 words = []
                 for p in range(lo, hi + 1):
                     w = toks.get(p, "")
-                    if w in q_terms:
-                        w = f"{pre}{w}{post}"
+                    if w in q_terms or p in hitset_render:
+                        w = f"{pre}{w}{post}" if w else w
                     words.append(w)
                 parts.append(" ".join(words))
             out.append((int(doc_id), len(hits), " ... ".join(parts)))

@@ -121,6 +121,12 @@ def _triggers(node) -> set[str]:
         t = _triggers(c)
         if t:  # one positive clause is enough to gate the whole query
             return t
+    if positives:
+        # required clauses exist but none is gateable (multi-term leaf /
+        # nested ungateable tree): gating on the OPTIONAL should terms
+        # would silently drop matches where the optionals are absent —
+        # the query must be an always-candidate (ANYTOKEN fallback)
+        return set()
     out: set[str] = set()
     for c in node.should:
         t = _triggers(c)
@@ -194,7 +200,7 @@ class Monitor:
         def to_ir(node):
             if isinstance(node, tuple):
                 kind = node[0]
-                if kind != "phrase" and node[-1] is not None:
+                if node[-1] is not None:  # every leaf tuple ends in field
                     raise ValueError(
                         f"field-scoped {kind} queries need a per-field Monitor"
                     )

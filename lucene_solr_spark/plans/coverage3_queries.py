@@ -1496,16 +1496,7 @@ def dismax_engine_topk(spark, sf_dir):
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
-    if sf_dir not in _DM_ENGINE_CACHE:
-        docs = documents_as_corpus(spark, sf_dir)
-        title_content = _tokens(spark, sf_dir).select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
-        )
-        title = docs.drop("content", "content_sha256").join(
-            title_content, "doc_id"
-        )
-        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    _title_segment(spark, sf_dir)
     res = dismax_topk(
         spark,
         {"b": s.segment, "t": _DM_ENGINE_CACHE[sf_dir]},
@@ -1580,16 +1571,7 @@ def fielded_engine_topk(spark, sf_dir):
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
-    if sf_dir not in _DM_ENGINE_CACHE:  # shared first-5-token title segment
-        docs = documents_as_corpus(spark, sf_dir)
-        title_content = _tokens(spark, sf_dir).select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
-        )
-        title = docs.drop("content", "content_sha256").join(
-            title_content, "doc_id"
-        )
-        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
+    _title_segment(spark, sf_dir)
     fs = FieldedSearcher(
         spark,
         {"body": s.segment, "title": _DM_ENGINE_CACHE[sf_dir]},

@@ -232,27 +232,14 @@ FROM folded ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
 def combined_field_topk(spark, sf_dir):
     """Real-engine CombinedFieldQuery top-10 for {merge, spark} over
     body(w=1) + title(w=2), float32-exact cross-engine."""
-    from ..corpus import documents_as_corpus
     from ..operators.fields import combined_field_topk as cfq
-    from ..operators.indexer import build_index
-    from .coverage3_queries import _DM_ENGINE_CACHE
-    from .driver_queries import _tokens
+    from .coverage3_queries import _title_segment
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
-    if sf_dir not in _DM_ENGINE_CACHE:  # shared first-5-token title segment
-        docs = documents_as_corpus(spark, sf_dir)
-        title_content = _tokens(spark, sf_dir).select(
-            "doc_id",
-            F.concat_ws(" ", F.slice("tokens", 1, 5)).alias("content"),
-        )
-        title = docs.drop("content", "content_sha256").join(
-            title_content, "doc_id"
-        )
-        _DM_ENGINE_CACHE[sf_dir] = build_index(spark, title, out_dir=None)
     res = cfq(
         spark,
-        {"body": (s.segment, 1), "title": (_DM_ENGINE_CACHE[sf_dir], 2)},
+        {"body": (s.segment, 1), "title": (_title_segment(spark, sf_dir), 2)},
         ["merge", "spark"],
         k=10,
     )

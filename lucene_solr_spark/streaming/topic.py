@@ -59,27 +59,58 @@ class TopicStream:
 
     # ---- the subscriber ----------------------------------------------------
 
-    def pending_segments(self) -> list:
-        """Committed segments not yet delivered, in commit order."""
+    def _split_pending(self) -> tuple[list, list]:
+        """(to_deliver, to_absorb): committed segments not yet delivered.
+        A MERGE/compaction product whose entire lineage was already
+        delivered is ABSORBED — marked delivered without redelivery
+        (TopicStream.java's version checkpoint does not replay merged
+        data). A merge mixing delivered and undelivered sources is
+        delivered whole (at-least-once for that edge — drain before
+        compacting, or merge before subscribing, to avoid it)."""
         seen = set(self._load()["delivered"])
-        return [
-            s for s in self.catalog.segments() if s.segment_id not in seen
-        ]
+        deliver, absorb = [], []
+        for s in self.catalog.segments():
+            if s.segment_id in seen:
+                continue
+            lin = list(s.lineage or [])
+            if lin and all(a in seen for a in lin):
+                absorb.append(s.segment_id)
+            else:
+                deliver.append(s)
+        return deliver, absorb
+
+    def pending_segments(self) -> list:
+        """Committed segments whose docs the next drain will deliver."""
+        return self._split_pending()[0]
 
     def drain(
         self, spark: SparkSession, columns: list[str] | None = None
     ) -> DataFrame:
         """Deliver every doc of the not-yet-delivered segments and commit
-        the checkpoint. The returned DataFrame is MATERIALIZED (count
-        forced) before the checkpoint moves, so a crash during the read
-        redelivers rather than loses. Tombstoned docs are excluded the
+        the checkpoint. The read is MATERIALIZED (count forced) before
+        the checkpoint moves, so a crash during the read redelivers
+        rather than loses (segments are immutable — the returned plan
+        recomputes deterministically). Tombstoned docs are excluded the
         same way a searcher would exclude them."""
-        pending = self.pending_segments()
+        deliver, absorb = self._split_pending()
         state = self._load()
-        if not pending:
+        if not deliver:
+            if absorb:  # merged-away segments: advance without delivery
+                state["delivered"] = sorted(set(state["delivered"]) | set(absorb))
+                state["gen"] = state.get("gen", 0) + 1
+                self._store(state)
+            # empty result with the SAME schema a delivering drain returns
+            segs = self.catalog.segments()
+            if segs:
+                dm = segs[0].table(spark, "docmap").withColumn(
+                    "segment_id", F.lit(segs[0].segment_id)
+                )
+                if columns is not None:
+                    dm = dm.select("doc_id", "segment_id", *columns)
+                return dm.limit(0)
             return spark.createDataFrame([], "doc_id long, segment_id string")
         parts = []
-        for seg in pending:
+        for seg in deliver:
             dm = seg.table(spark, "docmap").withColumn(
                 "segment_id", F.lit(seg.segment_id)
             )
@@ -96,10 +127,11 @@ class TopicStream:
                 ["segment_id", "doc_id"],
                 "left_anti",
             )
-        out = out.persist()
-        out.count()  # materialize BEFORE the checkpoint commit
+        out.count()  # prove readability BEFORE the checkpoint commit
         state["delivered"] = sorted(
-            set(state["delivered"]) | {s.segment_id for s in pending}
+            set(state["delivered"])
+            | {s.segment_id for s in deliver}
+            | set(absorb)
         )
         state["gen"] = state.get("gen", 0) + 1
         self._store(state)

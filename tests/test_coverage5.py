@@ -272,3 +272,34 @@ def test_polygon_random_points_vs_scalar(spark):
     }
     for la, lo in pts:
         assert got[(la, lo)] == _scalar_inside(la, lo, _POLY), (la, lo)
+
+
+def test_topic_stream_absorbs_merged_segments(spark, tmp_path):
+    """Code-review regression: a compaction product of fully-delivered
+    segments must NOT redeliver (checkpoint advances over the merge)."""
+    from lucene_solr_spark.operators.merge import merge_segments
+    from lucene_solr_spark.sources.catalog import Catalog
+    from lucene_solr_spark.streaming.topic import TopicStream
+
+    root = str(tmp_path / "cat4")
+    cat = Catalog(root)
+    build_index(spark, _mk_docs(spark, range(5)), out_dir=root, segment_id="s0")
+    cat.commit_swap(add=["s0"])
+    build_index(spark, _mk_docs(spark, range(10, 14)), out_dir=root, segment_id="s1")
+    cat.commit_swap(add=["s1"])
+    ckpt = str(tmp_path / "c4.json")
+    assert TopicStream(cat, ckpt).drain(spark).count() == 9
+
+    merge_segments(spark, cat.segments(), catalog=cat)
+    # the merged segment's lineage is fully delivered -> absorbed, 0 docs
+    got = TopicStream(cat, ckpt).drain(spark)
+    assert got.count() == 0
+    # and the empty result keeps the full drain schema (columns honored)
+    got2 = TopicStream(cat, ckpt).drain(spark, columns=["content"])
+    assert got2.columns[:2] == ["doc_id", "segment_id"]
+    assert "content" in got2.columns and got2.count() == 0
+    # genuinely new docs after the merge still arrive exactly once
+    build_index(spark, _mk_docs(spark, range(20, 23)), out_dir=root, segment_id="s2")
+    cat.commit_swap(add=["s2"])
+    ids = {int(r["doc_id"]) for r in TopicStream(cat, ckpt).drain(spark).collect()}
+    assert ids == {20, 21, 22}

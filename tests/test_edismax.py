@@ -97,19 +97,25 @@ def test_calculate_mm_spec(spec, n, want):
 
 
 def test_parse_user_query_modifiers():
-    req, opt, neg = parse_user_query("+import return -private NOT static")
+    req, opt, neg, seq = parse_user_query("+import return -private NOT static")
     assert req == ["import"] and neg == ["private", "static"]
     assert opt == ["return"]
+    assert seq == ["import", "return"]  # scoring terms, query order
     # classic AND translation marks both neighbors required
-    req, opt, neg = parse_user_query("import AND return self")
+    req, opt, neg, seq = parse_user_query("import AND return self")
     assert req == ["import", "return"] and opt == ["self"]
+    assert seq == ["import", "return", "self"]
+    # '+' after a bare term: the SEQUENCE keeps user order (pf phrases
+    # must follow the typed order, not req-then-opt)
+    _, _, _, seq = parse_user_query("return +import")
+    assert seq == ["return", "import"]
 
 
 def test_parse_user_query_graceful_fallback():
     # stray syntax is escaped, never an exception (edismax's contract)
-    req, opt, neg = parse_user_query('imp"ort (return]~2 se^lf:')
+    req, opt, neg, seq = parse_user_query('imp"ort (return]~2 se^lf:')
     assert req == [] and neg == []
-    assert opt == ["imp", "ort", "return", "2", "se", "lf"]
+    assert opt == seq == ["imp", "ort", "return", "2", "se", "lf"]
 
 
 # ---------------------------------------------------------------------------
@@ -134,8 +140,7 @@ def oracle_edismax(oras, params, k=10):
     qf = parse_field_boosts(params.get("qf", ""))
     fields = sorted(qf)
     tie32 = np.float32(float(params.get("tie", 0.0)))
-    req, opt, neg = parse_user_query(params.get("q", ""))
-    clause_seq = req + opt
+    req, opt, neg, clause_seq = parse_user_query(params.get("q", ""))
     mm_eff = calculate_mm(params.get("mm"), len(opt))
     if not req and opt:
         mm_eff = max(mm_eff, 1)
@@ -223,6 +228,8 @@ CASES = [
     ("import return self public", {"mm": "1", "pf3": "body^2"}),
     ("import return", {"mm": "2", "pf": "body^1.5", "ps": "2"}),
     ("import return self", {"pf": "body", "ps": "3", "pf2": "body^0.5", "ps2": "1"}),
+    ("return +import", {"pf": "body"}),   # pf phrase follows TYPED order
+    ("self AND import return", {"pf2": "body^2"}),
     ('"import return]', {"mm": "2"}),  # fallback still scores
 ]
 

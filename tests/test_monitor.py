@@ -85,6 +85,15 @@ def test_multi_term_leaves_percolate(spark):
     assert set(mon.trigger_index) == {"spark"}
 
 
+def test_required_pattern_with_should_terms_is_always_candidate(spark):
+    # code-review regression: '+mer* spark' must NOT be gated on the
+    # optional 'spark' — the required pattern can match docs without it
+    res = _percolate(spark, [("q", "+mer* order")])
+    assert res["q"] == {1, 2, 5}  # every mer* doc, with or without 'order'
+    mon = Monitor([("q", "+mer* order")])
+    assert "q" in mon.always  # ungateable, not gated on the SHOULD term
+
+
 def test_field_scoped_multi_term_raises(spark):
     with pytest.raises(ValueError, match="field-scoped"):
         Monitor([("w", "title:mer*")])

@@ -342,3 +342,19 @@ def test_spans_on_graph_index_use_flattened_positions(spark):
     # the two injected 'data' tokens (flat 1 and 5) are NOT near each other
     dd = SpanNear((SpanTerm("data"), SpanTerm("data")), slop=1, in_order=True)
     assert span_topk(spark, seg, dd, k=5).count() == 0
+
+
+def test_highlight_contraction_renders_original_text(spark, seg_syn):
+    # code-review regression: the injected contraction 'ny' spans original
+    # boundaries (0-2) and used to race the real token 'new' for the
+    # display slot depending on row order. Trivial edges must win: the
+    # snippet renders the DOCUMENT's words.
+    from lucene_solr_spark.operators.highlight import highlight
+
+    for _ in range(3):  # row order is shuffle-dependent; repeat for luck
+        res = {
+            int(r["doc_id"]): r["snippet"]
+            for r in highlight(spark, seg_syn, "subway", [1], window=9).collect()
+        }
+        assert "new york <em>subway</em>" in res[1]
+        assert "ny york" not in res[1]
