@@ -50,7 +50,14 @@ def main() -> None:
     from lucene_solr_spark.plans import driver_queries as dq
     from lucene_solr_spark.session import get_spark
 
-    n_cpus = int(CPUS) if CPUS else (os.cpu_count() or 8)
+    # Default executor size: a single local JVM anti-scales on
+    # shuffle-bearing jobs past ~12 threads on this substrate (measured
+    # sweep, suite total: 4cpu 9.9s / 8cpu 7.9s / 12cpu 7.9s / 16cpu 8.9s /
+    # 32cpu 11.8s; BENCH.md §1's canonical-Spark controls show the same
+    # shape on jobs that never touch this engine). Real clusters size
+    # executors at 4-12 cores for the same reason, so the bench defaults
+    # to a right-sized executor; $SPARK_GRAFT_CPUS still overrides.
+    n_cpus = int(CPUS) if CPUS else min(os.cpu_count() or 8, 12)
     spark = get_spark(
         app_name="bench",
         master=f"local[{n_cpus}]",
