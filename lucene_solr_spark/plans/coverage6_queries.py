@@ -310,6 +310,101 @@ def sim_boolean_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# LM perplexity filter (LLM-data-pipeline op; the CCNet recipe's quality
+# gate restated with the corpus's own bigram model instead of KenLM):
+# p(w_i | w_{i-1}) = cnt(bigram)/cnt(ctx-as-prev), backing off to
+# 0.4 * unigram share for unseen pairs; the first token scores its unigram
+# share. Reported as the top-10 most-surprising docs by mean negative log
+# likelihood. Scale shape: two hash aggs (unigram/bigram counts) + hash
+# joins keyed on terms — the model is a DataFrame, never collected; at
+# 100 TB the bigram table shards like any other keyed agg. round(,6)
+# absorbs the sub-1e-12 double-summation-order drift within a doc.
+# ---------------------------------------------------------------------------
+
+_LM_ALPHA = "0.4"
+
+
+@register(
+    "lm_doc_perplexity",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+uni AS (SELECT term, count(*)::BIGINT AS ucnt FROM pos GROUP BY 1),
+utot AS (SELECT count(*)::BIGINT AS ut FROM pos),
+bi AS (SELECT a.doc_id, a.pos + 1 AS pos, a.term AS prev, b.term AS cur
+       FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1),
+bic AS (SELECT prev, cur, count(*)::BIGINT AS bcnt FROM bi GROUP BY 1, 2),
+ctx AS (SELECT prev, sum(bcnt)::BIGINT AS ccnt FROM bic GROUP BY 1),
+tokp AS (
+  SELECT p.doc_id, ln(u.ucnt::DOUBLE / t.ut::DOUBLE) AS lp
+  FROM pos p JOIN uni u USING (term) CROSS JOIN utot t WHERE p.pos = 1
+  UNION ALL
+  SELECT b.doc_id,
+         ln(CASE WHEN bc.bcnt IS NOT NULL
+                 THEN bc.bcnt::DOUBLE / c.ccnt::DOUBLE
+                 ELSE {_LM_ALPHA} * (u.ucnt::DOUBLE / t.ut::DOUBLE) END) AS lp
+  FROM bi b
+  LEFT JOIN bic bc ON bc.prev = b.prev AND bc.cur = b.cur
+  JOIN ctx c ON c.prev = b.prev
+  JOIN uni u ON u.term = b.cur
+  CROSS JOIN utot t)
+SELECT doc_id, round(-avg(lp), 6) AS nll
+FROM tokp GROUP BY doc_id ORDER BY nll DESC, doc_id ASC LIMIT 10""",
+)
+def lm_doc_perplexity(spark, sf_dir):
+    """Bigram stupid-backoff LM quality filter: top-10 most-surprising docs."""
+    toks = _tokens(spark, sf_dir)
+    pos = toks.select(
+        "doc_id", F.posexplode("tokens").alias("p0", "term")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "term")
+    uni = pos.groupBy("term").agg(F.count("*").alias("ucnt"))
+    utot = pos.agg(F.count("*").alias("ut"))
+    nxt = pos.select(
+        "doc_id", (F.col("pos") - 1).alias("pos"), F.col("term").alias("cur")
+    )
+    bi = pos.join(nxt, ["doc_id", "pos"]).select(
+        "doc_id", F.col("term").alias("prev"), "cur"
+    )
+    bic = bi.groupBy("prev", "cur").agg(F.count("*").alias("bcnt"))
+    ctx = bic.groupBy("prev").agg(F.sum("bcnt").alias("ccnt"))
+    first = (
+        pos.filter(F.col("pos") == 1)
+        .join(uni, "term")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            F.log(F.col("ucnt").cast("double") / F.col("ut").cast("double")).alias(
+                "lp"
+            ),
+        )
+    )
+    rest = (
+        bi.join(bic, ["prev", "cur"], "left")
+        .join(ctx, "prev")
+        .join(uni.withColumnRenamed("term", "cur"), "cur")
+        .crossJoin(F.broadcast(utot))
+        .select(
+            "doc_id",
+            F.log(
+                F.when(
+                    F.col("bcnt").isNotNull(),
+                    F.col("bcnt").cast("double") / F.col("ccnt").cast("double"),
+                ).otherwise(
+                    F.lit(float(_LM_ALPHA))
+                    * (F.col("ucnt").cast("double") / F.col("ut").cast("double"))
+                )
+            ).alias("lp"),
+        )
+    )
+    return (
+        first.unionByName(rest)
+        .groupBy("doc_id")
+        .agg(F.round(-F.avg("lp"), 6).alias("nll"))
+        .orderBy(F.desc("nll"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # cartesianProduct stream decorator (solrj/io/stream/CartesianProduct
 # Stream.java): explodes a multivalued field into one tuple per value,
 # preserving the value's ordinal. Here each order's priority label is split

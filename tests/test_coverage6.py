@@ -67,6 +67,40 @@ def test_fuzzy_suggest_prefix_edits(spark, tiny_sf):
     assert c6.suggest_fuzzy(spark, tiny_sf).count() == 0
 
 
+def test_lm_perplexity_matches_reference_model(spark, tiny_sf):
+    """Pin nll against an independently-coded bigram stupid-backoff model."""
+    import math
+    from collections import Counter
+
+    docs = {
+        0: "sort merge sort merge window".split(),
+        1: "sort slow fast window fast".split(),
+        2: "slowfast sortmerge window".split(),
+    }
+    uni = Counter(t for ts in docs.values() for t in ts)
+    ut = sum(uni.values())
+    bic = Counter(
+        (ts[i], ts[i + 1]) for ts in docs.values() for i in range(len(ts) - 1)
+    )
+    ctx = Counter()
+    for (p, _), c in bic.items():
+        ctx[p] += c
+    expected = {}
+    for did, ts in docs.items():
+        lps = [math.log(uni[ts[0]] / ut)]
+        for i in range(1, len(ts)):
+            p, c = ts[i - 1], ts[i]
+            if (p, c) in bic:
+                lps.append(math.log(bic[(p, c)] / ctx[p]))
+            else:
+                lps.append(math.log(0.4 * (uni[c] / ut)))
+        expected[did] = round(-sum(lps) / len(lps), 6)
+    out = {r["doc_id"]: r["nll"] for r in c6.lm_doc_perplexity(spark, tiny_sf).collect()}
+    assert out == pytest.approx(expected, abs=1e-6)
+    # the doc with only unseen-or-rare transitions is the most surprising
+    assert max(out, key=out.get) == 2
+
+
 def test_boolean_similarity_is_match_count(spark, tiny_sf):
     out = {r["doc_id"]: r["score"] for r in c6.sim_boolean_topk(spark, tiny_sf).collect()}
     # _SIM_TERMS = [join, order, spark]: none present in the tiny corpus
