@@ -228,6 +228,10 @@ class Searcher:
         (conjunction: doc must contain every query term). ``fq``: optional
         filter query — SQL predicate over stored fields; restricts matches
         without touching scores or corpus stats (Solr fq semantics)."""
+        if mode not in ("wand", "exhaustive"):
+            raise ValueError(f"mode must be 'wand' or 'exhaustive', got {mode!r}")
+        if op not in ("or", "and"):
+            raise ValueError(f"op must be 'or' or 'and', got {op!r}")
         q_terms = sorted(set(tokenize_text(query_text)))
         stats = self.term_stats(q_terms)
         matched = sorted(stats)  # lexicographic — pinned summation order
