@@ -414,6 +414,165 @@ def facet_range_other(spark, sf_dir):
     return buckets.unionByName(other).orderBy(F.asc("label"))
 
 
+# ---------------------------------------------------------------------------
+# MoreLikeThis#retrieveInterestingTerms (lucene/queries/.../mlt/
+# MoreLikeThis.java): the term-selection half of MLT — the seed doc's terms
+# ranked by tf-in-seed x idf with minTermFreq/minDocFreq gates, BEFORE any
+# doc query runs (Solr's mlt.interestingTerms=details). idf = ln(N/df)
+# (classic MLT), score cast to FLOAT to absorb libm ulp drift. The seed tf
+# is one filtered row, df one map-combined distinct agg.
+# ---------------------------------------------------------------------------
+
+_MLT_SEED, _MLT_MINTF, _MLT_MINDF = 0, 1, 2
+
+
+@register(
+    "mlt_interesting_terms",
+    f"""WITH {_TOKARR_CTE},
+toks AS (SELECT doc_id, unnest(t) AS term FROM tokarr),
+seed AS (SELECT term, count(*)::BIGINT AS tf FROM toks
+         WHERE doc_id = {_MLT_SEED} GROUP BY 1),
+df AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents)
+SELECT s.term, (s.tf::DOUBLE * ln(n.n_docs::DOUBLE / d.df::DOUBLE))::FLOAT AS score
+FROM seed s JOIN df d USING (term) CROSS JOIN n
+WHERE s.tf >= {_MLT_MINTF} AND d.df >= {_MLT_MINDF}
+ORDER BY score DESC, s.term ASC LIMIT 10""",
+)
+def mlt_interesting_terms(spark, sf_dir):
+    """MLT interestingTerms: seed-doc terms ranked tf x ln(N/df) with
+    min-tf/min-df gates."""
+    toks = _tokens(spark, sf_dir)
+    pairs = toks.select("doc_id", F.explode("tokens").alias("term"))
+    seed = (
+        pairs.filter(F.col("doc_id") == _MLT_SEED)
+        .groupBy("term")
+        .agg(F.count("*").alias("tf"))
+        .filter(F.col("tf") >= _MLT_MINTF)
+    )
+    df = pairs.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n = _read(spark, sf_dir, "documents").agg(F.count("*").alias("n_docs"))
+    return (
+        seed.join(df, "term")
+        .filter(F.col("df") >= _MLT_MINDF)
+        .crossJoin(F.broadcast(n))
+        .select(
+            "term",
+            (
+                F.col("tf").cast("double")
+                * F.log(F.col("n_docs").cast("double") / F.col("df").cast("double"))
+            )
+            .cast("float")
+            .alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-bucket percentile (search/facet/PercentileAgg.java inside a field
+# facet — json.facet {type:terms, facet:{p50:"percentile(v,50)"}}): exact
+# interpolated median per bucket. Spark `percentile` == DuckDB
+# quantile_cont (same linear interpolation); round(6) absorbs ordering
+# drift. Hash-partitioned group agg — no global sort.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_percentile_agg",
+    """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+       count(*)::BIGINT AS cnt
+FROM events GROUP BY event_type ORDER BY event_type ASC""",
+)
+def group_percentile_agg(spark, sf_dir):
+    """Facet-bucket percentile: exact interpolated p50 of value per
+    event_type."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy(F.asc("event_type"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Solr Text Tagger (solr/core/.../handler/tagger/TaggerRequestHandler.java,
+# the SolrTextTagger /tag handler): stream text past a dictionary of
+# entities, emitting LONGEST dominant-right matches — a 1-gram entry is
+# suppressed wherever a 2-gram entry covers the same position. Dictionary:
+# {"big data"} (2-gram) + {"data", "spark"} (1-grams); 'data' counts only
+# when NOT the tail of 'big data'. Per-row array lambdas (JVM codegen),
+# corpus-wide tag totals via one map-combined agg.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_tagger",
+    f"""WITH {_TOKARR_CTE},
+per AS (SELECT doc_id,
+  CASE WHEN len(t) >= 2 THEN len(list_filter(range(1, len(t)), i -> t[i] = 'big' AND t[i+1] = 'data')) ELSE 0 END AS n_bigdata,
+  len(list_filter(range(1, len(t) + 1), i -> t[i] = 'data' AND (i = 1 OR t[i-1] <> 'big'))) AS n_data,
+  len(list_filter(range(1, len(t) + 1), i -> t[i] = 'spark')) AS n_spark
+ FROM tokarr)
+SELECT tag, cnt FROM (
+  SELECT 'big data' AS tag, sum(n_bigdata)::BIGINT AS cnt FROM per
+  UNION ALL SELECT 'data', sum(n_data)::BIGINT FROM per
+  UNION ALL SELECT 'spark', sum(n_spark)::BIGINT FROM per)
+ORDER BY tag ASC""",
+)
+def text_tagger(spark, sf_dir):
+    """SolrTextTagger: longest-match entity tagging — corpus totals per tag,
+    1-gram 'data' suppressed under the 2-gram 'big data'."""
+    toks = _tokens(spark, sf_dir)
+    t = F.col("tokens")
+
+    def n_bigdata():
+        return F.when(
+            F.size(t) >= 2,
+            F.size(
+                F.filter(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: (F.element_at(t, i.cast("int")) == "big")
+                    & (F.element_at(t, i.cast("int") + 1) == "data"),
+                )
+            ),
+        ).otherwise(F.lit(0))
+
+    def n_unigram(term, suppress_after=None):
+        def pred(i):
+            j = i.cast("int")
+            c = F.element_at(t, j) == term
+            if suppress_after is not None:
+                c = c & ((j == 1) | (F.element_at(t, j - 1) != suppress_after))
+            return c
+
+        return F.size(F.filter(F.sequence(F.lit(1), F.size(t)), pred))
+
+    per = toks.select(
+        n_bigdata().alias("n_bigdata"),
+        n_unigram("data", suppress_after="big").alias("n_data"),
+        n_unigram("spark").alias("n_spark"),
+    )
+    agg = per.agg(
+        F.sum("n_bigdata").alias("big data"),
+        F.sum("n_data").alias("data"),
+        F.sum("n_spark").alias("spark"),
+    )
+    return agg.select(
+        F.explode(
+            F.create_map(
+                F.lit("big data"), F.col("big data"),
+                F.lit("data"), F.col("data"),
+                F.lit("spark"), F.col("spark"),
+            )
+        ).alias("tag", "cnt")
+    ).orderBy(F.asc("tag"))
+
+
 _CG_COMMON = ("a", "the")
 
 

@@ -133,6 +133,54 @@ def test_facet_range_other_buckets(spark, tmp_path):
     ]
 
 
+def test_mlt_interesting_terms_gates_and_ranking(spark, tmp_path):
+    rows = [
+        (0, "spark spark join", "en", "s0", 16),
+        (1, "spark merge", "en", "s0", 11),
+        (2, "join merge", "en", "s0", 10),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    try:
+        out = [tuple(r) for r in c7.mlt_interesting_terms(spark, d).collect()]
+    finally:
+        _TOK_CACHE.pop(d, None)
+    idf = math.log(3 / 2)  # df=2 for both seed terms, N=3
+    assert out == [
+        ("spark", np.float32(2 * idf)),
+        ("join", np.float32(1 * idf)),
+    ]
+
+
+def test_group_percentile_interpolates_per_bucket(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0)], "event_type string, value double"
+    ).coalesce(1).write.parquet(f"{d}/events.parquet")
+    out = [tuple(r) for r in c7.group_percentile_agg(spark, d).collect()]
+    assert out == [("a", 2.0, 2), ("b", 5.0, 1)]
+
+
+def test_text_tagger_longest_match_suppression(spark, tmp_path):
+    rows = [
+        # 'data' at pos 2 and 6 are tails of 'big data' (suppressed);
+        # pos 4 follows 'spark' (kept)
+        (0, "big data spark data big data", "en", "s0", 28),
+        (1, "data table", "en", "s0", 10),  # doc-initial 'data' is kept
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    try:
+        out = [tuple(r) for r in c7.text_tagger(spark, d).collect()]
+    finally:
+        _TOK_CACHE.pop(d, None)
+    assert out == [("big data", 2), ("data", 2), ("spark", 1)]
+
+
 @pytest.fixture()
 def tiny_graph_sf(spark, tmp_path):
     """Minimal TPC-H slice: GERMANY customer c1 owns o10,o11; FRANCE c2
