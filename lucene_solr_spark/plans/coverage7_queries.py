@@ -573,6 +573,79 @@ def text_tagger(spark, sf_dir):
     ).orderBy(F.asc("tag"))
 
 
+# ---------------------------------------------------------------------------
+# Heavy hitters via a mergeable Misra-Gries sketch (operators/sketches.py;
+# "Mergeable Summaries", PODS'12). Solr's exact top-N term facets
+# (search/facet/FacetFieldProcessor.java) shuffle the full term
+# cardinality; at 10^12 files the bounded-memory sketch (<= k rows per
+# partition shuffled, error <= N/(k+1)) is the scale path. Deterministic
+# contract (HLL-row pattern): the exact heavy-hitter count and top term —
+# identical in both engines — plus booleans the Spark side GENUINELY
+# verifies against the sketch (coverage of every true heavy hitter, and
+# lower-bound validity within the merged error budget); the oracle pins
+# them true.
+# ---------------------------------------------------------------------------
+
+_MG_K = 8
+
+
+@register(
+    "heavy_hitters_sketch",
+    f"""WITH {_TOKARR_CTE},
+toks AS (SELECT doc_id, unnest(t) AS term FROM tokarr),
+exact AS (SELECT term, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+s AS (SELECT sum(cnt)::DOUBLE AS n FROM exact),
+top AS (SELECT term, cnt FROM exact ORDER BY cnt DESC, term ASC LIMIT 1),
+hv AS (SELECT count(*)::BIGINT AS n_heavy
+       FROM exact CROSS JOIN s WHERE cnt > s.n / {_MG_K + 1})
+SELECT hv.n_heavy, true AS covers_heavy, true AS bounds_valid,
+       top.term AS top_term, top.cnt AS top_cnt
+FROM hv CROSS JOIN top""",
+)
+def heavy_hitters_sketch(spark, sf_dir):
+    """Misra-Gries heavy hitters: bounded-memory candidate sketch verified
+    against the exact counts (coverage + lower-bound budget)."""
+    from ..operators.sketches import misra_gries_candidates
+
+    pairs = _tokens(spark, sf_dir).select(F.explode("tokens").alias("term"))
+    sketch = misra_gries_candidates(pairs, "term", _MG_K)
+    exact = pairs.groupBy("term").agg(F.count("*").alias("cnt"))
+    tot = exact.agg(F.sum("cnt").cast("double").alias("n"))
+    thr = F.col("n") / (_MG_K + 1)
+    j = exact.join(sketch, "term", "left").crossJoin(F.broadcast(tot))
+    flags = j.agg(
+        F.sum(F.when(F.col("cnt") > thr, 1).otherwise(0))
+        .cast("long")
+        .alias("n_heavy"),
+        (
+            F.min(
+                F.when(F.col("cnt") > thr, F.col("bound").isNotNull())
+                .otherwise(F.lit(True))
+                .cast("int")
+            )
+            == 1
+        ).alias("covers_heavy"),
+        (
+            F.min(
+                (
+                    F.col("bound").isNull()
+                    | (
+                        (F.col("bound") <= F.col("cnt"))
+                        & (F.col("bound") >= F.col("cnt") - thr)
+                    )
+                ).cast("int")
+            )
+            == 1
+        ).alias("bounds_valid"),
+    )
+    top = (
+        exact.orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(1)
+        .select(F.col("term").alias("top_term"), F.col("cnt").alias("top_cnt"))
+    )
+    return flags.crossJoin(F.broadcast(top))
+
+
 _CG_COMMON = ("a", "the")
 
 

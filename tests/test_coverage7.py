@@ -181,6 +181,55 @@ def test_text_tagger_longest_match_suppression(spark, tmp_path):
     assert out == [("big data", 2), ("data", 2), ("spark", 1)]
 
 
+def test_mg_merge_prunes_and_lower_bounds():
+    from lucene_solr_spark.operators.sketches import _mg_merge
+    import pandas as pd
+
+    c = _mg_merge({}, pd.Series({"x": 10, "y": 3, "z": 2, "w": 1}), k=2)
+    # (k+1)-th largest = 2 -> subtract 2 everywhere, drop <= 0
+    assert c == {"x": 8, "y": 1}
+    # merging more mass into a survivor keeps accumulating
+    c = _mg_merge(c, pd.Series({"x": 5}), k=2)
+    assert c == {"x": 13, "y": 1}
+
+
+def test_misra_gries_guarantees_on_skewed_partitions(spark):
+    from lucene_solr_spark.operators.sketches import misra_gries_candidates
+
+    rows = [("x",)] * 60 + [(f"t{i}",) for i in range(30)] + [("y",)] * 12
+    df = spark.createDataFrame(rows, "term string").repartition(4)
+    k = 5
+    sketch = {r["term"]: r["bound"] for r in misra_gries_candidates(df, "term", k).collect()}
+    n = len(rows)
+    exact = {"x": 60, "y": 12, **{f"t{i}": 1 for i in range(30)}}
+    thr = n / (k + 1)  # 17.0
+    for t, cnt in exact.items():
+        if cnt > thr:
+            assert t in sketch, f"heavy hitter {t} missing"
+        if t in sketch:
+            assert sketch[t] <= cnt
+            assert sketch[t] >= cnt - thr
+
+
+def test_heavy_hitters_row_detects_skew(spark, tmp_path):
+    # pure-letter filler terms: the tokenizer splits letter/digit runs
+    filler = [chr(ord("a") + i) + chr(ord("a") + i) for i in range(20)]  # aa..tt
+    text0 = " ".join(["x"] * 40 + filler)
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, text0, "en", "s0", len(text0))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    try:
+        (row,) = c7.heavy_hitters_sketch(spark, d).collect()
+    finally:
+        _TOK_CACHE.pop(d, None)
+    # N=60, k=8 -> thr=6.67: only 'x' (40) is heavy
+    assert row["n_heavy"] == 1
+    assert row["covers_heavy"] is True and row["bounds_valid"] is True
+    assert (row["top_term"], row["top_cnt"]) == ("x", 40)
+
+
 @pytest.fixture()
 def tiny_graph_sf(spark, tmp_path):
     """Minimal TPC-H slice: GERMANY customer c1 owns o10,o11; FRANCE c2
