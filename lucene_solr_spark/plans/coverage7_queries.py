@@ -646,6 +646,60 @@ def heavy_hitters_sketch(spark, sf_dir):
     return flags.crossJoin(F.broadcast(top))
 
 
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (Spark's approx_percentile = Greenwald-Khanna
+# QuantileSummaries; the scale sibling of the exact `percentile_agg` row
+# the way `heavy_hitters_sketch` is for term facets — exact percentiles
+# need a full sort/shuffle of the value column, the GK summary shuffles
+# O(accuracy) tuples per partition). Deterministic contract (HLL-row
+# pattern): exact p50/p95 identical in both engines, plus a boolean the
+# Spark side GENUINELY verifies — the sketch's answers land within the
+# documented rank-error budget N/accuracy of their targets.
+# ---------------------------------------------------------------------------
+
+_QS_ACC = 100  # rank error <= N/accuracy
+
+
+@register(
+    "quantile_sketch_agg",
+    """WITH s AS (SELECT round(quantile_cont(value, 0.5), 6) AS p50_exact,
+                round(quantile_cont(value, 0.95), 6) AS p95_exact FROM events)
+SELECT p50_exact, p95_exact, true AS within_rank_budget FROM s""",
+)
+def quantile_sketch_agg(spark, sf_dir):
+    """GK quantile sketch vs exact: exact p50/p95 plus a verified
+    rank-error-budget attestation for the sketch answers."""
+    e = _read(spark, sf_dir, "events").select("value")
+    row = e.agg(
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
+        F.expr("percentile(value, 0.95)").alias("p95_exact"),
+        F.expr(f"approx_percentile(value, 0.5, {_QS_ACC})").alias("p50_apx"),
+        F.expr(f"approx_percentile(value, 0.95, {_QS_ACC})").alias("p95_apx"),
+        F.count("*").alias("n"),
+    )
+    # rank of the sketch answer must sit within n/accuracy of the target
+    # rank; computed distributed (two conditional counts), no sort
+    apx = row.collect()[0]
+    budget = apx["n"] / _QS_ACC
+    ranks = e.agg(
+        F.sum((F.col("value") <= apx["p50_apx"]).cast("long")).alias("r50"),
+        F.sum((F.col("value") <= apx["p95_apx"]).cast("long")).alias("r95"),
+    ).collect()[0]
+    ok = (
+        abs(ranks["r50"] - 0.5 * apx["n"]) <= budget
+        and abs(ranks["r95"] - 0.95 * apx["n"]) <= budget
+    )
+    # F.round (HALF_UP, matches DuckDB) — not Python round (banker's)
+    return spark.createDataFrame(
+        [(float(apx["p50_exact"]), float(apx["p95_exact"]), bool(ok))],
+        "p50_exact double, p95_exact double, within_rank_budget boolean",
+    ).select(
+        F.round("p50_exact", 6).alias("p50_exact"),
+        F.round("p95_exact", 6).alias("p95_exact"),
+        "within_rank_budget",
+    )
+
+
 _CG_COMMON = ("a", "the")
 
 

@@ -230,6 +230,16 @@ def test_heavy_hitters_row_detects_skew(spark, tmp_path):
     assert (row["top_term"], row["top_cnt"]) == ("x", 40)
 
 
+def test_quantile_sketch_exact_values_and_budget(spark, tmp_path):
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(float(i),) for i in range(1, 101)], "value double"
+    ).repartition(4).write.parquet(f"{d}/events.parquet")
+    out = [tuple(r) for r in c7.quantile_sketch_agg(spark, d).collect()]
+    # interpolated exact: p50 = 50.5, p95 = 95.05; budget = N/acc = 1 rank
+    assert out == [(50.5, 95.05, True)]
+
+
 @pytest.fixture()
 def tiny_graph_sf(spark, tmp_path):
     """Minimal TPC-H slice: GERMANY customer c1 owns o10,o11; FRANCE c2
