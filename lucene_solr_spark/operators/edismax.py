@@ -155,6 +155,46 @@ def _shingles(seq: list[str], size: int) -> list[list[str]]:
     return [list(seq[i : i + size]) for i in range(len(seq) - size + 1)]
 
 
+def parse_boost_queries(spec) -> list[tuple[str, str, np.float32]]:
+    """bq syntax (DisMaxQParser#getBoostQueries): each clause is
+    ``field:term^boost`` — parsed with the term analyzer, scored as an
+    extra SHOULD clause (score adds when the doc matches; never gates,
+    never counts toward mm). Accepts one string or a list of strings;
+    whitespace separates clauses within a string."""
+    out: list[tuple[str, str, np.float32]] = []
+    specs = [spec] if isinstance(spec, str) else list(spec or [])
+    for s in specs:
+        for part in (s or "").split():
+            body, _, b = part.partition("^")
+            f, _, t = body.partition(":")
+            assert f and t, f"bq clause {part!r} is not field:term[^boost]"
+            terms = tokenize_text(t)
+            assert len(terms) == 1, f"bq clause {part!r} must analyze to one term"
+            out.append((f, terms[0], np.float32(float(b) if b else 1.0)))
+    return out
+
+
+def parse_boost_func(spec: str):
+    """bf / boost function grammar (FunctionQParser subset over the ``dl``
+    doc-value source): ``recip(dl,m,a,b)`` = a/(m·dl+b), ``sqrt(dl)``,
+    ``linear(dl,m,c)`` = m·dl+c, or a bare numeric constant. Returns a
+    vectorized callable evaluated in float64 with ONE float32 cast at the
+    end (the pinned cross-engine discipline)."""
+    s = (spec or "").strip()
+    m = re.fullmatch(r"recip\(dl,([^,]+),([^,]+),([^)]+)\)", s)
+    if m:
+        mm_, a, b = (float(x) for x in m.groups())
+        return lambda dl: (a / (mm_ * dl + b)).astype(np.float32)
+    if s == "sqrt(dl)":
+        return lambda dl: np.sqrt(dl).astype(np.float32)
+    m = re.fullmatch(r"linear\(dl,([^,]+),([^)]+)\)", s)
+    if m:
+        mm_, c = (float(x) for x in m.groups())
+        return lambda dl: (mm_ * dl + c).astype(np.float32)
+    c = float(s)  # bare constant; raises on unknown syntax
+    return lambda dl: np.full_like(dl, c, dtype=np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Scorer
 # ---------------------------------------------------------------------------
@@ -168,9 +208,22 @@ def edismax_topk(
 ) -> DataFrame:
     """Top-k for an edismax request. ``params`` keys: q (user query),
     qf ("field^boost ..."), optional pf / pf2 / pf3, tie (float), mm
-    (min-should-match spec). Every field's segment must share the corpus
-    doc-id assignment and bucket_docs (asserted); pf fields need
-    positional postings."""
+    (min-should-match spec), bq (additive boost queries,
+    DisMaxQParser#getBoostQueries — "field:term^boost" clauses whose BM25
+    score ADDS to matching docs without gating or counting toward mm),
+    bf (additive boost functions over the ``dl`` doc value,
+    DisMaxQParser#getBoostFunctions / FunctionQParser), boost
+    (multiplicative function, BoostQParserPlugin — final score =
+    subquery score × function value), dv (field whose norms table is the
+    dl value source; defaults to the first qf field in sorted order).
+    Every field's segment must share the corpus doc-id assignment and
+    bucket_docs (asserted); pf fields need positional postings.
+
+    Pinned boost arithmetic (cross-engine f32 contract): after the f32
+    clause fold — bq contributions f32(raw_bm25 · bq_boost) in given
+    order, then pf clauses, then bf values; functions are evaluated in
+    float64 over the EXACT dl (norms table, not byte4) with one f32 cast;
+    the multiplicative boost applies last: f32(acc · f32(func(dl)))."""
     qf = parse_field_boosts(params.get("qf", ""))
     fields = sorted(qf)
     assert fields and all(f in segments for f in fields), "qf field missing a segment"
@@ -210,15 +263,33 @@ def edismax_topk(
             for seq in seqs:
                 pclauses.append((f, seq, np.float32(b), slop))
 
+    # boost params: bq clauses + bf/boost functions over the dl doc value
+    bq = parse_boost_queries(params.get("bq"))
+    for f, _t, _b in bq:
+        assert f in segments, f"bq field {f!r} missing a segment"
+    bf_specs = params.get("bf")
+    bf_specs = [bf_specs] if isinstance(bf_specs, str) else list(bf_specs or [])
+    bf_funcs = [parse_boost_func(s) for s in bf_specs]
+    boost_func = (
+        parse_boost_func(params["boost"]) if params.get("boost") else None
+    )
+    dv_field = params.get("dv", fields[0]) if (bf_funcs or boost_func) else None
+    if dv_field is not None:
+        assert dv_field in segments, f"dv field {dv_field!r} missing a segment"
+        assert segments[dv_field].has_table("norms"), (
+            f"dv field {dv_field!r} has no norms table (dl value source)"
+        )
+    bq_fields = sorted({f for f, _t, _b in bq})
+
     # ---- driver-side stats pre-pass (Weight analog): ONE terms-dict
     # collect per involved field, shared by the clause idfs AND the
     # phrase-boost idf sums -------------------------------------------------
-    all_terms = sorted(set(clause_seq) | set(neg))
+    all_terms = sorted(set(clause_seq) | set(neg) | {t for _f, t, _b in bq})
     pf_fields = sorted({f for f, _s, _b, _sl in pclauses})
     idfs: dict[tuple[str, str], np.float32] = {}
     raw_df: dict[tuple[str, str], int] = {}
     caches: dict[str, np.ndarray] = {}
-    for f in sorted(set(fields) | set(pf_fields)):
+    for f in sorted(set(fields) | set(pf_fields) | set(bq_fields)):
         seg = segments[f]
         caches[f] = bm25.norm_cache(seg.stats.avgdl)
         rows = (
@@ -229,7 +300,7 @@ def edismax_topk(
         )
         for r in rows:
             raw_df[(f, r["term"])] = int(r["df"])
-            if f in qf:
+            if f in qf or f in bq_fields:
                 idfs[(f, r["term"])] = np.float32(
                     bm25.idf(seg.stats.n_docs, int(r["df"]))
                 )
@@ -247,10 +318,13 @@ def edismax_topk(
                 )
             )
     boosts = {f: np.float32(qf[f]) for f in fields}
-    hit_any = {t for (_f, t) in idfs}
+    hit_any = {t for (f, t) in idfs if f in qf}
     if any(t not in hit_any for t in req):
         return spark.createDataFrame([], _TOPK_SCHEMA)
     matched_terms = sorted({t for t in all_terms if t in hit_any})
+    # bq clauses resolve against their own field's postings (which may sit
+    # outside qf); keep only those whose (field, term) exists in the index
+    bq_live = [(f, t, b) for f, t, b in bq if (f, t) in raw_df]
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
         post = pdf[pdf["kind"] == 0]
@@ -273,12 +347,17 @@ def edismax_topk(
                     freqs, norms, idfs[(f, t)], caches[f]
                 )
                 marr[rel] = True
-            per[(f, t)] = ((sarr * boosts[f]).astype(np.float32), marr)
+            per[(f, t)] = (sarr, marr)  # RAW field score; qf boost at dmx
 
         # per-term dismax combine (sorted field order, pinned f32)
         dmx: dict[str, tuple[np.ndarray, np.ndarray]] = {}
         for t in matched_terms:
-            fs = [per[(f, t)] for f in fields if (f, t) in per]
+            fs = [
+                ((per[(f, t)][0] * boosts[f]).astype(np.float32),
+                 per[(f, t)][1])
+                for f in fields
+                if (f, t) in per
+            ]
             if not fs:
                 continue
             if len(fs) == 1:
@@ -319,6 +398,12 @@ def edismax_topk(
             if t in dmx:
                 acc += dmx[t][0]
 
+        # bq clauses add their RAW field BM25 × bq boost in given order
+        # (SHOULD semantics: never gates, never counts toward mm)
+        for f, t, b in bq_live:
+            if (f, t) in per:
+                acc += (per[(f, t)][0] * b).astype(np.float32)
+
         # phrase boosts ride the SAME bucket (positions rows, kind == 1)
         pos = pdf[pdf["kind"] == 1]
         for ci, (f, seq, b, slop) in enumerate(pclauses):
@@ -342,6 +427,22 @@ def edismax_topk(
             add[rel[inb]] = (p[inb] * b).astype(np.float32)
             acc += add
 
+        # bf / boost functions over the EXACT dl doc value (kind == 2 rows
+        # carry dl in first_doc); functions evaluate in f64, one f32 cast
+        if bf_funcs or boost_func is not None:
+            dl_arr = np.zeros(span, dtype=np.float64)
+            dv = pdf[pdf["kind"] == 2]
+            if len(dv):
+                ids = dv["doc_id"].to_numpy(dtype=np.int64) - base
+                inb = (ids >= 0) & (ids < span)
+                dl_arr[ids[inb]] = dv["first_doc"].to_numpy(
+                    dtype=np.float64
+                )[inb]
+            for fn in bf_funcs:
+                acc += fn(dl_arr)
+            if boost_func is not None:
+                acc = (acc * boost_func(dl_arr)).astype(np.float32)
+
         nz = np.nonzero(ok & (acc != 0))[0]
         if nz.size == 0:
             # mm can pass with zero-score docs (all-stopword edge); keep
@@ -356,14 +457,21 @@ def edismax_topk(
              "score": scores[order]}
         )
 
-    # ---- one union frame: posting blocks + pf positional rows -------------
+    # ---- one union frame: posting blocks + pf positional rows + dl rows ---
     null_bin = F.lit(None).cast("binary")
     parts = []
-    for f in fields:
+    bq_terms_by_field: dict[str, set] = {}
+    for f, t, _b in bq_live:
+        bq_terms_by_field.setdefault(f, set()).add(t)
+    for f in sorted(set(fields) | set(bq_terms_by_field)):
+        wanted = sorted(
+            (set(matched_terms) if f in qf else set())
+            | bq_terms_by_field.get(f, set())
+        )
         parts.append(
             segments[f]
             .table(spark, "postings")
-            .filter(F.col("term").isin(matched_terms))
+            .filter(F.col("term").isin(wanted))
             .select(
                 F.lit(0).alias("kind"),
                 F.lit(f).alias("field"),
@@ -395,6 +503,29 @@ def edismax_topk(
                 F.col("norm_byte").cast("int").alias("norm_byte"),
                 "pos_bin",
                 (F.col("end_bin") if has_end else null_bin).alias("end_bin"),
+            )
+        )
+    if dv_field is not None:
+        # dl value rows (kind == 2): the narrow norms table (.nvd analog),
+        # bucketed on the shared doc-id grid; dl rides the first_doc slot.
+        bdocs = segments[dv_field].stats.bucket_docs
+        parts.append(
+            segments[dv_field]
+            .table(spark, "norms")
+            .select(
+                F.lit(2).alias("kind"),
+                F.lit(dv_field).alias("field"),
+                F.lit("dl").alias("term"),
+                (F.col("doc_id") / F.lit(bdocs)).cast("long").alias("bucket"),
+                F.col("dl").cast("long").alias("first_doc"),
+                F.lit(None).cast("long").alias("last_doc"),
+                null_bin.alias("doc_bin"),
+                null_bin.alias("freq_bin"),
+                null_bin.alias("norm_bin"),
+                "doc_id",
+                F.lit(None).cast("int").alias("norm_byte"),
+                null_bin.alias("pos_bin"),
+                null_bin.alias("end_bin"),
             )
         )
     u = parts[0]

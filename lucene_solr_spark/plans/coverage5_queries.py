@@ -127,6 +127,135 @@ def edismax_topk(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ENGINE-PATH eDisMax bq/bf/boost — DisMaxQParser#getBoostQueries /
+# getBoostFunctions and BoostQParserPlugin through the same kernel: the
+# base edismax_topk request (q='key order', qf='b t^2', tie=0.3, mm=2,
+# pf='b^1.5') plus bq='t:window^0.5' (additive title-field BM25, never
+# gates), bf='recip(dl,1,100,100)' (additive 100/(dl+100) over the BODY
+# dl — EXACT dl from the norms table, f64 eval, one f32 cast) and
+# boost='sqrt(dl)' (multiplicative, applied last). The oracle extends the
+# edismax_topk mirror with the same pinned order: f32 clause fold + bq +
+# pf + bf, then × boost.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "edismax_boost_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS toks FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n FROM tokarr),
+u AS (SELECT 0 AS fidx, doc_id, toks FROM tokarr
+      UNION ALL SELECT 1, doc_id, list_slice(toks, 1, 5) FROM tokarr),
+fdl AS (SELECT fidx, doc_id, len(toks) AS dl FROM u),
+favg AS (SELECT fidx, (sum(dl)::DOUBLE / count(*)::DOUBLE) AS avgdl
+         FROM fdl GROUP BY fidx),
+pos AS (SELECT fidx, doc_id, unnest(toks) AS term FROM u),
+qt AS (SELECT unnest(['key', 'order']) AS term),
+tf AS (SELECT fidx, doc_id, p.term, count(*)::BIGINT AS freq
+       FROM pos p JOIN qt USING (term) GROUP BY 1, 2, 3),
+fdf AS (SELECT fidx, p.term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM pos p JOIN qt USING (term) GROUP BY 1, 2),
+contrib AS (SELECT tf.fidx, tf.doc_id, tf.term,
+       (((((ln(1 + ((s.n::DOUBLE) - f.df + 0.5) / (f.df + 0.5)))::FLOAT
+           * ((tf.freq::FLOAT)
+              / ((tf.freq::FLOAT)
+                 + ((1.2::FLOAT)
+                    * ((0.25::FLOAT)
+                       + (((0.75::FLOAT)
+                           * (({duckdb_byte4_roundtrip_sql('d.dl')})::FLOAT))
+                          / ((a.avgdl)::FLOAT)))))))::FLOAT)
+        * ((CASE tf.fidx WHEN 0 THEN 1.0 ELSE 2.0 END)::FLOAT))::FLOAT) AS s_t
+    FROM tf JOIN fdl d ON d.fidx = tf.fidx AND d.doc_id = tf.doc_id
+    JOIN fdf f ON f.fidx = tf.fidx AND f.term = tf.term
+    JOIN favg a ON a.fidx = tf.fidx CROSS JOIN stats s),
+dm AS (SELECT doc_id, term,
+              ((list_max(l)
+                + (((0.3::FLOAT)
+                    * ((list_reduce(l, (x, y) -> (x + y)::FLOAT)
+                        - list_max(l))::FLOAT))::FLOAT))::FLOAT) AS dmx
+       FROM (SELECT doc_id, term, list(s_t ORDER BY fidx) AS l
+             FROM contrib GROUP BY 1, 2)),
+mmdocs AS (SELECT doc_id FROM dm GROUP BY doc_id
+           HAVING count(DISTINCT term) = 2),
+dmscored AS (SELECT doc_id,
+                    list_reduce(list(dmx ORDER BY term),
+                                (x, y) -> (x + y)::FLOAT) AS score_f
+             FROM dm GROUP BY doc_id),
+wtf AS (SELECT doc_id, count(*)::BIGINT AS freq
+        FROM pos WHERE fidx = 1 AND term = 'window' GROUP BY 1),
+wdf AS (SELECT count(DISTINCT doc_id)::DOUBLE AS df
+        FROM pos WHERE fidx = 1 AND term = 'window'),
+bqs AS (SELECT w.doc_id,
+       (((((ln(1 + ((s.n::DOUBLE) - wd.df + 0.5) / (wd.df + 0.5)))::FLOAT
+           * ((w.freq::FLOAT)
+              / ((w.freq::FLOAT)
+                 + ((1.2::FLOAT)
+                    * ((0.25::FLOAT)
+                       + (((0.75::FLOAT)
+                           * (({duckdb_byte4_roundtrip_sql('d.dl')})::FLOAT))
+                          / ((a.avgdl)::FLOAT)))))))::FLOAT)
+        * (0.5::FLOAT))::FLOAT) AS bqv
+    FROM wtf w JOIN fdl d ON d.fidx = 1 AND d.doc_id = w.doc_id
+    JOIN favg a ON a.fidx = 1 CROSS JOIN wdf wd CROSS JOIN stats s
+    WHERE wd.df > 0),
+bstat AS (SELECT
+       (SELECT df FROM fdf WHERE fidx = 0 AND term = 'key') AS df_key,
+       (SELECT df FROM fdf WHERE fidx = 0 AND term = 'order') AS df_order,
+       (SELECT avgdl FROM favg WHERE fidx = 0) AS avgdl,
+       (SELECT n FROM stats) AS n),
+ph AS (SELECT t.doc_id,
+         len(list_filter(range(1, len(t.toks)),
+                         i -> t.toks[i] = 'key' AND t.toks[i+1] = 'order'))
+           AS fr,
+         len(t.toks) AS dl
+       FROM tokarr t),
+psc AS (SELECT ph.doc_id,
+       (((((ln(1 + ((b.n::DOUBLE) - b.df_key + 0.5) / (b.df_key + 0.5))
+            + ln(1 + ((b.n::DOUBLE) - b.df_order + 0.5) / (b.df_order + 0.5)))::FLOAT
+           * ((ph.fr::FLOAT)
+              / ((ph.fr::FLOAT)
+                 + ((1.2::FLOAT)
+                    * ((0.25::FLOAT)
+                       + (((0.75::FLOAT)
+                           * (({duckdb_byte4_roundtrip_sql('ph.dl')})::FLOAT))
+                          / ((b.avgdl)::FLOAT)))))))::FLOAT)
+        * (1.5::FLOAT))::FLOAT) AS p
+    FROM ph CROSS JOIN bstat b WHERE ph.fr > 0),
+dlb AS (SELECT doc_id, dl FROM fdl WHERE fidx = 0),
+fin AS (SELECT d.doc_id,
+       ((((d.score_f + coalesce(bq.bqv, (0.0)::FLOAT))::FLOAT
+            + coalesce(p.p, (0.0)::FLOAT))::FLOAT
+            + ((100.0 / ((b.dl::DOUBLE) + 100.0))::FLOAT))::FLOAT
+          * ((sqrt(b.dl::DOUBLE))::FLOAT))::FLOAT AS score_f
+    FROM dmscored d JOIN mmdocs USING (doc_id)
+    LEFT JOIN bqs bq USING (doc_id)
+    LEFT JOIN psc p USING (doc_id)
+    JOIN dlb b USING (doc_id))
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM fin ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def edismax_boost_topk(spark, sf_dir):
+    """eDisMax with bq/bf/boost: the base edismax_topk request plus
+    bq='t:window^0.5', bf='recip(dl,1,100,100)', boost='sqrt(dl)' over
+    the body dl — float32-exact cross-engine."""
+    from ..operators.edismax import edismax_topk as _edx
+    from .coverage3_queries import _title_segment
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = _edx(
+        spark,
+        {"b": s.segment, "t": _title_segment(spark, sf_dir)},
+        {"q": "key order", "qf": "b t^2", "tie": 0.3, "mm": "2",
+         "pf": "b^1.5", "bq": "t:window^0.5",
+         "bf": "recip(dl,1,100,100)", "boost": "sqrt(dl)", "dv": "b"},
+        k=10,
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ENGINE-PATH query-time synonym expansion — SynonymGraphFilter applied in
 # the QUERY analyzer (the common deployment: synonyms change without
 # reindexing). Query 'spark' under the rule 'spark, big data' rewrites to

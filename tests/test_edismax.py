@@ -11,6 +11,8 @@ from lucene_solr_spark.corpus import synth_corpus
 from lucene_solr_spark.operators.edismax import (
     calculate_mm,
     edismax_topk,
+    parse_boost_func,
+    parse_boost_queries,
     parse_field_boosts,
     parse_user_query,
 )
@@ -96,6 +98,31 @@ def test_calculate_mm_spec(spec, n, want):
     assert calculate_mm(spec, n) == want
 
 
+def test_parse_boost_queries():
+    got = parse_boost_queries("title:Self^2 body:def")
+    assert got == [("title", "self", np.float32(2.0)), ("body", "def", np.float32(1.0))]
+    assert parse_boost_queries(["a:x^0.5", "b:y"]) == [
+        ("a", "x", np.float32(0.5)), ("b", "y", np.float32(1.0))
+    ]
+    assert parse_boost_queries(None) == []
+    with pytest.raises(AssertionError):
+        parse_boost_queries("noField^2")
+
+
+def test_parse_boost_func():
+    dl = np.array([0.0, 4.0, 100.0])
+    assert np.allclose(parse_boost_func("recip(dl,1,100,100)")(dl),
+                       np.float32([1.0, 100 / 104, 0.5]))
+    assert np.allclose(parse_boost_func("sqrt(dl)")(dl),
+                       np.float32([0.0, 2.0, 10.0]))
+    assert np.allclose(parse_boost_func("linear(dl,2,1)")(dl),
+                       np.float32([1.0, 9.0, 201.0]))
+    assert np.allclose(parse_boost_func("0.75")(dl), np.float32(0.75))
+    assert parse_boost_func("sqrt(dl)")(dl).dtype == np.float32
+    with pytest.raises(ValueError):
+        parse_boost_func("pow(dl,2)")
+
+
 def test_parse_user_query_modifiers():
     req, opt, neg, seq = parse_user_query("+import return -private NOT static")
     assert req == ["import"] and neg == ["private", "static"]
@@ -157,10 +184,19 @@ def oracle_edismax(oras, params, k=10):
             for seq in seqs:
                 pclauses.append((f, seq, np.float32(b), slop))
 
-    all_terms = sorted(set(clause_seq) | set(neg))
+    bq = parse_boost_queries(params.get("bq"))
+    bf_specs = params.get("bf")
+    bf_specs = [bf_specs] if isinstance(bf_specs, str) else list(bf_specs or [])
+    bf_funcs = [parse_boost_func(s) for s in bf_specs]
+    boost_func = (
+        parse_boost_func(params["boost"]) if params.get("boost") else None
+    )
+    dv_field = params.get("dv", fields[0]) if (bf_funcs or boost_func) else None
+
+    all_terms = sorted(set(clause_seq) | set(neg) | {t for _f, t, _b in bq})
     per = {
         f: {t: oras[f]._term_scores(t, 1.0)[1] for t in all_terms}
-        for f in fields
+        for f in sorted(set(fields) | {f for f, _t, _b in bq})
     }
     docs = set()
     for f in fields:
@@ -199,6 +235,10 @@ def oracle_edismax(oras, params, k=10):
         for t in clause_seq:
             if hit.get(t):
                 acc = np.float32(acc + dmx[t])
+        for f, t, b in bq:
+            s = per[f][t].get(d)
+            if s is not None:
+                acc = np.float32(acc + np.float32(np.float32(s) * b))
         for f, seq, b, slop in pclauses:
             ora = oras[f]
             if any(not ora.tf.get(t) for t in seq):
@@ -210,6 +250,12 @@ def oracle_edismax(oras, params, k=10):
             fr32 = np.float32(fr)
             p = np.float32(idf_sum * np.float32(fr32 / np.float32(fr32 + ora.cache[ora.norm_byte[d]])))
             acc = np.float32(acc + np.float32(p * b))
+        if dv_field is not None:
+            dl = np.array([float(len(oras[dv_field].tokens[d]))])
+            for fn in bf_funcs:
+                acc = np.float32(acc + fn(dl)[0])
+            if boost_func is not None:
+                acc = np.float32(acc * boost_func(dl)[0])
         out.append((d, float(acc)))
     out.sort(key=lambda kv: (-kv[1], kv[0]))
     return out[:k]
@@ -231,6 +277,18 @@ CASES = [
     ("return +import", {"pf": "body"}),   # pf phrase follows TYPED order
     ("self AND import return", {"pf2": "body^2"}),
     ('"import return]', {"mm": "2"}),  # fallback still scores
+    # bq / bf / boost (DisMaxQParser#getBoostQueries/getBoostFunctions,
+    # BoostQParserPlugin) — additive term boosts, additive dl functions,
+    # multiplicative function, and all three together with dv=title
+    ("import return", {"mm": "2", "tie": 0.3, "bq": "title:self^2"}),
+    ("import return", {"mm": "2", "bq": ["body:public^0.5", "title:def"]}),
+    ("import return", {"mm": "2", "bf": "recip(dl,1,100,100)"}),
+    ("import return", {"mm": "2", "boost": "sqrt(dl)"}),
+    ("import return self", {
+        "tie": 0.2, "pf": "body", "bq": "body:public^0.5 title:def",
+        "bf": ["linear(dl,0.01,0)", "0.5"], "boost": "recip(dl,1,50,50)",
+        "dv": "title",
+    }),
 ]
 
 
