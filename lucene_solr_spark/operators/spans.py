@@ -69,6 +69,7 @@ __all__ = [
     "SpanNear",
     "SpanOr",
     "SpanFirst",
+    "SpanPositionRange",
     "span_terms",
     "doc_spans",
     "span_freq",
@@ -108,6 +109,20 @@ class SpanFirst:
 
 
 @dataclass(frozen=True)
+class SpanPositionRange:
+    """search/spans/SpanPositionRangeQuery.java#acceptPosition: spans of
+    ``clause`` lying fully inside the position window (span.start >=
+    ``start`` and span.end <= ``end``) — SpanFirst is the start=0 case."""
+
+    clause: object
+    start: int
+    end: int
+
+    def __post_init__(self):
+        assert 0 <= self.start <= self.end, "need 0 <= start <= end"
+
+
+@dataclass(frozen=True)
 class SpanNot:
     """search/spans/SpanNotQuery.java: spans of ``include`` that do not
     overlap any ``exclude`` span, the exclusion window widened by ``pre``
@@ -142,7 +157,7 @@ def span_terms(node) -> set[str]:
     """All distinct terms under a span node."""
     if isinstance(node, SpanTerm):
         return {node.term}
-    if isinstance(node, SpanFirst):
+    if isinstance(node, (SpanFirst, SpanPositionRange)):
         return span_terms(node.clause)
     if isinstance(node, SpanNot):
         return span_terms(node.include) | span_terms(node.exclude)
@@ -160,7 +175,7 @@ def scoring_terms(node) -> set[str]:
     matches but never score."""
     if isinstance(node, SpanTerm):
         return {node.term}
-    if isinstance(node, SpanFirst):
+    if isinstance(node, (SpanFirst, SpanPositionRange)):
         return scoring_terms(node.clause)
     if isinstance(node, SpanNot):
         return scoring_terms(node.include)
@@ -189,6 +204,12 @@ def doc_spans(node, positions: dict[str, np.ndarray]) -> list[tuple[int, int]]:
         return out
     if isinstance(node, SpanFirst):
         return [s for s in doc_spans(node.clause, positions) if s[1] <= node.end]
+    if isinstance(node, SpanPositionRange):
+        return [
+            s
+            for s in doc_spans(node.clause, positions)
+            if node.start <= s[0] and s[1] <= node.end
+        ]
     if isinstance(node, SpanNot):
         inc = doc_spans(node.include, positions)
         exc = doc_spans(node.exclude, positions)
@@ -413,7 +434,7 @@ def _required_terms(node) -> set[str]:
     nothing individually (any one alternative suffices)."""
     if isinstance(node, SpanTerm):
         return {node.term}
-    if isinstance(node, SpanFirst):
+    if isinstance(node, (SpanFirst, SpanPositionRange)):
         return _required_terms(node.clause)
     if isinstance(node, SpanNot):
         return _required_terms(node.include)  # exclusion terms gate only

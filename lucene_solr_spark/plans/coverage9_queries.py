@@ -201,3 +201,263 @@ def pivot_facet_stats(spark, sf_dir):
         .filter(F.col("lang").isNotNull())  # drop the grand-total row
         .orderBy(F.asc("lang"), F.col("source").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH SpanPositionRangeQuery —
+# search/spans/SpanPositionRangeQuery.java#acceptPosition: spans of
+# 'order' lying fully inside the 0-based position window [2, 20) (span
+# start >= 2, span end <= 20 — SpanFirst generalized with a lower bound).
+# freq = surviving span count; BM25 with 'order's idf, byte4 norms,
+# float32-exact. DuckDB subscripts are 1-based: position p maps to i=p+1,
+# so the window is i in [3, 20].
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "span_position_range",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(t) AS dl FROM tokarr),
+dfm AS (SELECT count(*)::BIGINT AS df FROM tokarr
+        WHERE list_contains(t, 'order')),
+surv AS (SELECT doc_id,
+        len(list_filter(range(1, len(t) + 1),
+            i -> t[i] = 'order' AND i >= 3 AND i <= 20))::BIGINT AS freq
+    FROM tokarr),
+scored AS (SELECT s2.doc_id,
+       (((ln(1 + ((s.n_docs::DOUBLE) - d.df + 0.5) / (d.df + 0.5)))::FLOAT
+         * ((s2.freq::FLOAT)
+            / ((s2.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS score_f
+    FROM surv s2 JOIN dl USING (doc_id) CROSS JOIN dfm d CROSS JOIN stats s
+    WHERE s2.freq > 0)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def span_position_range(spark, sf_dir):
+    """Real-engine SpanPositionRange('order', [2, 20)) top-10,
+    float32-exact cross-engine."""
+    from ..operators.spans import SpanPositionRange, SpanTerm, span_topk
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = span_topk(
+        spark, s.segment, SpanPositionRange(SpanTerm("order"), 2, 20), k=10
+    )
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# GraphTermsQParser — solr/core/.../search/GraphTermsQParserPlugin.java
+# ({!graphTerms f=... maxDocFreq=N}t1,t2,...): a TermInSet that silently
+# DROPS terms whose docFreq exceeds maxDocFreq (used by graph traversals
+# to skip hot hub terms). The row reports the surviving-term count and
+# the matching-doc count for a 4-term set under maxDocFreq=385.
+# Scale shape: df screening reads the terms dict only; the doc scan is a
+# pushed-down IN filter over the survivors.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_terms_query",
+    f"""WITH {_TOKS_CTE},
+dft AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM toks
+        WHERE term IN ('data', 'key', 'order', 'value') GROUP BY term),
+keep AS (SELECT term FROM dft WHERE df <= 385)
+SELECT (SELECT count(*) FROM keep)::BIGINT AS n_terms_kept,
+       count(DISTINCT t.doc_id)::BIGINT AS n_docs
+FROM toks t JOIN keep k ON t.term = k.term""",
+)
+def graph_terms_query(spark, sf_dir):
+    """{!graphTerms maxDocFreq=385}data,key,order,value — hot terms are
+    dropped before matching."""
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    wanted = toks.filter(F.col("term").isin("data", "key", "order", "value"))
+    keep = (
+        wanted.groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= 385)
+        .select("term")
+    )
+    return (
+        wanted.join(F.broadcast(keep), "term")
+        .agg(
+            F.countDistinct("term").alias("n_terms_kept"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BoostingQuery — lucene/queries/.../BoostingQuery.java (now
+# FunctionScoreQuery#boostByQuery): docs matching the demote query keep
+# matching but their score is multiplied by the demote factor (unlike
+# MUST_NOT, nothing is excluded). Main = BM25('merge'), demote = docs
+# containing 'slow' x 0.2, double precision.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "boosting_query_demote",
+    f"""WITH {_TOKS_CTE},
+dl AS (SELECT d.doc_id, coalesce(t.c, 0) AS dl
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id)),
+stats AS (SELECT count(*)::DOUBLE AS n_total, sum(dl)/count(*) AS avgdl FROM dl),
+tf AS (SELECT doc_id, count(*)::DOUBLE AS freq FROM toks WHERE term = 'merge' GROUP BY 1),
+dft AS (SELECT count(*)::DOUBLE AS dft FROM tf),
+demote AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'slow'),
+scored AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (s.n_total - f.dft + 0.5)/(f.dft + 0.5))
+           * tf.freq / (tf.freq + 1.2 * (0.25 + 0.75 * ({duckdb_byte4_roundtrip_sql('dl.dl')})::DOUBLE / s.avgdl))
+           * (CASE WHEN dm.doc_id IS NOT NULL THEN 0.2 ELSE 1.0 END) AS contrib
+  FROM tf CROSS JOIN dft f JOIN dl ON tf.doc_id = dl.doc_id
+  LEFT JOIN demote dm ON dm.doc_id = tf.doc_id CROSS JOIN stats s)
+SELECT doc_id, round(contrib, 6) AS score
+FROM scored ORDER BY score DESC, doc_id ASC LIMIT 10""",
+)
+def boosting_query_demote(spark, sf_dir):
+    """BoostingQuery: BM25('merge') with docs containing 'slow' demoted
+    by x0.2 (matched, not excluded)."""
+    from .driver_queries import _spark_byte4_sql
+
+    toks = _tokens(spark, sf_dir)
+    dl = toks.select("doc_id", F.size("tokens").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_total"),
+        (F.sum("dl") / F.count("*")).alias("avgdl"),
+    )
+    flat = toks.select("doc_id", F.explode("tokens").alias("term"))
+    tf = (
+        flat.filter(F.col("term") == "merge")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("double").alias("freq"))
+    )
+    dft = tf.agg(F.count("*").cast("double").alias("dft"))
+    demote = (
+        flat.filter(F.col("term") == "slow").select("doc_id").distinct()
+        .withColumn("is_demoted", F.lit(1))
+    )
+    dlq = F.expr(_spark_byte4_sql("dl")).cast("double")
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(demote, "doc_id", "left")
+        .crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dft))
+        .withColumn("dlq", dlq)
+        .withColumn(
+            "contrib",
+            F.log(1.0 + (F.col("n_total") - F.col("dft") + 0.5) / (F.col("dft") + 0.5))
+            * F.col("freq")
+            / (F.col("freq") + 1.2 * (0.25 + 0.75 * F.col("dlq") / F.col("avgdl")))
+            * F.when(F.col("is_demoted").isNotNull(), 0.2).otherwise(1.0),
+        )
+    )
+    return (
+        scored.select("doc_id", F.round(F.col("contrib"), 6).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# group.query — solr/core/.../search/grouping/distributed/command/
+# QueryCommand.java (grouping by QUERIES instead of a field: each
+# group.query defines one group, with its own top-N). Two query-defined
+# groups ('join' docs, 'window' docs), top-3 per group by n_chars desc.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_query_topk",
+    f"""WITH {_TOKS_CTE},
+m AS (SELECT 'q_join' AS grp, doc_id FROM toks WHERE term = 'join'
+      UNION ALL
+      SELECT 'q_window', doc_id FROM toks WHERE term = 'window'),
+md AS (SELECT DISTINCT grp, doc_id FROM m),
+ranked AS (SELECT md.grp, md.doc_id, d.n_chars,
+                  row_number() OVER (PARTITION BY md.grp
+                                     ORDER BY d.n_chars DESC, md.doc_id ASC) AS rnk
+           FROM md JOIN documents d USING (doc_id))
+SELECT grp, doc_id, n_chars FROM ranked WHERE rnk <= 3
+ORDER BY grp ASC, n_chars DESC, doc_id ASC""",
+)
+def group_query_topk(spark, sf_dir):
+    """group.query: per-query groups with independent top-3 (n_chars
+    desc)."""
+    from pyspark.sql.window import Window
+
+    toks = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    parts = []
+    for grp, term in (("q_join", "join"), ("q_window", "window")):
+        parts.append(
+            toks.filter(F.array_contains("tokens", term))
+            .select(F.lit(grp).alias("grp"), "doc_id")
+        )
+    m = parts[0].unionByName(parts[1]).join(docs, "doc_id")
+    w = Window.partitionBy("grp").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        m.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("grp", "doc_id", "n_chars")
+        .orderBy(F.asc("grp"), F.desc("n_chars"), F.asc("doc_id"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH shard split — solr/core/.../update/SplitIndexCommand.java
+# (SPLITSHARD): partition a segment's doc space at the midpoint into two
+# sub-shards and account for what lands where. The engine side decodes
+# the REAL posting blocks (operators/merge.py#decode_postings) and
+# aggregates per half — the same doc-id-range routing a split performs;
+# the oracle recounts from raw tokens. At scale the split is a
+# partition-pruned copy per range (postings blocks never span buckets,
+# so a doc-range split never rewrites a block's neighbours).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "shard_split_counts",
+    f"""WITH {_TOKS_CTE},
+mid AS (SELECT (count(*) // 2)::BIGINT AS m FROM documents)
+SELECT CASE WHEN t.doc_id < m.m THEN 'left' ELSE 'right' END AS half,
+       count(DISTINCT t.doc_id)::BIGINT AS n_docs,
+       count(DISTINCT t.term)::BIGINT AS n_terms,
+       count(*)::BIGINT AS sum_tf
+FROM toks t CROSS JOIN mid m GROUP BY 1 ORDER BY 1""",
+)
+def shard_split_counts(spark, sf_dir):
+    """SPLITSHARD accounting: decode the real segment postings, split the
+    doc space at n_docs/2, count docs/terms/occurrences per half."""
+    from ..operators.merge import decode_postings
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    mid = s.segment.stats.n_docs // 2
+    rows = decode_postings(s.segment.table(spark, "postings"))
+    return (
+        rows.withColumn(
+            "half",
+            F.when(F.col("doc_id") < mid, "left").otherwise("right"),
+        )
+        .groupBy("half")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("term").alias("n_terms"),
+            F.sum("freq").cast("long").alias("sum_tf"),
+        )
+        .orderBy("half")
+    )

@@ -13,6 +13,7 @@ import numpy as np
 from lucene_solr_spark.operators.spans import (
     SpanContaining,
     SpanFirst,
+    SpanPositionRange,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -33,6 +34,12 @@ def _doc_spans(node, toks: list[str]) -> list[tuple[int, int]]:
         return sorted(out)
     if isinstance(node, SpanFirst):
         return [s for s in _doc_spans(node.clause, toks) if s[1] <= node.end]
+    if isinstance(node, SpanPositionRange):
+        return [
+            s
+            for s in _doc_spans(node.clause, toks)
+            if node.start <= s[0] and s[1] <= node.end
+        ]
     if isinstance(node, SpanNot):
         inc = _doc_spans(node.include, toks)
         exc = _doc_spans(node.exclude, toks)
@@ -146,7 +153,7 @@ def _span_terms(node) -> set[str]:
     operators/spans.py#scoring_terms."""
     if isinstance(node, SpanTerm):
         return {node.term}
-    if isinstance(node, SpanFirst):
+    if isinstance(node, (SpanFirst, SpanPositionRange)):
         return _span_terms(node.clause)
     if isinstance(node, SpanNot):
         return _span_terms(node.include)

@@ -15,6 +15,7 @@ from lucene_solr_spark.operators.phrase import phrase_topk
 from lucene_solr_spark.operators.spans import (
     SpanContaining,
     SpanFirst,
+    SpanPositionRange,
     SpanNear,
     SpanNot,
     SpanOr,
@@ -72,6 +73,10 @@ def _queries(vocab):
         ),
         "span_or": SpanOr((SpanTerm(a), SpanTerm(c))),
         "span_first": SpanFirst(SpanTerm(a), 12),
+        "position_range": SpanPositionRange(SpanTerm(a), 3, 15),
+        "nested_position_range": SpanPositionRange(
+            SpanNear((SpanTerm(a), SpanTerm(b)), slop=1), 2, 25
+        ),
         "or_in_near": SpanNear(
             (SpanOr((SpanTerm(a), SpanTerm(b))), SpanTerm(c)), slop=4
         ),
