@@ -461,3 +461,175 @@ def shard_split_counts(spark, sf_dir):
         )
         .orderBy("half")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH TermAutomatonQuery —
+# lucene/sandbox/.../search/TermAutomatonQuery.java: the automaton
+# accepting {"key order", "key value"} (states 0-key->1, 1-order->2,
+# 1-value->2, accept {2}) compiled via the #rewrite discipline to
+# SpanOr(Phrase(key,order), Phrase(key,value)) and run on the span
+# kernel (operators/automaton.py). freq = accepted-window count; idf
+# summed over the distinct automaton terms present; float32-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_automaton_topk",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents),
+stats AS (SELECT count(*)::BIGINT AS n_docs, sum(len(t))::BIGINT AS sum_ttf FROM tokarr),
+dl AS (SELECT doc_id, len(t) AS dl FROM tokarr),
+dft AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+        FROM (SELECT doc_id, unnest(t) AS term FROM tokarr)
+        WHERE term IN ('key', 'order', 'value') GROUP BY term),
+idf AS (SELECT (sum(ln(1 + ((s.n_docs::DOUBLE) - d.df + 0.5) / (d.df + 0.5))))::FLOAT
+          AS idf_f
+        FROM dft d CROSS JOIN stats s),
+surv AS (SELECT doc_id,
+        len(list_filter(range(1, len(t)),
+            i -> t[i] = 'key' AND (t[i+1] = 'order' OR t[i+1] = 'value')))
+          ::BIGINT AS freq
+    FROM tokarr),
+scored AS (SELECT s2.doc_id,
+       ((i.idf_f
+         * ((s2.freq::FLOAT)
+            / ((s2.freq::FLOAT)
+               + ((1.2::FLOAT)
+                  * ((0.25::FLOAT)
+                     + (((0.75::FLOAT)
+                         * (({duckdb_byte4_roundtrip_sql('dl.dl')})::FLOAT))
+                        / ((s.sum_ttf::DOUBLE / s.n_docs::DOUBLE)::FLOAT)))))))
+          ::FLOAT) AS score_f
+    FROM surv s2 JOIN dl USING (doc_id) CROSS JOIN idf i CROSS JOIN stats s
+    WHERE s2.freq > 0)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10""",
+)
+def term_automaton_topk(spark, sf_dir):
+    """Real-engine TermAutomatonQuery {'key order' | 'key value'} top-10,
+    float32-exact cross-engine."""
+    from ..operators.automaton import TermAutomaton, automaton_topk
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    auto = TermAutomaton(
+        transitions=((0, 1, "key"), (1, 2, "order"), (1, 2, "value")),
+        accept=frozenset({2}),
+    )
+    res = automaton_topk(spark, s.segment, auto, k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DateRangeField interval overlap —
+# solr/core/.../schema/DateRangeField.java +
+# lucene/spatial-extras/.../DateRangePrefixTree.java: documents carry
+# DATE RANGES and a query range matches on INTERSECTION (op=Intersects,
+# the default). Each lineitem's [o_orderdate, l_shipdate] order-to-ship
+# window vs the query month: start <= q_end AND end >= q_start — both
+# comparisons push to the scans before the key join (the prefix-tree
+# pruning analog is row-group min/max on the two date columns).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_range_overlap",
+    """SELECT count(*)::BIGINT AS n_rows,
+       sum(l_quantity)::BIGINT AS sum_qty,
+       min(strftime(o.o_orderdate, '%Y-%m-%d')) AS first_start
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate <= DATE '1995-06-30' AND l.l_shipdate >= DATE '1995-06-01'""",
+)
+def date_range_overlap(spark, sf_dir):
+    """DateRangeField Intersects: order-to-ship windows overlapping
+    June 1995."""
+    li = _read(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") >= "1995-06-01"
+    )
+    o = _read(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") <= "1995-06-30"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias(
+                "first_start"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Field-mutating update processors —
+# solr/core/.../update/processor/CloneFieldUpdateProcessorFactory.java,
+# RegexReplaceProcessorFactory.java, TrimFieldUpdateProcessorFactory.java,
+# ConcatFieldUpdateProcessorFactory.java: the standard ingest chain that
+# rewrites fields before indexing. One narrow projection — every mutation
+# is a Column expression inside whole-stage codegen, applied in chain
+# order (clone -> regex-replace -> trim -> concat), no UDF.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "field_mutating_update",
+    """SELECT doc_id, lang AS lang_orig, upper(lang) AS lang_clone,
+       trim(regexp_replace(substring(text, 1, 40), '[0-9]+', '#', 'g'))
+         AS text_norm,
+       lang || '/' || source AS route_key
+FROM documents ORDER BY doc_id ASC LIMIT 25""",
+)
+def field_mutating_update(spark, sf_dir):
+    """Update-processor chain: clone (upper), regexReplace (digits->#),
+    trim, concat — all codegen Column exprs."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.col("lang").alias("lang_orig"),
+            F.upper("lang").alias("lang_clone"),
+            F.trim(
+                F.regexp_replace(
+                    F.substring("text", 1, 40), "[0-9]+", "#"
+                )
+            ).alias("text_norm"),
+            F.concat_ws("/", "lang", "source").alias("route_key"),
+        )
+        .orderBy("doc_id")
+        .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+# stats.calcdistinct — solr/core/.../handler/component/
+# StatsValuesFactory.java (calcDistinct=true): the stats bundle gains
+# countDistinct + distinctValues cardinality. Exact distinct is a
+# map-combined aggregation; the HLL sibling (hll_approx_distinct) is the
+# 10^12-file path, this row is the exact small-cardinality form the
+# reference computes for numeric fields.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_calcdistinct",
+    """SELECT count(l_quantity)::BIGINT AS cnt,
+       count(DISTINCT l_quantity)::BIGINT AS count_distinct,
+       min(l_quantity)::BIGINT AS min_q,
+       max(l_quantity)::BIGINT AS max_q,
+       sum(l_quantity)::BIGINT AS sum_q
+FROM lineitem""",
+)
+def stats_calcdistinct(spark, sf_dir):
+    """StatsComponent with calcdistinct: exact distinct cardinality in
+    the same single-pass bundle."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count("l_quantity").alias("cnt"),
+        F.countDistinct("l_quantity").alias("count_distinct"),
+        F.min("l_quantity").cast("long").alias("min_q"),
+        F.max("l_quantity").cast("long").alias("max_q"),
+        F.sum("l_quantity").cast("long").alias("sum_q"),
+    )
