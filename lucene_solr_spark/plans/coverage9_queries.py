@@ -633,3 +633,50 @@ def stats_calcdistinct(spark, sf_dir):
         F.max("l_quantity").cast("long").alias("max_q"),
         F.sum("l_quantity").cast("long").alias("sum_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Expressions module — lucene/expressions/.../js/JavascriptCompiler.java
+# (+ SimpleBindings): a javascript-like arithmetic expression over named
+# doc-value bindings compiled to a per-doc double, used as a sort key /
+# boost. functions/expressions.py compiles the SAME source string to a
+# Catalyst Column (whole-stage codegen, no UDF) AND to ANSI SQL for the
+# oracle — the row pins the compiler on both backends, not hand-copied
+# arithmetic. Bindings: n_chars (stored field), dl (token count).
+# ---------------------------------------------------------------------------
+
+_EXPR_SRC = (
+    "sqrt(n_chars) + 2*dl - (dl > 100 ? 10 : 0) + min(n_chars, 500)/100"
+)
+
+
+def _expr_oracle_sql():
+    from ..functions.expressions import compile_sql
+
+    e = compile_sql(_EXPR_SRC, {"n_chars": "dl.n_chars", "dl": "dl.c"})
+    return f"""WITH {_TOKS_CTE},
+dl AS (SELECT d.doc_id, d.n_chars, coalesce(t.c, 0) AS c
+       FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS c FROM toks GROUP BY 1) t USING (doc_id))
+SELECT doc_id, round({e}, 6) AS expr_val
+FROM dl ORDER BY expr_val DESC, doc_id ASC LIMIT 10"""
+
+
+@register("expression_sort_topk", _expr_oracle_sql())
+def expression_sort_topk(spark, sf_dir):
+    """Expression-compiled sort key: top-10 docs by the compiled
+    double expression over (n_chars, dl) bindings."""
+    from ..functions.expressions import compile_column
+
+    toks = _tokens(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    base = docs.join(
+        toks.select("doc_id", F.size("tokens").alias("dl")), "doc_id", "left"
+    ).na.fill({"dl": 0})
+    col = compile_column(
+        _EXPR_SRC, {"n_chars": F.col("n_chars"), "dl": F.col("dl")}
+    )
+    return (
+        base.select("doc_id", F.round(col, 6).alias("expr_val"))
+        .orderBy(F.desc("expr_val"), F.asc("doc_id"))
+        .limit(10)
+    )
