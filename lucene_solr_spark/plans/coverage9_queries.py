@@ -680,3 +680,56 @@ def expression_sort_topk(spark, sf_dir):
         .orderBy(F.desc("expr_val"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH XML query parser — lucene/queryparser/.../xml/CoreParser.java
+# (+ TermQueryBuilder/BooleanQueryBuilder) and Solr's XmlQParserPlugin:
+# the XML form of '+order batch^2 stream -table' parses to the SAME
+# engine Boolean tree the classic parser builds and runs through the
+# same tree scorer — so the oracle is the bool_engine_topk float32
+# mirror verbatim (clause fold in clause order, boost as f32(s·b),
+# MUST_NOT gates without scoring).
+# ---------------------------------------------------------------------------
+
+
+def _xml_bool_oracle():
+    from .coverage3_queries import _f32_bm25_ctes
+
+    return f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream', 'table'])},
+cand AS (SELECT doc_id FROM contrib WHERE term = 'order'
+         EXCEPT SELECT doc_id FROM contrib WHERE term = 'table'),
+cl AS (SELECT c.doc_id,
+              CASE c.term WHEN 'order' THEN 0 WHEN 'batch' THEN 1 ELSE 2 END
+                AS cidx,
+              CASE WHEN c.term = 'batch' THEN (c.s_t * (2.0::FLOAT))::FLOAT
+                   ELSE c.s_t END AS s_b
+       FROM contrib c JOIN cand USING (doc_id) WHERE c.term <> 'table'),
+boolscored AS (SELECT doc_id,
+                      list_reduce(list(s_b ORDER BY cidx),
+                                  (a, b) -> (a + b)::FLOAT) AS score_f
+               FROM cl GROUP BY doc_id)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM boolscored ORDER BY score_f DESC, doc_id ASC LIMIT 10"""
+
+
+@register("xml_query_topk", _xml_bool_oracle())
+def xml_query_topk(spark, sf_dir):
+    """Real-engine XML query (CoreParser analog): the XML Boolean form of
+    '+order batch^2 stream -table', float32-exact cross-engine."""
+    from ..operators.xmlparser import parse_xml_query
+    from .solr_queries import _engine_searcher
+
+    xml = (
+        '<BooleanQuery>'
+        '<Clause occurs="must"><TermQuery>order</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery boost="2">batch</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery>stream</TermQuery></Clause>'
+        '<Clause occurs="mustNot"><TermQuery>table</TermQuery></Clause>'
+        '</BooleanQuery>'
+    )
+    s = _engine_searcher(spark, sf_dir)
+    res = s.topk_query(parse_xml_query(xml), k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
