@@ -733,3 +733,93 @@ def xml_query_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON facet allBuckets — solr/core/.../search/facet/FacetField.java
+# (allBuckets:true): alongside the per-value buckets, ONE synthetic
+# bucket aggregating the whole facet domain (all docs with the field) —
+# rollup on the facet key gives both levels in a single shuffle.
+# Per-lang doc counts + sum(n_chars) with the allBuckets row keyed NULL.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_allbuckets",
+    """SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars
+FROM documents
+GROUP BY ROLLUP (lang)
+ORDER BY lang ASC NULLS FIRST""",
+)
+def facet_allbuckets(spark, sf_dir):
+    """terms facet with allBuckets:true — the NULL-keyed row is the
+    whole-domain aggregate."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# facet.contains — solr/core/.../request/SimpleFacets.java
+# (facet.contains / facet.contains.ignoreCase): restrict the facet value
+# enumeration to values containing a substring, counts unchanged. Facet
+# over the term vocabulary filtered to values containing 'ar'.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_contains_filter",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS n_docs
+FROM toks WHERE contains(lower(term), 'ar')
+GROUP BY term ORDER BY n_docs DESC, term ASC LIMIT 10""",
+)
+def facet_contains_filter(spark, sf_dir):
+    """facet.field over terms with facet.contains=ar."""
+    toks = _tokens(spark, sf_dir).select(
+        "doc_id", F.explode("tokens").alias("term")
+    )
+    return (
+        toks.filter(F.lower("term").contains("ar"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("term"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH terms.regex — solr/core/.../handler/component/
+# TermsComponent.java (terms.regex / terms.regexFlag): enumerate the
+# terms DICTIONARY by regular expression (no postings decode), docFreq +
+# totalTermFreq from the dict rows — the regex sibling of
+# terms_component_enum's prefix walk.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "terms_regex",
+    f"""WITH {_TOKS_CTE}
+SELECT term, count(DISTINCT doc_id)::BIGINT AS df, count(*)::BIGINT AS ttf
+FROM toks WHERE regexp_matches(term, '^[a-z]*a[a-z]*$')
+GROUP BY term ORDER BY df DESC, term ASC LIMIT 10""",
+)
+def terms_regex(spark, sf_dir):
+    """terms.regex='^[a-z]*a[a-z]*$': dictionary-only regex enumeration
+    with df/ttf."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    terms = s.segment.table(spark, "terms")
+    return (
+        terms.filter(F.col("term").rlike("^[a-z]*a[a-z]*$"))
+        .select("term", "df", "ttf")
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
