@@ -162,6 +162,46 @@ class FilterCache:
         return df
 
 
+class QueryResultCache:
+    """Searcher-level ranked-result cache — the queryResultCache +
+    queryResultWindowSize analog (solr/core/.../search/SolrIndexSearcher
+    .java): caches the COLLECTED (doc_id, score) prefix of a ranked
+    result keyed by the query's canonical form. A later request for
+    k <= cached-window is answered from the driver-side entry with no
+    postings scan (Solr serves follow-up pages inside the window the
+    same way); a larger k misses, re-executes with the window applied,
+    and refreshes the entry. ``complete`` marks results the index
+    exhausted (fewer hits than the window) — those serve ANY k."""
+
+    def __init__(self, max_entries: int = 64, window: int = 50):
+        from collections import OrderedDict
+
+        self._entries: "OrderedDict[tuple, tuple[list, bool]]" = OrderedDict()
+        self.max_entries = max_entries
+        self.window = window
+        self.hits = 0
+        self.misses = 0
+
+    def lookup(self, key: tuple, k: int):
+        ent = self._entries.get(key)
+        if ent is None:
+            self.misses += 1
+            return None
+        rows, complete = ent
+        if len(rows) >= k or complete:
+            self.hits += 1
+            self._entries.move_to_end(key)
+            return rows[:k]
+        self.misses += 1  # window too small — treat as miss, will refresh
+        return None
+
+    def put(self, key: tuple, rows: list, complete: bool) -> None:
+        self._entries[key] = (list(rows), complete)
+        self._entries.move_to_end(key)
+        while len(self._entries) > self.max_entries:
+            self._entries.popitem(last=False)
+
+
 class Searcher:
     def __init__(self, spark: SparkSession, segment: Segment):
         self.spark = spark
@@ -172,6 +212,31 @@ class Searcher:
         self.docmap = segment.table(spark, "docmap")
         self._cache = bm25.norm_cache(self.stats.avgdl)
         self.filter_cache = FilterCache()
+        self.result_cache: QueryResultCache | None = None
+
+    def enable_result_cache(
+        self, max_entries: int = 64, window: int = 50
+    ) -> QueryResultCache:
+        """Turn on the queryResultCache (off by default — a Searcher over
+        a mutating catalog must invalidate by building a new Searcher,
+        exactly Solr's new-searcher-per-commit discipline)."""
+        self.result_cache = QueryResultCache(max_entries, window)
+        return self.result_cache
+
+    def _cached_topk(self, key: tuple, k: int, run):
+        """Route a ranked query through the result cache when enabled:
+        serve k <= window from the driver-side entry (zero postings
+        scans), otherwise execute with the window applied and refresh."""
+        rc = self.result_cache
+        if rc is None:
+            return run(k)
+        rows = rc.lookup(key, k)
+        if rows is None:
+            wk = max(k, rc.window)
+            fetched = run(wk).collect()
+            rc.put(key, fetched, complete=len(fetched) < wk)
+            rows = fetched[:k]
+        return self.spark.createDataFrame(rows, _TOPK_SCHEMA)
 
     # -- Weight#createWeight analog: per-query stats pre-pass ---------------
     def attach_bloom(self, bloom=None, fp: float = 0.01):
@@ -232,6 +297,16 @@ class Searcher:
             raise ValueError(f"mode must be 'wand' or 'exhaustive', got {mode!r}")
         if op not in ("or", "and"):
             raise ValueError(f"op must be 'or' or 'and', got {op!r}")
+        if self.result_cache is not None:
+            key = ("topk", query_text, mode, op, fq)
+            return self._cached_topk(
+                key, k, lambda kk: self._topk_run(query_text, kk, mode, op, fq)
+            )
+        return self._topk_run(query_text, k, mode, op, fq)
+
+    def _topk_run(
+        self, query_text: str, k: int, mode: str, op: str, fq: str | None
+    ) -> DataFrame:
         q_terms = sorted(set(tokenize_text(query_text)))
         stats = self.term_stats(q_terms)
         matched = sorted(stats)  # lexicographic — pinned summation order
@@ -261,6 +336,15 @@ class Searcher:
         merge/tie-break as the flat path. Reference: search/BooleanQuery.java,
         Boolean2ScorerSupplier.java, MinShouldMatchSumScorer.java,
         PhraseQuery.java (phrase as a BooleanClause)."""
+        if self.result_cache is not None:
+            # frozen-dataclass trees have a stable canonical repr
+            key = ("tree", repr(q), fq)
+            return self._cached_topk(
+                key, k, lambda kk: self._topk_query_run(q, kk, fq)
+            )
+        return self._topk_query_run(q, k, fq)
+
+    def _topk_query_run(self, q, k: int, fq: str | None) -> DataFrame:
         from .query import (
             collect_fields,
             collect_phrases,
