@@ -108,7 +108,42 @@ def _search(args) -> int:
             params["pf"] = args.pf
         if args.ps:
             params["ps"] = args.ps
+        if args.bq:
+            params["bq"] = args.bq          # repeatable field:term^boost
+        if args.bf:
+            params["bf"] = args.bf          # repeatable dl functions
+        if args.boost:
+            params["boost"] = args.boost    # multiplicative function
         hits = edismax_topk(spark, {"content": segs[0]}, params, k=args.k)
+    elif getattr(args, "deftype", "lucene") == "surround":
+        # {!surround} request: W/N distance ops + truncation on the span
+        # kernel (operators/surround.py); single merged segment like the
+        # other positional front ends
+        from .operators.spans import span_topk
+        from .operators.surround import parse_surround
+
+        segs = cat.segments()
+        if len(segs) != 1:
+            print(
+                json.dumps({"error": "surround CLI needs one segment; run merge"}),
+                file=sys.stderr,
+            )
+            return 2
+        searcher = Searcher(spark, segs[0])
+        node = parse_surround(
+            args.query, expand=lambda pfx: searcher.expand_terms(prefix=pfx)
+        )
+        hits = span_topk(spark, segs[0], node, k=args.k)
+    elif getattr(args, "deftype", "lucene") == "xmlparser":
+        # {!xmlparser} request: XML element tree -> engine Boolean tree,
+        # evaluated across the WHOLE catalog (MultiSearcher, global stats)
+        from .operators.xmlparser import parse_xml_query
+
+        ms = MultiSearcher.from_catalog(spark, cat)
+        hits = ms.topk_query(parse_xml_query(args.query), k=args.k, fq=args.fq)
+        hits = hits.select("gdoc_id", "score").withColumnRenamed(
+            "gdoc_id", "doc_id"
+        )
     elif getattr(args, "synonyms", None):
         # query-time synonym expansion against the plain index
         from .functions.synonyms import parse_synonym_rules
@@ -232,7 +267,8 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--fq", default=None,
                    help="filter query: SQL predicate over stored fields "
                         "(mask only — scores and stats untouched)")
-    s.add_argument("--deftype", default="lucene", choices=["lucene", "edismax"],
+    s.add_argument("--deftype", default="lucene",
+                   choices=["lucene", "edismax", "surround", "xmlparser"],
                    help="query parser: classic (default) or edismax")
     s.add_argument("--qf", default=None,
                    help="edismax qf spec (field^boost ...; field = 'content')")
@@ -241,6 +277,12 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--mm", default=None,
                    help="edismax min-should-match spec (e.g. 2, -1, 75%%, '2<-25%%')")
     s.add_argument("--tie", type=float, default=0.0, help="edismax tie-breaker")
+    s.add_argument("--bq", action="append", default=None,
+                   help="edismax additive boost query (field:term^boost; repeatable)")
+    s.add_argument("--bf", action="append", default=None,
+                   help="edismax additive boost function over dl (repeatable)")
+    s.add_argument("--boost", default=None,
+                   help="edismax multiplicative boost function over dl")
     s.add_argument("--synonyms", default=None,
                    help="synonyms.txt for QUERY-TIME expansion (classic parser path)")
     s.set_defaults(func=_search)

@@ -276,9 +276,6 @@ def edismax_topk(
     dv_field = params.get("dv", fields[0]) if (bf_funcs or boost_func) else None
     if dv_field is not None:
         assert dv_field in segments, f"dv field {dv_field!r} missing a segment"
-        assert segments[dv_field].has_table("norms"), (
-            f"dv field {dv_field!r} has no norms table (dl value source)"
-        )
     bq_fields = sorted({f for f, _t, _b in bq})
 
     # ---- driver-side stats pre-pass (Weight analog): ONE terms-dict
@@ -506,13 +503,19 @@ def edismax_topk(
             )
         )
     if dv_field is not None:
-        # dl value rows (kind == 2): the narrow norms table (.nvd analog),
-        # bucketed on the shared doc-id grid; dl rides the first_doc slot.
-        bdocs = segments[dv_field].stats.bucket_docs
+        # dl value rows (kind == 2): the narrow norms table (.nvd analog)
+        # when present; merged segments fold dl into the docmap instead
+        # (assemble_segment skips the norms phase when dl is stored), so
+        # fall back to the pruned 2-column docmap read — same narrow scan.
+        dv_seg = segments[dv_field]
+        dv_src = (
+            dv_seg.table(spark, "norms")
+            if dv_seg.has_table("norms")
+            else dv_seg.table(spark, "docmap").select("doc_id", "dl")
+        )
+        bdocs = dv_seg.stats.bucket_docs
         parts.append(
-            segments[dv_field]
-            .table(spark, "norms")
-            .select(
+            dv_src.select(
                 F.lit(2).alias("kind"),
                 F.lit(dv_field).alias("field"),
                 F.lit("dl").alias("term"),

@@ -175,3 +175,78 @@ def test_cli_query_time_synonyms(spark, cli_index, tmp_path, capsys):
     assert rc == 0
     got = _lines(capsys)
     assert got and all("doc_id" in r for r in got)
+
+
+def test_cli_edismax_boost_params(spark, cli_index, capsys):
+    rc = main([
+        "search", "--index", cli_index, "--query", "key order",
+        "--deftype", "edismax", "--qf", "content", "--mm", "2",
+        "--bq", "content:window^0.5", "--bf", "recip(dl,1,100,100)",
+        "--boost", "sqrt(dl)", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    from lucene_solr_spark.operators.edismax import edismax_topk
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    seg = Catalog(cli_index).segments()[0]
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in edismax_topk(
+            spark, {"content": seg},
+            {"q": "key order", "qf": "content", "mm": "2",
+             "bq": ["content:window^0.5"], "bf": ["recip(dl,1,100,100)"],
+             "boost": "sqrt(dl)"},
+            k=5,
+        ).collect()
+    ]
+    assert got == want and got
+
+
+def test_cli_surround(spark, cli_index, capsys):
+    rc = main([
+        "search", "--index", cli_index, "--query", "2W(key, s*)",
+        "--deftype", "surround", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.operators.spans import span_topk
+    from lucene_solr_spark.operators.surround import parse_surround
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    seg = Catalog(cli_index).segments()[0]
+    s = Searcher(spark, seg)
+    node = parse_surround("2W(key, s*)", expand=lambda p: s.expand_terms(prefix=p))
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in span_topk(spark, seg, node, k=5).collect()
+    ]
+    assert got == want and got
+
+
+def test_cli_xmlparser(spark, cli_index, capsys):
+    xml = (
+        '<BooleanQuery>'
+        '<Clause occurs="must"><TermQuery>order</TermQuery></Clause>'
+        '<Clause occurs="should"><TermQuery boost="2">batch</TermQuery></Clause>'
+        '</BooleanQuery>'
+    )
+    rc = main([
+        "search", "--index", cli_index, "--query", xml,
+        "--deftype", "xmlparser", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.operators.xmlparser import parse_xml_query
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    seg = Catalog(cli_index).segments()[0]
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in Searcher(spark, seg).topk_query(
+            parse_xml_query(xml), k=5
+        ).collect()
+    ]
+    assert got == want and got
