@@ -823,3 +823,73 @@ def terms_regex(spark, sf_dir):
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# timeseries gap filling — solrj/io/stream/TimeSeriesStream.java: the
+# stream emits EVERY bucket in [start, end] at the requested gap, with
+# zero metrics for intervals holding no docs (unlike a plain groupBy,
+# which silently drops empty buckets). Dense month axis via sequence()
+# + explode (JVM-side), left join, zero-fill; the sum rides an exact
+# decimal accumulation and lands as round(•, 2) DOUBLE on both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "timeseries_gap_fill",
+    """WITH months AS (
+  SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+                                INTERVAL 1 MONTH))::DATE AS mstart),
+agg AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS mstart,
+         count(*)::BIGINT AS n_orders,
+         round(sum(CAST(o_totalprice AS DECIMAL(18,2))), 2)::DOUBLE AS sum_price
+  FROM orders
+  WHERE o_totalprice > 450000
+    AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1)
+SELECT strftime(m.mstart, '%Y-%m') AS month,
+       coalesce(a.n_orders, 0)::BIGINT AS n_orders,
+       coalesce(a.sum_price, 0.0)::DOUBLE AS sum_price
+FROM months m LEFT JOIN agg a USING (mstart)
+ORDER BY month ASC""",
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """timeseries(gap=+1MONTH) over high-value 1996 orders: every month
+    bucket present, empty ones zero-filled."""
+    o = _read(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1996-01-01").cast("date"),
+                F.lit("1996-12-01").cast("date"),
+                F.expr("interval 1 month"),
+            )
+        ).alias("mstart")
+    )
+    agg = (
+        o.filter(
+            (F.col("o_totalprice") > 450000)
+            & (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy(F.trunc("o_orderdate", "MM").alias("mstart"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            ).cast("double").alias("sum_price"),
+        )
+    )
+    return (
+        F.broadcast(months)
+        .join(agg, "mstart", "left")
+        .select(
+            F.date_format("mstart", "yyyy-MM").alias("month"),
+            F.coalesce("n_orders", F.lit(0)).cast("long").alias("n_orders"),
+            F.coalesce("sum_price", F.lit(0.0)).cast("double").alias(
+                "sum_price"
+            ),
+        )
+        .orderBy("month")
+    )

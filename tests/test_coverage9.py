@@ -164,3 +164,14 @@ def test_suggest_context_changes_weights(spark):
     }
     for t, w in filtered.items():
         assert w <= unfiltered[t]
+
+
+def test_timeseries_gap_fill_emits_empty_buckets(spark):
+    """At sf0.001 the >450k filter leaves empty months — the stream must
+    still emit them, zero-filled, across the full 12-month range."""
+    rows = Q["timeseries_gap_fill"](spark, SF_DIR).collect()
+    assert len(rows) == 12
+    assert [r.month for r in rows] == [f"1996-{m:02d}" for m in range(1, 13)]
+    zeros = [r for r in rows if r.n_orders == 0]
+    assert zeros, "fixture lost its gap months"
+    assert all(r.sum_price == 0.0 for r in zeros)
