@@ -122,6 +122,13 @@ def _search(args) -> int:
         from .operators.spans import span_topk
         from .operators.surround import parse_surround
 
+        if args.fq:
+            print(
+                json.dumps({"error": "--fq is not supported with "
+                            "--deftype surround; use the classic parser"}),
+                file=sys.stderr,
+            )
+            return 2
         segs = cat.segments()
         if len(segs) != 1:
             print(
@@ -137,13 +144,42 @@ def _search(args) -> int:
     elif getattr(args, "deftype", "lucene") == "xmlparser":
         # {!xmlparser} request: XML element tree -> engine Boolean tree,
         # evaluated across the WHOLE catalog (MultiSearcher, global stats)
+        from pyspark.sql import functions as F
+
+        from .operators.query import Bool
         from .operators.xmlparser import parse_xml_query
 
+        tree = parse_xml_query(args.query)
         ms = MultiSearcher.from_catalog(spark, cat)
-        hits = ms.topk_query(parse_xml_query(args.query), k=args.k, fq=args.fq)
-        hits = hits.select("gdoc_id", "score").withColumnRenamed(
-            "gdoc_id", "doc_id"
-        )
+        if tree == Bool():
+            # top-level MatchAllDocsQuery: every LIVE doc (tombstones
+            # anti-joined away), constant score 1.0, gdoc order
+            deletes = cat.deletes(spark)
+            parts = []
+            for seg in ms.segments:
+                dm = seg.table(spark, "docmap").select("doc_id").join(
+                    deletes.filter(
+                        F.col("segment_id") == seg.segment_id
+                    ).select("doc_id"),
+                    "doc_id",
+                    "left_anti",
+                )
+                parts.append(
+                    dm.select(
+                        (F.col("doc_id") + F.lit(ms.doc_base[seg.segment_id]))
+                        .alias("doc_id"),
+                        F.lit(1.0).cast("float").alias("score"),
+                    )
+                )
+            hits = parts[0]
+            for pt in parts[1:]:
+                hits = hits.unionByName(pt)
+            hits = hits.orderBy("doc_id").limit(args.k)
+        else:
+            hits = ms.topk_query(tree, k=args.k, fq=args.fq)
+            hits = hits.select("gdoc_id", "score").withColumnRenamed(
+                "gdoc_id", "doc_id"
+            )
     elif getattr(args, "synonyms", None):
         # query-time synonym expansion against the plain index
         from .functions.synonyms import parse_synonym_rules
@@ -269,7 +305,8 @@ def main(argv: list[str] | None = None) -> int:
                         "(mask only — scores and stats untouched)")
     s.add_argument("--deftype", default="lucene",
                    choices=["lucene", "edismax", "surround", "xmlparser"],
-                   help="query parser: classic (default) or edismax")
+                   help="query parser: classic lucene (default), edismax, "
+                        "surround (W/N span ops), or xmlparser (XML DSL)")
     s.add_argument("--qf", default=None,
                    help="edismax qf spec (field^boost ...; field = 'content')")
     s.add_argument("--pf", default=None, help="edismax phrase-boost fields")

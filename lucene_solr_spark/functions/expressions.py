@@ -24,6 +24,9 @@ Pinned grammar (precedence low->high):
   primary   literal | name | func(args...) | ( expr )
   funcs     sqrt ln log10 abs min max pow floor ceil
 All arithmetic is double; names resolve through the bindings map.
+Domain edges are pinned NULL on BOTH backends (ln/log10 of x <= 0,
+sqrt of x < 0) — a documented deviation from JavascriptCompiler's
+-Infinity/NaN so the Column and SQL artifacts stay value-identical.
 """
 
 from __future__ import annotations
@@ -186,12 +189,16 @@ def compile_column(src: str, bindings: dict[str, Column]) -> Column:
             return F.when(go(n[1]) != 0.0, go(n[2])).otherwise(go(n[3]))
         assert kind == "call"
         fn, args = n[1], [go(a) for a in n[2]]
+        # pinned domain-edge semantics, identical on BOTH backends:
+        # ln/log10 of x <= 0 and sqrt of x < 0 yield NULL (a documented
+        # deviation from JavascriptCompiler's -Inf/NaN — DuckDB would
+        # otherwise abort and Spark would mix NULL with NaN)
         if fn == "sqrt":
-            return F.sqrt(args[0])
+            return F.when(args[0] >= 0.0, F.sqrt(args[0]))
         if fn == "ln":
-            return F.log(args[0])
+            return F.when(args[0] > 0.0, F.log(args[0]))
         if fn == "log10":
-            return F.log10(args[0])
+            return F.when(args[0] > 0.0, F.log10(args[0]))
         if fn == "abs":
             return F.abs(args[0])
         if fn == "floor":
@@ -246,6 +253,10 @@ def compile_sql(src: str, bindings: dict[str, str]) -> str:
             return f"(floor({args[0]})::DOUBLE)"
         if fn == "ceil":
             return f"(ceil({args[0]})::DOUBLE)"
-        return f"{fn}({args[0]})"  # sqrt / ln / log10 / abs
+        if fn == "sqrt":  # domain edges -> NULL, same as the Column backend
+            return f"(CASE WHEN {args[0]} >= 0.0 THEN sqrt({args[0]}) END)"
+        if fn in ("ln", "log10"):
+            return f"(CASE WHEN {args[0]} > 0.0 THEN {fn}({args[0]}) END)"
+        return f"{fn}({args[0]})"  # abs
 
     return go(parse_expression(src))

@@ -56,15 +56,23 @@ def automaton_to_spans(auto: TermAutomaton, max_paths: int = 256,
         outs.sort(key=lambda x: (x[1], x[0]))  # deterministic path order
     paths: list[tuple[str, ...]] = []
 
+    seen: set[tuple[str, ...]] = set()
+
     def dfs(state: int, acc: list[str]) -> None:
         if len(acc) > max_len:
             raise AutomatonCompileError(
                 f"path longer than {max_len} — cyclic automaton?"
             )
         if state in auto.accept and acc:
-            if len(paths) >= max_paths:
-                raise AutomatonCompileError(f"more than {max_paths} paths")
-            paths.append(tuple(acc))
+            # dedupe accepted STRINGS: an NFA can spell the same token
+            # sequence along two state paths (Lucene determinizes first);
+            # duplicate SpanNear clauses would double-count span freq
+            key = tuple(acc)
+            if key not in seen:
+                if len(paths) >= max_paths:
+                    raise AutomatonCompileError(f"more than {max_paths} paths")
+                seen.add(key)
+                paths.append(key)
         for nxt, term in by_state.get(state, []):
             acc.append(term)
             dfs(nxt, acc)

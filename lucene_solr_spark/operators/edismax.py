@@ -227,8 +227,6 @@ def edismax_topk(
     qf = parse_field_boosts(params.get("qf", ""))
     fields = sorted(qf)
     assert fields and all(f in segments for f in fields), "qf field missing a segment"
-    bd = {segments[f].stats.bucket_docs for f in fields}
-    assert len(bd) == 1, f"segments disagree on bucket_docs: {bd}"
     tie32 = np.float32(float(params.get("tie", 0.0)))
 
     # clause_seq: the scoring clauses in USER QUERY ORDER (required and
@@ -277,6 +275,17 @@ def edismax_topk(
     if dv_field is not None:
         assert dv_field in segments, f"dv field {dv_field!r} missing a segment"
     bq_fields = sorted({f for f, _t, _b in bq})
+
+    # EVERY segment joining the bucket-grouped union must share the corpus
+    # doc-id assignment grid — qf AND pf AND bq AND dv (a mismatched
+    # bucket_docs would silently land rows in different kernel groups)
+    involved = set(fields) | set(bq_fields) | {
+        f for f, _s, _b, _sl in pclauses
+    }
+    if dv_field is not None:
+        involved.add(dv_field)
+    bd = {segments[f].stats.bucket_docs for f in involved}
+    assert len(bd) == 1, f"segments disagree on bucket_docs: {bd}"
 
     # ---- driver-side stats pre-pass (Weight analog): ONE terms-dict
     # collect per involved field, shared by the clause idfs AND the

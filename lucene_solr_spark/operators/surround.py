@@ -40,7 +40,7 @@ class SurroundParseError(ValueError):
 
 def _lex(q: str) -> list[str]:
     out, i = [], 0
-    q = q or ""
+    q = (q or "").strip()
     while i < len(q):
         m = _TOKEN.match(q, i)
         if not m or not m.group(1):

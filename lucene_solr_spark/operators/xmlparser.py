@@ -84,6 +84,10 @@ def _build(el):
             subs = list(child)
             if len(subs) != 1:
                 raise XmlQueryError("<Clause> must hold exactly one query")
+            if subs[0].tag == "MatchAllDocsQuery":
+                raise XmlQueryError(
+                    "MatchAllDocsQuery is only supported at top level"
+                )
             buckets[_OCCURS[occ]].append(_build(subs[0]))
         return Bool(
             must=tuple(buckets["must"]),

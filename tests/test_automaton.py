@@ -73,3 +73,14 @@ def test_empty_language_rejected():
     auto = TermAutomaton(((0, 1, "a"),), frozenset({0}))  # accepts only ""
     with pytest.raises(AutomatonCompileError):
         automaton_to_spans(auto)
+
+
+def test_duplicate_string_paths_dedupe():
+    """Two state paths spelling the SAME token string must compile to one
+    clause (Lucene determinizes; duplicates would double span freq)."""
+    auto = TermAutomaton(
+        transitions=((0, 1, "a"), (0, 2, "a"), (1, 3, "b"), (2, 3, "b")),
+        accept=frozenset({3}),
+    )
+    got = automaton_to_spans(auto)
+    assert got == SpanNear((SpanTerm("a"), SpanTerm("b")), slop=0)

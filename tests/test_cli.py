@@ -250,3 +250,24 @@ def test_cli_xmlparser(spark, cli_index, capsys):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_cli_surround_refuses_fq(spark, cli_index, capsys):
+    rc = main([
+        "search", "--index", cli_index, "--query", "W(key, order)",
+        "--deftype", "surround", "--fq", "lang = 'en'",
+    ])
+    assert rc == 2
+    captured = capsys.readouterr()
+    assert "not supported" in captured.err
+
+
+def test_cli_xmlparser_match_all(spark, cli_index, capsys):
+    rc = main([
+        "search", "--index", cli_index, "--query", "<MatchAllDocsQuery/>",
+        "--deftype", "xmlparser", "--k", "7",
+    ])
+    assert rc == 0
+    got = _lines(capsys)
+    assert [r["doc_id"] for r in got] == list(range(7))
+    assert all(r["score"] == 1.0 for r in got)

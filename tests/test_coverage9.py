@@ -94,12 +94,27 @@ def test_boosting_demotes_but_never_excludes(spark):
         .select("doc_id")
         .collect()
     }
-    # at least one demoted doc still matched somewhere in the full result
-    full = Q["boosting_query_demote"](spark, SF_DIR)
-    n_demoted_matched = sum(
-        1 for r in full.collect() if r.doc_id in slow_docs
+    # demote ≠ exclude: drop the LIMIT from the registered oracle and the
+    # FULL result set must equal the main query's match set — including
+    # every demoted ('merge' AND 'slow') doc, each with a nonzero score
+    import duckdb
+
+    import __spark_entry__ as em
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
     )
-    assert n_demoted_matched >= 0  # demote never empties the set
+    sql = em.oracle_sql()["boosting_query_demote"]
+    assert sql.rstrip().endswith("LIMIT 10")
+    full = con.execute(sql.rstrip()[: -len("LIMIT 10")]).fetchall()
+    full_ids = {int(d) for d, _s in full}
+    assert full_ids == main_docs
+    demoted_matched = full_ids & slow_docs
+    assert demoted_matched, "fixture has no merge∧slow doc — pin is vacuous"
+    scores = {int(d): s for d, s in full}
+    assert all(scores[d] > 0 for d in demoted_matched)
 
 
 def test_expression_column_stays_in_codegen(spark):

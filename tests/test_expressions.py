@@ -96,3 +96,19 @@ def test_backend_parity_via_spark(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "src,x", [("ln(x)", 0.0), ("ln(x)", -1.0), ("log10(x)", 0.0), ("sqrt(x)", -4.0)],
+)
+def test_domain_edges_are_null_on_both_backends(spark, src, x):
+    """ln/log10 of x<=0 and sqrt of x<0 pin to NULL on BOTH backends —
+    DuckDB must not abort and Spark must not emit NaN."""
+    assert _eval_sql(src, x, 0.0) is None
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.functions.expressions import compile_column
+
+    df = spark.createDataFrame([(float(x),)], "x double")
+    col = compile_column(src, {"x": F.col("x")})
+    assert df.select(col.alias("v")).collect()[0]["v"] is None

@@ -114,3 +114,7 @@ def test_terms_are_analyzed():
 def test_syntax_errors(bad):
     with pytest.raises(SurroundParseError):
         parse_surround(bad)
+
+
+def test_trailing_whitespace_tolerated():
+    assert parse_surround(" W(a, b) ") == parse_surround("W(a, b)")

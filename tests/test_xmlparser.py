@@ -85,3 +85,12 @@ def test_match_all():
 def test_errors(bad):
     with pytest.raises(XmlQueryError):
         parse_xml_query(bad)
+
+
+def test_nested_match_all_rejected():
+    xml = (
+        '<BooleanQuery><Clause occurs="should">'
+        "<MatchAllDocsQuery/></Clause></BooleanQuery>"
+    )
+    with pytest.raises(XmlQueryError):
+        parse_xml_query(xml)
