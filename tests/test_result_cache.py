@@ -108,3 +108,16 @@ def test_lru_eviction(spark, seg):
     assert len(rc._entries) == 2
     s.topk("import", k=3).collect()              # evicted -> miss again
     assert rc.misses == 4
+
+
+def test_fq_is_part_of_the_key(spark, seg):
+    """A filtered and an unfiltered request must never share an entry."""
+    s = Searcher(spark, seg)
+    rc = s.enable_result_cache(window=20)
+    unfiltered = _rows(s.topk("import return", k=10))
+    filtered = _rows(s.topk("import return", k=10, fq="lang = 'python'"))
+    assert rc.misses == 2 and rc.hits == 0
+    # and each key replays its own entry
+    assert _rows(s.topk("import return", k=10)) == unfiltered
+    assert _rows(s.topk("import return", k=10, fq="lang = 'python'")) == filtered
+    assert rc.hits == 2
