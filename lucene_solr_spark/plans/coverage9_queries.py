@@ -893,3 +893,46 @@ def timeseries_gap_fill(spark, sf_dir):
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON facet numBuckets + missing — solr/core/.../search/facet/
+# FacetField.java (numBuckets:true, missing:true): alongside the top-N
+# value buckets the response reports HOW MANY distinct buckets exist in
+# the whole domain and the count of docs with no value. One pass: the
+# top-N agg and the two scalars share the grouped frame (the reference
+# runs a separate cardinality pass).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_numbuckets",
+    """WITH b AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents
+           WHERE source IS NOT NULL GROUP BY source),
+top AS (SELECT source, n_docs FROM b ORDER BY n_docs DESC, source ASC LIMIT 5)
+SELECT t.source, t.n_docs,
+       (SELECT count(*) FROM b)::BIGINT AS num_buckets,
+       (SELECT count(*) FROM documents WHERE source IS NULL)::BIGINT AS missing
+FROM top t ORDER BY t.n_docs DESC, t.source ASC""",
+)
+def facet_numbuckets(spark, sf_dir):
+    """terms facet with numBuckets:true + missing:true — top-5 buckets
+    plus whole-domain bucket cardinality and missing count."""
+    d = _read(spark, sf_dir, "documents")
+    b = (
+        d.filter(F.col("source").isNotNull())
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+    )
+    scalars = b.agg(F.count("*").alias("num_buckets")).crossJoin(
+        d.filter(F.col("source").isNull()).agg(
+            F.count("*").alias("missing")
+        )
+    )
+    return (
+        b.orderBy(F.desc("n_docs"), F.asc("source"))
+        .limit(5)
+        .crossJoin(F.broadcast(scalars))
+        .select("source", "n_docs", "num_buckets", "missing")
+        .orderBy(F.desc("n_docs"), F.asc("source"))
+    )
