@@ -936,3 +936,48 @@ def facet_numbuckets(spark, sf_dir):
         .select("source", "n_docs", "num_buckets", "missing")
         .orderBy(F.desc("n_docs"), F.asc("source"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Solr Cell / document extraction — solr/contrib/extraction/
+# ExtractingRequestHandler.java + ExtractingDocumentLoader.java (Tika):
+# binary payloads are type-detected by magic bytes and their text
+# extracted in ONE Arrow-batched pass (sources/extraction.py). Deterministic
+# mixed-type payloads (doc_id%4 rotates plain/HTML/fake-PDF/fake-PNG);
+# plain+HTML extraction is real, PDF is feature-gated (text NULL, the
+# ignoreTikaException=true discipline), images carry no text stream.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "extract_content_types",
+    """SELECT CASE doc_id % 4 WHEN 0 THEN 'text/plain' WHEN 1 THEN 'text/html'
+            WHEN 2 THEN 'application/pdf' ELSE 'image/png' END AS content_type,
+       count(*)::BIGINT AS n_docs,
+       sum(strlen(text) + CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 33
+            WHEN 2 THEN 9 ELSE 8 END)::BIGINT AS sum_bytes,
+       count(*) FILTER (doc_id % 4 IN (0, 1))::BIGINT AS n_with_text,
+       coalesce(sum(CASE doc_id % 4 WHEN 0 THEN length(text)
+                    WHEN 1 THEN length(text) + 6 END), 0)::BIGINT
+         AS sum_text_chars
+FROM documents GROUP BY 1 ORDER BY 1""",
+)
+def extract_content_types(spark, sf_dir):
+    """Tika-pipeline accounting: per detected type — docs, payload bytes,
+    extractable docs, extracted text chars."""
+    from ..sources.extraction import extract_documents, synth_payloads
+
+    d = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ex = extract_documents(synth_payloads(d))
+    return (
+        ex.groupBy("content_type")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_bytes").cast("long").alias("sum_bytes"),
+            F.count("text").alias("n_with_text"),
+            F.coalesce(F.sum(F.length("text")), F.lit(0))
+            .cast("long")
+            .alias("sum_text_chars"),
+        )
+        .orderBy("content_type")
+    )
