@@ -981,3 +981,81 @@ def extract_content_types(spark, sf_dir):
         )
         .orderBy("content_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH term vectors with positions —
+# solr/core/.../handler/component/TermVectorComponent.java
+# (tv.positions=true) / index/TermVectorsWriter.java: per requested doc,
+# every term with its ORDERED position list. Decoded from the REAL
+# positional postings (pos_bin delta+FOR blocks) in one Arrow pass over
+# the three requested docs' rows — the oracle recomputes 0-based token
+# subscripts from raw text.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "term_vectors_positions",
+    f"""WITH tokarr AS (SELECT doc_id, {duckdb_tokenize_sql('text')} AS t FROM documents
+             WHERE doc_id IN (0, 1, 2))
+SELECT doc_id, t[i] AS term, (i - 1)::BIGINT AS pos
+FROM tokarr, unnest(range(1, len(t) + 1)) AS u(i)
+ORDER BY doc_id ASC, term ASC, pos ASC""",
+)
+def term_vectors_positions(spark, sf_dir):
+    """tv.positions=true for docs {0,1,2}: (doc_id, term, position) rows
+    decoded from the engine's packed positional postings."""
+    import pandas as _pd
+
+    from ..functions.packing import delta_decode, unpack_ints
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    rows = s.segment.table(spark, "positions").filter(
+        F.col("doc_id").isin(0, 1, 2)
+    )
+
+    def decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "term": [], "pos": []}
+            for row in pdf.itertuples():
+                pos = delta_decode(unpack_ints(row.pos_bin))
+                for p in pos.tolist():
+                    out["doc_id"].append(int(row.doc_id))
+                    out["term"].append(row.term)
+                    out["pos"].append(int(p))
+            yield _pd.DataFrame(out)
+
+    return (
+        rows.select("doc_id", "term", "pos_bin")
+        .mapInPandas(decode, "doc_id long, term string, pos long")
+        .orderBy("doc_id", "term", "pos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH docValues facet — solr/core/.../request/SimpleFacets.java
+# with facet.method=fcs over a docValues field: the facet reads the
+# SEGMENT's stored-fields/docValues column (never raw input), so
+# equality with the raw-text oracle pins stored-field integrity through
+# the build. Top-5 langs by doc count.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_engine_docvalues",
+    """SELECT lang, count(*)::BIGINT AS n_docs FROM documents
+GROUP BY lang ORDER BY n_docs DESC, lang ASC LIMIT 5""",
+)
+def facet_engine_docvalues(spark, sf_dir):
+    """facet.field=lang off the segment docmap (docValues read path)."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    return (
+        s.segment.table(spark, "docmap")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("lang"))
+        .limit(5)
+    )
