@@ -1004,15 +1004,25 @@ ORDER BY doc_id ASC, term ASC, pos ASC""",
 )
 def term_vectors_positions(spark, sf_dir):
     """tv.positions=true for docs {0,1,2}: (doc_id, term, position) rows
-    decoded from the engine's packed positional postings."""
+    decoded from the engine's packed positional postings.
+
+    Scale note: the positions table is term-partitioned (prox file
+    layout), so a per-doc read relies on row-group doc_id min/max plus
+    the bucket predicate below — fine for small doc sets, but a 100 TB
+    deployment serving heavy TV traffic would materialize Lucene's
+    actual answer: a doc-keyed term-vectors store (.tvd), i.e. these
+    same rows re-partitioned by doc bucket at build time."""
     import pandas as _pd
 
     from ..functions.packing import delta_decode, unpack_ints
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
+    bd = s.segment.stats.bucket_docs
+    wanted = (0, 1, 2)
     rows = s.segment.table(spark, "positions").filter(
-        F.col("doc_id").isin(0, 1, 2)
+        F.col("bucket").isin(*sorted({d // bd for d in wanted}))
+        & F.col("doc_id").isin(*wanted)
     )
 
     def decode(batches):
