@@ -166,3 +166,65 @@ def test_edismax_plan_shape(spark, tmp_path):
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange") == 1, plan  # the single bucket shuffle
     assert "PushedFilters: [In(term" in plan, plan
+
+# ---------------------------------------------------------------------------
+# Surround grammar round-trip: random span trees rendered to surround
+# syntax must parse back to the IDENTICAL tree (QueryParser.jj inverse).
+# ---------------------------------------------------------------------------
+
+_TERMS = ["alpha", "beta", "gamma", "delta", "eps"]
+
+
+@st.composite
+def _span_tree(draw, depth=0):
+    from lucene_solr_spark.operators.spans import (
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+    )
+
+    if depth >= 3 or draw(st.booleans()):
+        return SpanTerm(draw(st.sampled_from(_TERMS)))
+    kind = draw(st.sampled_from(["w", "n", "or", "not"]))
+    if kind == "not":
+        return SpanNot(
+            draw(_span_tree(depth=depth + 1)), draw(_span_tree(depth=depth + 1))
+        )
+    n = draw(st.integers(2, 3))
+    clauses = tuple(draw(_span_tree(depth=depth + 1)) for _ in range(n))
+    if kind == "or":
+        return SpanOr(clauses)
+    dist = draw(st.integers(1, 9))
+    return SpanNear(clauses, slop=dist - 1, in_order=(kind == "w"))
+
+
+def _render(node) -> str:
+    from lucene_solr_spark.operators.spans import (
+        SpanNear,
+        SpanNot,
+        SpanOr,
+        SpanTerm,
+    )
+
+    if isinstance(node, SpanTerm):
+        return node.term
+    if isinstance(node, SpanOr):
+        return "OR(" + ", ".join(_render(c) for c in node.clauses) + ")"
+    if isinstance(node, SpanNot):
+        return f"NOT({_render(node.include)}, {_render(node.exclude)})"
+    assert isinstance(node, SpanNear)
+    op = "W" if node.in_order else "N"
+    return (
+        f"{node.slop + 1}{op}("
+        + ", ".join(_render(c) for c in node.clauses)
+        + ")"
+    )
+
+
+@given(_span_tree())
+@settings(max_examples=200, deadline=None)
+def test_surround_render_parse_roundtrip(tree):
+    from lucene_solr_spark.operators.surround import parse_surround
+
+    assert parse_surround(_render(tree)) == tree
