@@ -91,13 +91,9 @@ def _search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        # multi-segment catalogs ride the per-field segment-LIST support
+        # (MultiReader shape — no forced merge, global stats)
         segs = cat.segments()
-        if len(segs) != 1:
-            print(
-                json.dumps({"error": "edismax CLI needs one segment; run merge"}),
-                file=sys.stderr,
-            )
-            return 2
         params = {
             "q": args.query,
             "qf": args.qf or "content",
@@ -114,7 +110,7 @@ def _search(args) -> int:
             params["bf"] = args.bf          # repeatable dl functions
         if args.boost:
             params["boost"] = args.boost    # multiplicative function
-        hits = edismax_topk(spark, {"content": segs[0]}, params, k=args.k)
+        hits = edismax_topk(spark, {"content": list(segs)}, params, k=args.k)
     elif getattr(args, "deftype", "lucene") == "surround":
         # {!surround} request: W/N distance ops + truncation on the span
         # kernel (operators/surround.py); single merged segment like the

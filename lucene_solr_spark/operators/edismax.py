@@ -216,8 +216,12 @@ def edismax_topk(
     (multiplicative function, BoostQParserPlugin — final score =
     subquery score × function value), dv (field whose norms table is the
     dl value source; defaults to the first qf field in sorted order).
-    Every field's segment must share the corpus doc-id assignment and
-    bucket_docs (asserted); pf fields need positional postings.
+    Every field maps to ONE Segment or a LIST of segments (the
+    MultiReader shape — live multi-segment indexes need no forced merge;
+    df / N / sum_ttf combine exactly so the ranking equals the merged
+    segment's, the ExactStatsCache discipline). All involved segments
+    must share the corpus doc-id assignment and bucket_docs (asserted);
+    pf fields need positional postings.
 
     Pinned boost arithmetic (cross-engine f32 contract): after the f32
     clause fold — bq contributions f32(raw_bm25 · bq_boost) in given
@@ -227,6 +231,24 @@ def edismax_topk(
     qf = parse_field_boosts(params.get("qf", ""))
     fields = sorted(qf)
     assert fields and all(f in segments for f in fields), "qf field missing a segment"
+    # each field maps to ONE segment or a LIST of segments sharing the
+    # global doc-id space (the MultiReader shape: no forced merge; df / N /
+    # sum_ttf combine exactly, so scores equal the single-merged-segment
+    # ranking — same ExactStatsCache discipline as MultiSearcher)
+    seglists: dict[str, list] = {
+        f: (v if isinstance(v, (list, tuple)) else [v])
+        for f, v in segments.items()
+    }
+
+    def _field_n_docs(f: str) -> int:
+        return sum(sg.stats.n_docs for sg in seglists[f])
+
+    def _field_avgdl(f: str) -> float:
+        n = _field_n_docs(f)
+        return (
+            sum(sg.stats.sum_ttf for sg in seglists[f]) / n if n else 0.0
+        )
+
     tie32 = np.float32(float(params.get("tie", 0.0)))
 
     # clause_seq: the scoring clauses in USER QUERY ORDER (required and
@@ -255,9 +277,9 @@ def edismax_topk(
         seqs = [s for s in seqs if len(s) >= 2]
         for f, b in sorted(parse_field_boosts(spec).items()):
             assert f in segments, f"{key} field {f!r} missing a segment"
-            assert segments[f].has_table("positions"), (
-                f"{key} field {f!r} was built without positions"
-            )
+            assert all(
+                sg.has_table("positions") for sg in seglists[f]
+            ), f"{key} field {f!r} was built without positions"
             for seq in seqs:
                 pclauses.append((f, seq, np.float32(b), slop))
 
@@ -284,7 +306,7 @@ def edismax_topk(
     }
     if dv_field is not None:
         involved.add(dv_field)
-    bd = {segments[f].stats.bucket_docs for f in involved}
+    bd = {sg.stats.bucket_docs for f in involved for sg in seglists[f]}
     assert len(bd) == 1, f"segments disagree on bucket_docs: {bd}"
 
     # ---- driver-side stats pre-pass (Weight analog): ONE terms-dict
@@ -296,20 +318,23 @@ def edismax_topk(
     raw_df: dict[tuple[str, str], int] = {}
     caches: dict[str, np.ndarray] = {}
     for f in sorted(set(fields) | set(pf_fields) | set(bq_fields)):
-        seg = segments[f]
-        caches[f] = bm25.norm_cache(seg.stats.avgdl)
-        rows = (
-            seg.table(spark, "terms")
-            .filter(F.col("term").isin(all_terms))
-            .select("term", "df")
-            .collect()
-        )
-        for r in rows:
-            raw_df[(f, r["term"])] = int(r["df"])
-            if f in qf or f in bq_fields:
-                idfs[(f, r["term"])] = np.float32(
-                    bm25.idf(seg.stats.n_docs, int(r["df"]))
+        caches[f] = bm25.norm_cache(_field_avgdl(f))
+        for seg in seglists[f]:
+            rows = (
+                seg.table(spark, "terms")
+                .filter(F.col("term").isin(all_terms))
+                .select("term", "df")
+                .collect()
+            )
+            for r in rows:  # df sums across the field's segments
+                raw_df[(f, r["term"])] = raw_df.get((f, r["term"]), 0) + int(
+                    r["df"]
                 )
+        if f in qf or f in bq_fields:
+            n_docs_f = _field_n_docs(f)
+            for (ff, t), dfv in raw_df.items():
+                if ff == f:
+                    idfs[(f, t)] = np.float32(bm25.idf(n_docs_f, dfv))
     # phrase idf sums per (field, phrase): f64 sum of present terms, one
     # f32 cast (PhraseWeight / BM25Similarity#idfExplain discipline)
     pidf: list[np.float32] = []
@@ -317,7 +342,7 @@ def edismax_topk(
         if any((f, t) not in raw_df for t in seq):
             pidf.append(None)  # a phrase term absent from the field
         else:
-            n_docs_f = segments[f].stats.n_docs
+            n_docs_f = _field_n_docs(f)
             pidf.append(
                 np.float32(
                     sum(bm25.idf(n_docs_f, raw_df[(f, t)]) for t in seq)
@@ -474,8 +499,9 @@ def edismax_topk(
             (set(matched_terms) if f in qf else set())
             | bq_terms_by_field.get(f, set())
         )
-        parts.append(
-            segments[f]
+        for _seg in seglists[f]:
+            parts.append(
+            _seg
             .table(spark, "postings")
             .filter(F.col("term").isin(wanted))
             .select(
@@ -490,12 +516,13 @@ def edismax_topk(
             )
         )
     for f in sorted({f for f, _s, _b, _sl in pclauses}):
-        ptbl = segments[f].table(spark, "positions")
         pterms = sorted(
             {t for pf_f, seq, _b, _sl in pclauses if pf_f == f for t in seq}
         )
-        has_end = "end_bin" in ptbl.columns
-        parts.append(
+        for _seg in seglists[f]:
+            ptbl = _seg.table(spark, "positions")
+            has_end = "end_bin" in ptbl.columns
+            parts.append(
             ptbl.filter(F.col("term").isin(pterms)).select(
                 F.lit(1).alias("kind"),
                 F.lit(f).alias("field"),
@@ -516,14 +543,14 @@ def edismax_topk(
         # when present; merged segments fold dl into the docmap instead
         # (assemble_segment skips the norms phase when dl is stored), so
         # fall back to the pruned 2-column docmap read — same narrow scan.
-        dv_seg = segments[dv_field]
-        dv_src = (
-            dv_seg.table(spark, "norms")
-            if dv_seg.has_table("norms")
-            else dv_seg.table(spark, "docmap").select("doc_id", "dl")
-        )
-        bdocs = dv_seg.stats.bucket_docs
-        parts.append(
+        for dv_seg in seglists[dv_field]:
+            dv_src = (
+                dv_seg.table(spark, "norms")
+                if dv_seg.has_table("norms")
+                else dv_seg.table(spark, "docmap").select("doc_id", "dl")
+            )
+            bdocs = dv_seg.stats.bucket_docs
+            parts.append(
             dv_src.select(
                 F.lit(2).alias("kind"),
                 F.lit(dv_field).alias("field"),

@@ -271,3 +271,43 @@ def test_cli_xmlparser_match_all(spark, cli_index, capsys):
     got = _lines(capsys)
     assert [r["doc_id"] for r in got] == list(range(7))
     assert all(r["score"] == 1.0 for r in got)
+
+
+def test_cli_edismax_multi_segment(spark, cli_index, tmp_path, capsys):
+    """edismax over a 2-segment catalog must equal the single-segment
+    ranking (per-field segment lists, global stats — no forced merge)."""
+    import shutil
+
+    from lucene_solr_spark.corpus import documents_as_corpus
+    from lucene_solr_spark.operators.edismax import edismax_topk
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    two = str(tmp_path / "two_seg")
+    corpus = documents_as_corpus(spark, SF)  # carries driver doc ids
+    cat2 = Catalog(two)
+    from lucene_solr_spark.operators.indexer import build_index
+
+    for i, pred in enumerate(("doc_id < 250", "doc_id >= 250")):
+        seg = build_index(
+            spark, corpus.filter(pred), out_dir=two,
+            segment_id=f"half{i}", with_positions=True,
+        )
+        cat2.commit_swap(add=[seg.segment_id])
+    rc = main([
+        "search", "--index", two, "--query", "key order",
+        "--deftype", "edismax", "--qf", "content", "--mm", "2",
+        "--pf", "content^1.5", "--tie", "0.3", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    seg1 = Catalog(cli_index).segments()[0]
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in edismax_topk(
+            spark, {"content": seg1},
+            {"q": "key order", "qf": "content", "mm": "2",
+             "pf": "content^1.5", "tie": 0.3},
+            k=5,
+        ).collect()
+    ]
+    assert got == want and got

@@ -337,3 +337,70 @@ def test_required_term_absent_everywhere(spark, segments):
         spark, segments, {"q": "+zzzmissing import", "qf": "body title"}, k=10
     )
     assert res.count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Multi-segment fields (MultiReader shape): a field served by a 2-way
+# doc-range SPLIT of the corpus must rank float32-identically to the
+# single-segment field — global df/N/sum_ttf combine exactly
+# (ExactStatsCache), including bq/bf/boost and pf clauses.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def split_segments(spark, corpus):
+    mid = N_DOCS // 2
+    halves = [
+        corpus.filter(f"doc_id < {mid}"),
+        corpus.filter(f"doc_id >= {mid}"),
+    ]
+    return [
+        build_index(spark, h, out_dir=None, bucket_docs=64, with_positions=True)
+        for h in halves
+    ]
+
+
+@pytest.mark.parametrize(
+    "params",
+    [
+        {"q": "import return", "qf": "body", "mm": "2", "tie": 0.3},
+        {"q": "import return", "qf": "body", "mm": "2", "pf": "body^1.5"},
+        {"q": "import return", "qf": "body", "mm": "2",
+         "bq": "body:public^0.5", "bf": "recip(dl,1,100,100)",
+         "boost": "sqrt(dl)"},
+    ],
+)
+def test_split_field_ranks_like_merged(spark, segments, split_segments, params):
+    single = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in edismax_topk(
+            spark, {"body": segments["body"]}, params, k=10
+        ).collect()
+    ]
+    split = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in edismax_topk(
+            spark, {"body": split_segments}, params, k=10
+        ).collect()
+    ]
+    assert split == single and split
+
+
+def test_split_and_whole_fields_mix(spark, segments, split_segments):
+    """qf can mix a split field with a whole one."""
+    params = {"q": "import return", "qf": "body title^2", "mm": "2",
+              "tie": 0.3}
+    single = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in edismax_topk(spark, segments, params, k=10).collect()
+    ]
+    mixed = [
+        (int(r["doc_id"]), np.float32(r["score"]))
+        for r in edismax_topk(
+            spark,
+            {"body": split_segments, "title": segments["title"]},
+            params,
+            k=10,
+        ).collect()
+    ]
+    assert mixed == single and mixed
