@@ -126,17 +126,14 @@ def _search(args) -> int:
             )
             return 2
         segs = cat.segments()
-        if len(segs) != 1:
-            print(
-                json.dumps({"error": "surround CLI needs one segment; run merge"}),
-                file=sys.stderr,
-            )
-            return 2
-        searcher = Searcher(spark, segs[0])
-        node = parse_surround(
-            args.query, expand=lambda pfx: searcher.expand_terms(prefix=pfx)
-        )
-        hits = span_topk(spark, segs[0], node, k=args.k)
+        if len(segs) == 1:
+            ex = Searcher(spark, segs[0]).expand_terms
+        else:
+            # multi-segment: truncation expands against the UNION terms
+            # dict; the span kernel takes the segment list (global stats)
+            ex = MultiSearcher.from_catalog(spark, cat).expand_terms
+        node = parse_surround(args.query, expand=lambda pfx: ex(prefix=pfx))
+        hits = span_topk(spark, list(segs), node, k=args.k)
     elif getattr(args, "deftype", "lucene") == "xmlparser":
         # {!xmlparser} request: XML element tree -> engine Boolean tree,
         # evaluated across the WHOLE catalog (MultiSearcher, global stats)

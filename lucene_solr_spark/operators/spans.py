@@ -379,7 +379,7 @@ def span_freq(node, positions: dict[str, np.ndarray]) -> float:
 
 def span_topk(
     spark: SparkSession,
-    segment: Segment,
+    segment,
     node,
     k: int = 10,
     deleted=None,
@@ -387,35 +387,47 @@ def span_topk(
     """Top-k BM25 over a span query tree. Scoring mirrors phrase_topk:
     pseudo-term freq = fractional span freq, idf = sum of the distinct
     clause terms' idfs, byte4 norm cache tf_part, float32, tie-break
-    (score desc, doc_id asc)."""
-    assert segment.has_table("positions"), (
+    (score desc, doc_id asc).
+
+    ``segment`` is one Segment or a LIST of segments sharing the global
+    doc-id space (the MultiReader shape): df / N / sum_ttf combine
+    exactly, so a live multi-segment index ranks identically to its
+    forced merge — the same ExactStatsCache discipline as MultiSearcher
+    and multi-field edismax."""
+    segs = list(segment) if isinstance(segment, (list, tuple)) else [segment]
+    assert segs and all(sg.has_table("positions") for sg in segs), (
         "span queries need a positional index (build_index(with_positions=True))"
     )
+    bd = {sg.stats.bucket_docs for sg in segs}
+    assert len(bd) == 1, f"segments disagree on bucket_docs: {bd}"
     distinct = sorted(span_terms(node))
     if not distinct:
         return spark.createDataFrame([], _TOPK_SCHEMA)
 
-    stats_rows = (
-        segment.table(spark, "terms")
-        .filter(F.col("term").isin(distinct))
-        .select("term", "df")
-        .collect()
-    )
-    df_by_term = {r["term"]: int(r["df"]) for r in stats_rows}
+    df_by_term: dict[str, int] = {}
+    for sg in segs:
+        for r in (
+            sg.table(spark, "terms")
+            .filter(F.col("term").isin(distinct))
+            .select("term", "df")
+            .collect()
+        ):  # df sums across segments (disjoint doc sets)
+            df_by_term[r["term"]] = df_by_term.get(r["term"], 0) + int(r["df"])
     # conjunction-gated candidates only make sense when every REQUIRED term
     # exists; SpanOr alternatives may be absent. Required terms = all terms
     # outside any SpanOr (conservative: gate on terms required by ALL paths).
     required = _required_terms(node)
     if any(t not in df_by_term for t in required):
         return spark.createDataFrame([], _TOPK_SCHEMA)
-    n_docs = segment.stats.n_docs
+    n_docs = sum(sg.stats.n_docs for sg in segs)
     # idf over the SCORING terms only (a SpanNot's exclusion side gates
     # matches but contributes no idf — scoring_terms())
     sterms = sorted(scoring_terms(node))
     idf_sum = np.float32(
         sum(bm25.idf(n_docs, df_by_term[t]) for t in sterms if t in df_by_term)
     )
-    cache = bm25.norm_cache(segment.stats.avgdl)
+    sum_ttf = sum(sg.stats.sum_ttf for sg in segs)
+    cache = bm25.norm_cache(sum_ttf / n_docs if n_docs else 0.0)
     present = sorted(df_by_term)
 
     def score_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -423,7 +435,13 @@ def span_topk(
             pdf, node, required, idf_sum, cache, k, deleted
         )
 
-    rows = segment.table(spark, "positions").filter(F.col("term").isin(present))
+    parts = [
+        sg.table(spark, "positions").filter(F.col("term").isin(present))
+        for sg in segs
+    ]
+    rows = parts[0]
+    for p_ in parts[1:]:
+        rows = rows.unionByName(p_, allowMissingColumns=True)
     per_bucket = rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
     return per_bucket.orderBy(F.desc("score"), F.asc("doc_id")).limit(k)
 

@@ -311,3 +311,38 @@ def test_cli_edismax_multi_segment(spark, cli_index, tmp_path, capsys):
         ).collect()
     ]
     assert got == want and got
+
+
+def test_cli_surround_multi_segment(spark, cli_index, tmp_path, capsys):
+    """surround over a 2-segment catalog equals the single-segment
+    ranking (span kernel takes the segment list, union terms dict)."""
+    from lucene_solr_spark.corpus import documents_as_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.operators.spans import span_topk
+    from lucene_solr_spark.operators.surround import parse_surround
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    two = str(tmp_path / "two_seg_srd")
+    corpus = documents_as_corpus(spark, SF)
+    cat2 = Catalog(two)
+    for i, pred in enumerate(("doc_id < 250", "doc_id >= 250")):
+        seg = build_index(
+            spark, corpus.filter(pred), out_dir=two,
+            segment_id=f"srd{i}", with_positions=True,
+        )
+        cat2.commit_swap(add=[seg.segment_id])
+    rc = main([
+        "search", "--index", two, "--query", "2W(key, s*)",
+        "--deftype", "surround", "--k", "5",
+    ])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 4)) for r in _lines(capsys)]
+    seg1 = Catalog(cli_index).segments()[0]
+    s = Searcher(spark, seg1)
+    node = parse_surround("2W(key, s*)", expand=lambda p: s.expand_terms(prefix=p))
+    want = [
+        (int(r.doc_id), round(float(r.score), 4))
+        for r in span_topk(spark, seg1, node, k=5).collect()
+    ]
+    assert got == want and got

@@ -150,3 +150,39 @@ def test_deleted_excluded(spark, seg, oracle, vocab):
         for r in span_topk(spark, seg, q, k=5, deleted=kill).collect()
     ]
     assert full[0][0] not in got and got
+
+
+# ---------------------------------------------------------------------------
+# Multi-segment spans (MultiReader shape): a 2-way doc-range split must
+# rank float32-identically to the single segment — global df/N/sum_ttf
+# combine exactly (same ExactStatsCache discipline as MultiSearcher).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def split_segs(spark, corpus):
+    mid = N_DOCS // 2
+    return [
+        build_index(
+            spark, corpus.filter(f"doc_id {op} {mid}"), out_dir=None,
+            bucket_docs=64, with_positions=True,
+        )
+        for op in ("<", ">=")
+    ]
+
+
+@pytest.mark.parametrize(
+    "name", ["near_ordered_slop3", "near_unordered", "or_in_near",
+             "not_near", "position_range"],
+)
+def test_split_segments_rank_like_merged(spark, seg, split_segs, vocab, name):
+    q = _queries(vocab)[name]
+    single = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in span_topk(spark, seg, q, k=10).collect()
+    ]
+    split = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in span_topk(spark, split_segs, q, k=10).collect()
+    ]
+    assert split == single and split
