@@ -186,3 +186,34 @@ def test_split_segments_rank_like_merged(spark, seg, split_segs, vocab, name):
         for r in span_topk(spark, split_segs, q, k=10).collect()
     ]
     assert split == single and split
+
+
+def test_split_mixed_graph_plain_segment(spark, seg, corpus, vocab):
+    """One split half built WITH a synonym graph, the other plain: a span
+    query over terms OUTSIDE the rules must still rank exactly like the
+    all-plain single segment (plain rows pass the flattened view
+    unchanged; rule-injected tokens sit at fresh addresses and never
+    collide with literal positions)."""
+    from lucene_solr_spark.functions.synonyms import parse_synonym_rules
+
+    (a, b), _ = vocab
+    mid = N_DOCS // 2
+    rules = parse_synonym_rules(["zzsyn => zzexpansion"])  # touches nothing
+    graph_half = build_index(
+        spark, corpus.filter(f"doc_id < {mid}"), out_dir=None,
+        bucket_docs=64, with_positions=True, synonyms=rules,
+    )
+    plain_half = build_index(
+        spark, corpus.filter(f"doc_id >= {mid}"), out_dir=None,
+        bucket_docs=64, with_positions=True,
+    )
+    q = SpanNear((SpanTerm(a), SpanTerm(b)), slop=3)
+    single = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in span_topk(spark, seg, q, k=10).collect()
+    ]
+    mixed = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in span_topk(spark, [graph_half, plain_half], q, k=10).collect()
+    ]
+    assert mixed == single and mixed
