@@ -71,6 +71,31 @@ def _build(args) -> int:
     return 0
 
 
+def _disjoint_doc_ids(spark, segments) -> bool:
+    """True iff the segments' doc-id ranges are pairwise disjoint — the
+    precondition for serving a segment LIST in ONE flat doc-id space
+    (edismax/surround per-field segment lists). Independently built
+    segments each assign ids from 0 (why MultiSearcher applies doc_base
+    offsets), so overlap is the common case and must be refused rather
+    than silently merging different documents' postings. Ranges come from
+    the manifest stats; pre-r5 manifests (-1) fall back to one narrow agg."""
+    spans = []
+    for sg in segments:
+        lo, hi = sg.stats.min_doc_id, sg.stats.max_doc_id
+        if lo < 0 or hi < 0:
+            from pyspark.sql import functions as F
+
+            r = sg.table(spark, "docmap").agg(
+                F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+            ).collect()[0]
+            if r["lo"] is None:
+                continue  # empty segment occupies no range
+            lo, hi = int(r["lo"]), int(r["hi"])
+        spans.append((lo, hi))
+    spans.sort()
+    return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
+
+
 def _search(args) -> int:
     from .operators.search import MultiSearcher, Searcher
     from .session import get_spark
@@ -92,8 +117,17 @@ def _search(args) -> int:
             )
             return 2
         # multi-segment catalogs ride the per-field segment-LIST support
-        # (MultiReader shape — no forced merge, global stats)
+        # (MultiReader shape — no forced merge, global stats). The list
+        # shares ONE flat doc-id space, so ranges must be disjoint.
         segs = cat.segments()
+        if len(segs) > 1 and not _disjoint_doc_ids(spark, segs):
+            print(
+                json.dumps({"error": "segments' doc-id ranges overlap; "
+                            "edismax needs one global doc-id space — "
+                            "run merge"}),
+                file=sys.stderr,
+            )
+            return 2
         params = {
             "q": args.query,
             "qf": args.qf or "content",
@@ -131,9 +165,22 @@ def _search(args) -> int:
         else:
             # multi-segment: truncation expands against the UNION terms
             # dict; the span kernel takes the segment list (global stats)
+            # sharing ONE flat doc-id space — ranges must be disjoint
+            if not _disjoint_doc_ids(spark, segs):
+                print(
+                    json.dumps({"error": "segments' doc-id ranges overlap; "
+                                "surround needs one global doc-id space — "
+                                "run merge"}),
+                    file=sys.stderr,
+                )
+                return 2
             ex = MultiSearcher.from_catalog(spark, cat).expand_terms
         node = parse_surround(args.query, expand=lambda pfx: ex(prefix=pfx))
-        hits = span_topk(spark, list(segs), node, k=args.k)
+        # liveDocs: tombstoned docs are excluded here exactly as on the
+        # classic (MultiSearcher) path
+        tomb = [int(r.doc_id) for r in cat.deletes(spark).collect()]
+        hits = span_topk(spark, list(segs), node, k=args.k,
+                         deleted=tomb or None)
     elif getattr(args, "deftype", "lucene") == "xmlparser":
         # {!xmlparser} request: XML element tree -> engine Boolean tree,
         # evaluated across the WHOLE catalog (MultiSearcher, global stats)
@@ -150,7 +197,12 @@ def _search(args) -> int:
             deletes = cat.deletes(spark)
             parts = []
             for seg in ms.segments:
-                dm = seg.table(spark, "docmap").select("doc_id").join(
+                dm = seg.table(spark, "docmap")
+                if args.fq:
+                    # fq applies to match-all exactly as on the scored
+                    # path: a SQL predicate over the stored fields
+                    dm = dm.filter(F.expr(args.fq))
+                dm = dm.select("doc_id").join(
                     deletes.filter(
                         F.col("segment_id") == seg.segment_id
                     ).select("doc_id"),

@@ -65,7 +65,12 @@ _BLOCK_SCHEMA = (
 )
 
 
-def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> DataFrame:
+def assign_doc_ids(
+    df: DataFrame,
+    keys: list[str],
+    partitions: int = 64,
+    broadcast_max_rows: int = 1_000_000,
+) -> DataFrame:
     """Deterministic dense doc_id = global rank over ``keys`` ordering.
     ``keys`` must uniquely identify rows (ties would make the rank — and
     therefore doc ids — nondeterministic under any scheme).
@@ -77,6 +82,14 @@ def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> Data
     row_number within pid; finally one hash join attaches ids to the full
     rows. The keys intermediate is persisted so both passes see identical
     range bounds.
+
+    ``partitions`` is a volume knob (callers size it to the input — see
+    ``build_index``'s shuffle sizing); the exact total row count falls out
+    of the offsets pass for free, so when it is small
+    (``broadcast_max_rows``) the id-attach join broadcasts the narrow
+    ranked side instead of shuffling the wide payload rows — at bench scale
+    that removes the only content-column shuffle in the build, while a
+    10^12-row corpus keeps the hash join.
     """
     k = (
         df.select(*keys)
@@ -103,6 +116,8 @@ def assign_doc_ids(df: DataFrame, keys: list[str], partitions: int = 64) -> Data
         .withColumn("doc_id", (F.col("_off") + F.col("_rn")).cast("long"))
         .drop("_pid", "_rn", "_off")
     )
+    if acc <= broadcast_max_rows:
+        ranked = F.broadcast(ranked)
     return df.join(ranked, keys)
 
 
@@ -611,6 +626,11 @@ def assemble_segment(
     # (n_postings == sum of per-term df; sum_ttf == sum of per-term ttf ==
     # sum of doc lengths) — no scan ever touches the wide stored fields
     n_docs = n_docs_pre if not seg_path else docmap.count()
+    # doc-id range: a narrow column-pruned agg; lets multi-segment servers
+    # verify flat doc-id spaces are disjoint (catalog.py#SegmentStats)
+    id_rng = docmap.agg(
+        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+    ).collect()[0]
     pagg = terms.agg(
         F.sum("n_blocks").alias("nblocks"),
         F.sum("df").alias("n_postings"),
@@ -626,6 +646,8 @@ def assemble_segment(
         n_postings=int(pagg["n_postings"] or 0),
         packed_bytes=int(pagg["packed"] or 0),
         bucket_docs=bucket_docs,
+        min_doc_id=int(id_rng["lo"]) if id_rng["lo"] is not None else -1,
+        max_doc_id=int(id_rng["hi"]) if id_rng["hi"] is not None else -1,
     )
     seg = Segment(segment_id=seg_id, stats=stats, path=seg_path)
     seg.dfs = {"docmap": docmap, "terms": terms, "postings": postings}

@@ -114,7 +114,15 @@ def parse_surround(q: str, expand=None, max_expansions: int = 1024):
                 raise SurroundParseError(
                     f"truncation {t!r} needs an expand callback"
                 )
-            expanded = list(expand(terms[0]))[:max_expansions]
+            expanded = list(expand(terms[0]))
+            if len(expanded) > max_expansions:
+                # surround/query/SrndTruncQuery.java + maxBasicQueries:
+                # the reference raises TooManyBasicQueries rather than
+                # silently serving an order-dependent subset of the terms
+                raise SurroundParseError(
+                    f"truncation {t!r} expands to {len(expanded)} terms "
+                    f"(> max_expansions={max_expansions})"
+                )
             if not expanded:
                 # absent prefix: an empty SpanOr would be malformed; a
                 # never-matching term keeps the tree well-typed (the span

@@ -39,6 +39,14 @@ class SegmentStats:
     n_postings: int = 0       # total (term, doc) pairs
     packed_bytes: int = 0     # compressed posting-block bytes
     bucket_docs: int = 8192   # doc-space bucket width (block grid alignment)
+    # doc-id range ([min,max], -1 = unknown/pre-r5 manifest): segments built
+    # independently each assign ids from 0, so serving several of them in
+    # ONE flat doc-id space (edismax/surround segment lists) is only sound
+    # when the ranges are disjoint — MultiSearcher's doc_base offsets exist
+    # precisely because they usually are not. __main__._disjoint_doc_ids
+    # checks this before any flat multi-segment serve.
+    min_doc_id: int = -1
+    max_doc_id: int = -1
 
     @property
     def avgdl(self) -> float:

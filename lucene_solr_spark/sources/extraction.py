@@ -54,10 +54,37 @@ def detect_type(data: bytes) -> str:
     head = data[:256].lstrip().lower()
     if head.startswith((b"<!doctype html", b"<html")):
         return "text/html"
+    prefix = data[:1024]
     try:
-        data[:1024].decode("utf-8")
+        prefix.decode("utf-8")
         return "text/plain"
-    except UnicodeDecodeError:
+    except UnicodeDecodeError as e:
+        # the 1024-byte window may split a multibyte character: if the
+        # undecodable sequence is a TRUNCATED-BUT-VALID multibyte prefix
+        # (proper lead byte, continuation bytes, expected length running
+        # past the cut) and the payload continues past the window, retry
+        # without the dangling partial sequence so a valid UTF-8 text isn't
+        # misclassified by the sniff boundary. A bad lead byte (e.g. 0xFF)
+        # is real binary, not a boundary artifact, and stays binary.
+        if len(data) > 1024 and e.end >= len(prefix) and e.start >= 1021:
+            lead = prefix[e.start]
+            need = (
+                2 if 0xC2 <= lead <= 0xDF
+                else 3 if 0xE0 <= lead <= 0xEF
+                else 4 if 0xF0 <= lead <= 0xF4
+                else 0
+            )
+            tail = prefix[e.start + 1:]
+            if (
+                need
+                and e.start + need > len(prefix)
+                and all(0x80 <= b <= 0xBF for b in tail)
+            ):
+                try:
+                    prefix[: e.start].decode("utf-8")
+                    return "text/plain"
+                except UnicodeDecodeError:
+                    pass
         return "application/octet-stream"
 
 

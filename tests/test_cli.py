@@ -346,3 +346,73 @@ def test_cli_surround_multi_segment(spark, cli_index, tmp_path, capsys):
         for r in span_topk(spark, seg1, node, k=5).collect()
     ]
     assert got == want and got
+
+
+def test_cli_multi_segment_overlapping_ids_refused(spark, tmp_path, capsys):
+    """Independently built segments both assign doc ids from the same range;
+    serving them in ONE flat doc-id space would silently merge different
+    documents' postings, so edismax and surround must refuse (run merge)."""
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    two = str(tmp_path / "overlap")
+    corpus = documents_as_corpus(spark, SF)
+    cat2 = Catalog(two)
+    # same id range [0,50) twice -> overlapping flat doc-id spaces
+    for i, pred in enumerate(("doc_id < 50", "doc_id < 50")):
+        seg = build_index(
+            spark, corpus.filter(pred), out_dir=two,
+            segment_id=f"ov{i}", with_positions=True,
+        )
+        cat2.commit_swap(add=[seg.segment_id])
+    for argv in (
+        ["search", "--index", two, "--query", "key order",
+         "--deftype", "edismax", "--qf", "content", "--k", "5"],
+        ["search", "--index", two, "--query", "W(key, order)",
+         "--deftype", "surround", "--k", "5"],
+    ):
+        rc = main(argv)
+        assert rc == 2
+        assert "overlap" in capsys.readouterr().err
+
+
+def test_cli_surround_excludes_deletes(spark, cli_index, tmp_path, capsys):
+    """liveDocs: a tombstoned doc must vanish from surround results exactly
+    as it does on the classic (MultiSearcher) path."""
+    import shutil as _sh
+
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    idx = str(tmp_path / "srd_del")
+    _sh.copytree(cli_index, idx)
+    rc = main(["search", "--index", idx, "--query", "W(key, order)",
+               "--deftype", "surround", "--k", "5"])
+    assert rc == 0
+    before = [r["doc_id"] for r in _lines(capsys)]
+    assert before
+    victim = before[0]
+    cat = Catalog(idx)
+    seg_id = cat.segments()[0].segment_id
+    cat.add_deletes(
+        spark.createDataFrame(
+            [(seg_id, victim)], "segment_id string, doc_id long"
+        )
+    )
+    rc = main(["search", "--index", idx, "--query", "W(key, order)",
+               "--deftype", "surround", "--k", "5"])
+    assert rc == 0
+    after = [r["doc_id"] for r in _lines(capsys)]
+    assert victim not in after
+    assert after == [d for d in before if d != victim][: len(after)] or after
+
+
+def test_cli_xmlparser_match_all_honours_fq(spark, cli_index, capsys):
+    """MatchAllDocsQuery + --fq must apply the filter (it used to return
+    every live doc, silently dropping the user's filter)."""
+    rc = main([
+        "search", "--index", cli_index, "--query", "<MatchAllDocsQuery/>",
+        "--deftype", "xmlparser", "--fq", "doc_id >= 100", "--k", "5",
+    ])
+    assert rc == 0
+    got = [r["doc_id"] for r in _lines(capsys)]
+    assert got == list(range(100, 105))
+    assert all(d >= 100 for d in got)

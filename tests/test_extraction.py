@@ -62,3 +62,16 @@ def test_pipeline_counts_do_not_drop_gated_types(spark):
     assert by_id[2].content_type == "application/pdf" and by_id[2].text is None
     assert by_id[3].content_type == "image/png" and by_id[3].text is None
     assert all(r.n_bytes > 0 for r in out)
+
+
+def test_detect_type_multibyte_split_at_sniff_boundary():
+    # a UTF-8 payload whose 1024-byte sniff prefix cuts a multibyte char in
+    # half must still sniff as text/plain (the dangling partial sequence is
+    # trimmed before deciding), not fall to application/octet-stream
+    body = b"a" * 1023 + "é".encode("utf-8") + b" trailing text"
+    assert body[:1024][-1:] != b"a"  # the é straddles the boundary
+    assert detect_type(body) == "text/plain"
+    # genuinely binary data past the boundary is still binary
+    assert detect_type(b"a" * 1023 + b"\xff\xfe\xfd" * 10) == (
+        "application/octet-stream"
+    )

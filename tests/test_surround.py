@@ -70,9 +70,19 @@ def test_truncation_expands_to_sorted_span_or():
 
 
 def test_truncation_cap():
+    # surround/query/SrndTruncQuery.java + maxBasicQueries: over-broad
+    # truncation raises (TooManyBasicQueries) rather than silently serving
+    # an order-dependent subset of the expansion
+    with pytest.raises(SurroundParseError, match="max_expansions"):
+        parse_surround(
+            "W(a, t*)",
+            expand=lambda p: [f"t{i}" for i in range(50)],
+            max_expansions=8,
+        )
+    # at or below the cap, all expansions are kept
     got = parse_surround(
         "W(a, t*)",
-        expand=lambda p: [f"t{i}" for i in range(50)],
+        expand=lambda p: [f"t{i}" for i in range(8)],
         max_expansions=8,
     )
     assert len(got.clauses[1].clauses) == 8
