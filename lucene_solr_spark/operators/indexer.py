@@ -35,6 +35,7 @@ scores (Lucene index-sort analog, SURVEY.md §1.3).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from typing import Iterator
 
 import numpy as np
@@ -432,13 +433,21 @@ def build_index(
 
     # ---- scale-aware shuffle sizing (north_rule: explicit shuffle-partition
     # tuning). Explicit term_partitions always wins; otherwise start from the
-    # session conf and, for parquet-backed corpora, cap by input volume
-    # (~32 MB of source bytes per shuffle partition, floor 8) — a 5k-doc
-    # bench corpus then pays 8 partition dispatches instead of 64 (measured
-    # 1.8x on the warm build), while a 100 TB input with thousands of splits
-    # keeps the operator-chosen conf.
+    # session conf and cap by input VOLUME, never executor width — a too-wide
+    # local JVM (the driver's 32-thread config) then degrades gracefully
+    # instead of paying per-partition dispatch on near-empty shuffle tasks,
+    # while a 100 TB input keeps the operator-chosen conf (the cap only ever
+    # lowers). Parquet-backed corpora: ~32 MB of file bytes per shuffle
+    # partition (floor 8) — a 5k-doc bench corpus then pays 8 partition
+    # dispatches instead of 64 (measured 1.8x on the warm build). Non-file
+    # sources (synthetic generators, streaming batches, local relations):
+    # one narrow column-pruned agg estimates raw content volume at ~2 MB raw
+    # per partition ≈ the 32 MB parquet target at typical zstd text ratios
+    # (measured at 32 threads on the 34 MB synth corpus: 64 -> 17 partitions
+    # is 6.1 s -> 4.5 s warm).
     shuffle_n = term_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     if term_partitions is None:
+        sized = False
         try:
             files = corpus.inputFiles()
             if files:
@@ -447,8 +456,17 @@ def build_index(
                     for f in files
                 )
                 shuffle_n = max(8, min(shuffle_n, nbytes // (32 << 20) + 1))
+                sized = True
         except Exception:
-            pass  # non-file sources keep the session conf
+            pass
+        if not sized:
+            try:
+                nbytes = int(
+                    corpus.agg(F.sum(F.length("content"))).first()[0] or 0
+                )
+                shuffle_n = max(8, min(shuffle_n, nbytes // (2 << 20) + 1))
+            except Exception:
+                pass  # unsizable sources keep the session conf
 
     if "_version_" not in corpus.columns:
         # optimistic-concurrency version (update/processor/
@@ -500,7 +518,47 @@ def build_index(
     )
 
 
+@contextmanager
+def _volume_scoped_shuffle(spark: SparkSession, n: int):
+    """Scope ``spark.sql.shuffle.partitions`` DOWN to the volume-sized cap
+    for the jobs executed inside (terms/norms groupBys, docmap range
+    writes): their exchange width is read at execution time, so without
+    this they run at executor width even when the build's own
+    (term, bucket) shuffle is volume-capped. Only ever lowers — a real
+    cluster whose conf is already volume-sized is untouched. Restored on
+    exit (the engine is single-driver-threaded per build; builds are
+    sequential)."""
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    if int(old) <= n:
+        yield
+        return
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
 def assemble_segment(
+    spark: SparkSession,
+    docmap: DataFrame,
+    tf: DataFrame,
+    seg_id: str,
+    seg_path: str | None,
+    bucket_docs: int,
+    shuffle_n: int,
+    extra_phases: dict | None = None,
+    with_positions: bool = False,
+) -> Segment:
+    with _volume_scoped_shuffle(spark, max(8, shuffle_n)):
+        return _assemble_segment(
+            spark, docmap, tf, seg_id, seg_path, bucket_docs, shuffle_n,
+            extra_phases=extra_phases, with_positions=with_positions,
+        )
+
+
+def _assemble_segment(
     spark: SparkSession,
     docmap: DataFrame,
     tf: DataFrame,
