@@ -34,6 +34,10 @@ no per-row Python (input_hint requirement).
 
 from __future__ import annotations
 
+import re as _re
+import unicodedata as _ud
+
+import numpy as _np
 import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
@@ -70,6 +74,83 @@ def tokenize_text(text: str) -> list[str]:
 @pandas_udf(ArrayType(StringType()))
 def tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_pandas(texts)
+
+
+# ---------------------------------------------------------------------------
+# Offset-aware tokenizer — the IndexOptions...AND_OFFSETS analog
+# (index/IndexOptions.java#DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS,
+# analysis OffsetAttribute). Emits the SAME token sequence as the pinned
+# spec above plus each token's (start_char, end_char) into the NFC-
+# normalized source text, so char spans survive analysis transforms
+# (lowercasing, camelCase/digit splits) that make re-tokenized display
+# text unrecoverable. Every token is a contiguous source substring:
+# token == source[start:end].lower() — pinned by tests/test_offsets.py's
+# parity property against tokenize_pandas.
+# ---------------------------------------------------------------------------
+
+_RUN_RE = _re.compile(r"\w+", _re.UNICODE)
+
+
+def tokenize_offsets(text: str):
+    """One string -> (tokens list[str], starts ndarray, ends ndarray).
+
+    Offsets index the NFC-normalized text (identity on the asserted-ASCII
+    corpora — same normalization step 1 of the pinned spec). The split
+    rules are re-expressed as per-character boundary predicates over each
+    ``\\w+`` run, which provably equals the pinned regex-rewrite chain on
+    any input (the rewrite rules only INSERT separators between
+    characters, never reorder or delete non-underscore characters):
+
+      split before char i of a run iff
+        prev is ASCII lower  and cur is ASCII upper            (camelCase)
+      | prev is ASCII letter and cur is ASCII digit            (utf8)
+      | prev is ASCII digit  and cur is ASCII letter           (8bit)
+      | prev+cur ASCII upper and next is ASCII lower           (HTTPServer)
+      | prev or cur is '_'   (the underscore itself is dropped)
+    """
+    t = _ud.normalize("NFC", text or "")
+    toks: list[str] = []
+    starts: list[int] = []
+    ends: list[int] = []
+    for m in _RUN_RE.finditer(t):
+        run, base = m.group(), m.start()
+        n = len(run)
+        if n == 1:
+            if run != "_":
+                toks.append(run.lower())
+                starts.append(base)
+                ends.append(base + 1)
+            continue
+        codes = _np.frombuffer(run.encode("utf-32-le"), dtype=_np.uint32)
+        up = (codes >= 65) & (codes <= 90)
+        lo = (codes >= 97) & (codes <= 122)
+        dg = (codes >= 48) & (codes <= 57)
+        al = up | lo
+        us = codes == 95
+        split = _np.zeros(n, dtype=bool)
+        nxt_lo = _np.zeros(n - 1, dtype=bool)
+        nxt_lo[:-1] = lo[2:]
+        split[1:] = (
+            (lo[:-1] & up[1:])
+            | (al[:-1] & dg[1:])
+            | (dg[:-1] & al[1:])
+            | (up[:-1] & up[1:] & nxt_lo)
+        )
+        split |= us                      # boundary AT each underscore
+        split[1:] |= us[:-1]             # and right after it
+        split[0] = True
+        bounds = _np.flatnonzero(split).tolist() + [n]
+        for s, e in zip(bounds, bounds[1:]):
+            if run[s] == "_":            # dropped separator, not a token
+                continue
+            toks.append(run[s:e].lower())
+            starts.append(base + s)
+            ends.append(base + e)
+    return (
+        toks,
+        _np.asarray(starts, dtype=_np.int64),
+        _np.asarray(ends, dtype=_np.int64),
+    )
 
 
 def tokens_col(text_col):

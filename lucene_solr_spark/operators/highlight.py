@@ -176,6 +176,102 @@ def highlight(
     ).orderBy("doc_id")
 
 
+def highlight_offsets(
+    spark: SparkSession,
+    segment: Segment,
+    query_text: str,
+    doc_ids: list[int] | None = None,
+    context: int = 20,
+    pre: str = "<em>",
+    post: str = "</em>",
+) -> DataFrame:
+    """OFFSET-based highlighting — the UnifiedHighlighter production path
+    (uhighlight/UnifiedHighlighter.java OffsetSource.POSTINGS with
+    IndexOptions...AND_OFFSETS; CompressingTermVectorsWriter stores the
+    same offsets for the tv route).
+
+    The snippet is sliced from the STORED ORIGINAL text at the first
+    hit's (start_char, end_char) decoded from the index (soff_bin /
+    eoff_bin — requires an offsets build), with ``context`` chars either
+    side; the display is never re-tokenized, so analysis transforms
+    (lowercasing, camelCase/underscore splits, stemming) cannot corrupt
+    the char span — the exact failure mode of reconstruction-based
+    display (tests/test_offsets.py pins a case where re-tokenized display
+    gets the span wrong and offsets get it right).
+
+    Returns (doc_id, n_hits, start_off, end_off, snippet), one row per
+    matching doc. Decode touches only the query terms' position rows
+    (term-pushdown into the positions scan); the render is pure JVM
+    Column slicing over the k-doc page — display-time cost, never a
+    corpus scan.
+    """
+    assert segment.has_table("positions"), "offset highlighting needs positions"
+    q_terms = sorted(set(tokenize_text(query_text)))
+    if not q_terms:
+        return spark.createDataFrame(
+            [], "doc_id long, n_hits long, start_off long, end_off long, snippet string"
+        )
+    rows = segment.table(spark, "positions").filter(F.col("term").isin(q_terms))
+    if doc_ids is not None:
+        if not doc_ids:
+            return spark.createDataFrame(
+                [],
+                "doc_id long, n_hits long, start_off long, end_off long, snippet string",
+            )
+        bd = segment.stats.bucket_docs
+        rows = rows.filter(
+            F.col("bucket").isin(*sorted({int(d) // bd for d in doc_ids}))
+            & F.col("doc_id").isin([int(d) for d in doc_ids])
+        )
+    if "soff_bin" not in rows.columns:
+        raise ValueError(
+            "segment has no stored offsets; build with with_offsets=True"
+        )
+
+    def _decode(batches):
+        for pdf in batches:
+            out = {"doc_id": [], "start_off": [], "end_off": []}
+            for r in pdf.itertuples():
+                starts = delta_decode(unpack_ints(r.soff_bin)).astype(np.int64)
+                lens = unpack_ints(r.eoff_bin).astype(np.int64)
+                out["doc_id"].extend([int(r.doc_id)] * len(starts))
+                out["start_off"].extend(starts.tolist())
+                out["end_off"].extend((starts + lens).tolist())
+            yield pd.DataFrame(out)
+
+    hits = (
+        rows.select("doc_id", "soff_bin", "eoff_bin")
+        .mapInPandas(_decode, "doc_id long, start_off long, end_off long")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.min(F.struct("start_off", "end_off")).alias("first"),
+        )
+        .select(
+            "doc_id", "n_hits",
+            F.col("first.start_off").alias("start_off"),
+            F.col("first.end_off").alias("end_off"),
+        )
+    )
+    stored = segment.table(spark, "docmap").select("doc_id", "content")
+    ctx = int(context)
+    snippet = F.concat(
+        F.expr(
+            f"substring(content, greatest(start_off - {ctx} + 1, 1), "
+            f"least(start_off, {ctx}))"
+        ),
+        F.lit(pre),
+        F.expr("substring(content, start_off + 1, end_off - start_off)"),
+        F.lit(post),
+        F.expr(f"substring(content, end_off + 1, {ctx})"),
+    )
+    return (
+        stored.join(F.broadcast(hits), "doc_id")
+        .select("doc_id", "n_hits", "start_off", "end_off", snippet.alias("snippet"))
+        .orderBy("doc_id")
+    )
+
+
 def highlight_topk(
     spark: SparkSession,
     segment: Segment,

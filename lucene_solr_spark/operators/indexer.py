@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions import packing
-from ..functions.analysis import tokenize_pandas
+from ..functions.analysis import tokenize_offsets, tokenize_pandas
 from ..functions.smallfloat import byte4_to_int_np, int_to_byte4_np
 from ..sources.catalog import (
     Catalog,
@@ -173,7 +173,7 @@ def _norms_from_postings(postings: DataFrame) -> DataFrame:
     )
 
 
-def _tf_stage_fn(with_positions: bool, synonyms=None):
+def _tf_stage_fn(with_positions: bool, synonyms=None, with_offsets: bool = False):
     """Tokenize + per-doc term counting (complete, not partial — each doc is
     wholly inside one batch), the DWPT/TermsHashPerField analog.
 
@@ -186,6 +186,15 @@ def _tf_stage_fn(with_positions: bool, synonyms=None):
 
     With positions enabled, each tf row also carries the term's in-doc
     token positions, delta+FOR packed (the .pos/prox file analog).
+
+    With ``with_offsets`` (requires positions; the
+    IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analog), each
+    tf row additionally packs the occurrences' character offsets into the
+    source text, aligned with pos_bin order: ``soff_bin`` (delta-encoded
+    start chars — ascending because positions ascend) and ``eoff_bin``
+    (token char lengths, end = start + len). Tokenization switches to the
+    offset-aware scanner (tokenize_offsets — identical token sequence,
+    pinned by tests/test_offsets.py).
 
     With ``synonyms`` (a functions/synonyms.py SynonymRules), tokens become
     token-GRAPH edges: injected synonym tokens span their rule's input
@@ -200,7 +209,19 @@ def _tf_stage_fn(with_positions: bool, synonyms=None):
         for pdf in doc_batches:
             if len(pdf) == 0:
                 continue
-            toks = tokenize_pandas(pdf["content"])
+            flat_soff = flat_elen = None
+            if with_offsets:
+                trip = [tokenize_offsets(t) for t in pdf["content"]]
+                toks = pd.Series([t[0] for t in trip], index=pdf.index)
+                if any(len(t[1]) for t in trip):
+                    flat_soff = np.concatenate(
+                        [t[1] for t in trip if len(t[1])]
+                    )
+                    flat_elen = np.concatenate(
+                        [t[2] - t[1] for t in trip if len(t[1])]
+                    )
+            else:
+                toks = tokenize_pandas(pdf["content"])
             if synonyms is not None:
                 yield from _tf_graph_batch(pdf, toks, synonyms, with_positions)
                 continue
@@ -243,6 +264,17 @@ def _tf_stage_fn(with_positions: bool, synonyms=None):
                     packing.pack_ints(packing.delta_encode(flat_pos[s:e]))
                     for s, e in zip(starts, ends)
                 ]
+                if with_offsets:
+                    so = flat_soff[order].astype(np.uint64)
+                    el = flat_elen[order].astype(np.uint64)
+                    out["soff_bin"] = [
+                        packing.pack_ints(packing.delta_encode(so[s:e]))
+                        for s, e in zip(starts, ends)
+                    ]
+                    out["eoff_bin"] = [
+                        packing.pack_ints(el[s:e])
+                        for s, e in zip(starts, ends)
+                    ]
             else:
                 out["pos_bin"] = None
             yield out
@@ -401,6 +433,7 @@ def build_index(
     segment_id: str | None = None,
     with_positions: bool = False,
     synonyms=None,
+    with_offsets: bool = False,
 ) -> Segment:
     """Build one immutable segment from a corpus DataFrame.
 
@@ -420,7 +453,21 @@ def build_index(
     SynonymGraphFilter injection: the positions table gains an ``end_bin``
     column (token-graph end nodes) and phrase matching goes through the
     graph-aware path-chaining kernel (phrase.py#_exact_freqs_graph).
+
+    ``with_offsets=True`` (requires ``with_positions``, plain chain only —
+    the DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analog) additionally
+    stores each occurrence's character offsets into the source text
+    (``soff_bin``/``eoff_bin`` in the positions table), enabling
+    offset-based highlighting (operators/highlight.py#highlight_offsets)
+    and tv.offsets term vectors.
     """
+    if with_offsets and not with_positions:
+        raise ValueError("with_offsets requires with_positions")
+    if with_offsets and synonyms is not None:
+        raise ValueError(
+            "with_offsets supports the plain analysis chain only "
+            "(synonym-graph builds carry end_bin instead)"
+        )
     if "content_sha256" not in corpus.columns:
         corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     if "doc_id" not in corpus.columns:
@@ -495,9 +542,13 @@ def build_index(
         # DWPT-analog stage runs in ONE task. At scale the source arrives
         # pre-split and this branch never fires (no content shuffle).
         tf_input = tf_input.repartition(default_par)
+    tf_schema = _TF_SCHEMA
+    if synonyms is not None:
+        tf_schema += ", end_bin binary"
+    elif with_offsets:
+        tf_schema += ", soff_bin binary, eoff_bin binary"
     tf = tf_input.mapInPandas(
-        _tf_stage_fn(with_positions, synonyms),
-        _TF_SCHEMA if synonyms is None else _TF_SCHEMA + ", end_bin binary",
+        _tf_stage_fn(with_positions, synonyms, with_offsets), tf_schema
     )
 
     # docmap KEEPS content — the stored-fields store (index/StoredFields
@@ -593,11 +644,13 @@ def _assemble_segment(
         pos_cols = ["term", "bucket", "doc_id", "norm_byte", "pos_bin"]
         if "end_bin" in tf.columns:  # synonym-graph build (see build_index)
             pos_cols.append("end_bin")
+        if "soff_bin" in tf.columns:  # offsets build (see build_index)
+            pos_cols.extend(["soff_bin", "eoff_bin"])
         positions = tf.filter(F.col("pos_bin").isNotNull()).select(*pos_cols)
 
     # ---- Phase B: postings blocks (the one token-stream shuffle) ----------
     blocks = (
-        tf.drop("pos_bin", "end_bin")
+        tf.drop("pos_bin", "end_bin", "soff_bin", "eoff_bin")
         .repartition(shuffle_n, "term", "bucket")
         .mapInPandas(_build_blocks_partition, _BLOCK_SCHEMA)
     )

@@ -120,6 +120,14 @@ def merge_segments(
     has_graph = has_pos and any(
         "end_bin" in s.table(spark, "positions").columns for s in segments
     )
+    # char offsets (soff_bin/eoff_bin, indexer.py with_offsets) are
+    # doc-internal like pos_bin, so they too ride the remap intact — but
+    # only when EVERY source stores them (FieldInfos merging keeps the
+    # lowest common IndexOptions; a positions-only source can't have
+    # offsets synthesized without its original text)
+    has_offsets = has_pos and all(
+        "soff_bin" in s.table(spark, "positions").columns for s in segments
+    )
 
     docmaps, decoded, positions = [], [], []
     for order, seg in enumerate(segments):
@@ -136,6 +144,7 @@ def merge_segments(
             pos = pos_tbl.select(
                 "term", "doc_id", "pos_bin",
                 *(["end_bin"] if has_graph else []),
+                *(["soff_bin", "eoff_bin"] if has_offsets else []),
             ).withColumn("_seg_order", F.lit(order))
         if deletes is not None:
             seg_del = deletes.filter(
@@ -174,7 +183,9 @@ def merge_segments(
     new_docmap = remapped_docs.drop("old_doc_id", "_seg_order")
     tf_cols = ["doc_id", "term", "freq", "norm_byte"] + (
         ["pos_bin"] if has_pos else []
-    ) + (["end_bin"] if has_graph else [])
+    ) + (["end_bin"] if has_graph else []) + (
+        ["soff_bin", "eoff_bin"] if has_offsets else []
+    )
     new_tf = (
         all_tf.withColumnRenamed("doc_id", "old_doc_id")
         .join(remap, ["_seg_order", "old_doc_id"])
