@@ -145,3 +145,192 @@ def highlight_offsets_engine(spark, sf_dir):
     return highlight_offsets(
         spark, s.segment, "merge", doc_ids=list(range(30)), context=20
     )
+
+
+# ---------------------------------------------------------------------------
+# Intervals algebra breadth — queries/intervals/Intervals.java
+# (unordered / or / containing / notContaining combinators with
+# minimal-interval semantics; operators/intervals.py pins the algebra and
+# tests/test_intervals.py proves kernel == brute-force spec on random
+# cases). Counts are per-doc numbers of MINIMAL intervals — note the
+# pinned divergence from span freq: spans emit one greedy match per
+# leading span and never minimize, so interval counts <= span counts.
+#
+# Scale: interval_unordered_count is ENGINE-PATH — it decodes the two
+# terms' positional postings (parquet term pushdown into the bucketed
+# positions table, applyInPandas per fixed-size doc-space bucket; work
+# is O(postings of the two query terms), never O(corpus)). The other
+# rows run the identical kernel over the tokens column (the per-doc
+# positions dict has the same shape either way).
+# ---------------------------------------------------------------------------
+
+_IVU_A, _IVU_B, _IVU_C = "key", "order", "hash"
+
+
+def _interval_count_udf(node):
+    """Arrow-batched per-doc minimal-interval count for a term-leaf node."""
+    from ..operators.intervals import (
+        doc_intervals,
+        interval_terms,
+        positions_from_tokens,
+    )
+
+    terms = interval_terms(node)
+
+    @F.pandas_udf("long")
+    def n_ivs(tokens: pd.Series) -> pd.Series:
+        return tokens.map(
+            lambda t: len(doc_intervals(node, positions_from_tokens(t, terms)))
+        )
+
+    return n_ivs
+
+
+# Minimal unordered(a, b) intervals == consecutive differing-term pairs in
+# the merged position order (any a..b window strictly contains such a pair,
+# and two consecutive pairs can never nest — positions strictly increase).
+# That characterization IS the SQL oracle; proved against the brute-force
+# spec in tests/test_intervals.py::test_unordered_consecutive_pairs.
+_IVU_PAIRS = f"""tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+ko AS (SELECT doc_id, term, pos FROM pos WHERE term IN ('{_IVU_A}', '{_IVU_B}')),
+seq AS (SELECT doc_id, term, pos,
+               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+               lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+        FROM ko),
+mins AS (SELECT doc_id, pos AS s, npos AS e FROM seq
+         WHERE nterm IS NOT NULL AND nterm <> term)"""
+
+
+@register(
+    "interval_unordered_count",
+    f"""WITH {_IVU_PAIRS}
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mins GROUP BY doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_unordered_count(spark, sf_dir):
+    """Intervals.unordered(key, order): per-doc minimal-interval count,
+    top-10 — ENGINE-PATH over decoded positional postings."""
+    from ..functions.packing import delta_decode, unpack_ints
+    from ..operators.intervals import ITerm, IUnordered, doc_intervals
+    from .solr_queries import _engine_searcher
+
+    node = IUnordered(ITerm(_IVU_A), ITerm(_IVU_B))
+    s = _engine_searcher(spark, sf_dir)
+    rows = (
+        s.segment.table(spark, "positions")
+        .filter(F.col("term").isin(_IVU_A, _IVU_B))
+        .select("bucket", "doc_id", "term", "pos_bin")
+    )
+
+    def per_bucket(key, pdf):
+        out_doc, out_n = [], []
+        for doc_id, grp in pdf.groupby("doc_id"):
+            positions = {
+                r.term: delta_decode(unpack_ints(r.pos_bin))
+                for r in grp.itertuples()
+            }
+            n = len(doc_intervals(node, positions))
+            if n > 0:
+                out_doc.append(int(doc_id))
+                out_n.append(n)
+        return pd.DataFrame({"doc_id": out_doc, "n_intervals": out_n})
+
+    return (
+        rows.groupBy("bucket")
+        .applyInPandas(per_bucket, "doc_id long, n_intervals long")
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "interval_containing_count",
+    f"""WITH {_IVU_PAIRS}
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mins m
+WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = m.doc_id
+              AND p.term = '{_IVU_C}' AND p.pos BETWEEN m.s AND m.e)
+GROUP BY m.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_containing_count(spark, sf_dir):
+    """Intervals.containing(unordered(key, order), hash): big intervals
+    that contain a 'hash' occurrence (FilteringIntervalsSource)."""
+    from ..operators.intervals import IContaining, ITerm, IUnordered
+    from .driver_queries import _tokens
+
+    node = IContaining(
+        IUnordered(ITerm(_IVU_A), ITerm(_IVU_B)), ITerm(_IVU_C)
+    )
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "interval_not_containing_count",
+    f"""WITH {_IVU_PAIRS}
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mins m
+WHERE NOT EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = m.doc_id
+                  AND p.term = '{_IVU_C}' AND p.pos BETWEEN m.s AND m.e)
+GROUP BY m.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_not_containing_count(spark, sf_dir):
+    """Intervals.notContaining(unordered(key, order), hash)."""
+    from ..operators.intervals import INotContaining, ITerm, IUnordered
+    from .driver_queries import _tokens
+
+    node = INotContaining(
+        IUnordered(ITerm(_IVU_A), ITerm(_IVU_B)), ITerm(_IVU_C)
+    )
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ordered(or(key, group), order): minimal interval per leading key|group
+# position p is [p, min order-pos > p], kept iff no key|group position lies
+# strictly inside (a later leading position would nest a smaller interval).
+@register(
+    "interval_ordered_or_count",
+    f"""WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+lead AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+         FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                               AND b.term = '{_IVU_B}'
+         WHERE a.term IN ('{_IVU_A}', 'group') GROUP BY a.doc_id, a.pos),
+mins AS (SELECT l.doc_id, l.s, l.e FROM lead l
+         WHERE NOT EXISTS (SELECT 1 FROM pos p
+                           WHERE p.doc_id = l.doc_id
+                             AND p.term IN ('{_IVU_A}', 'group')
+                             AND p.pos > l.s AND p.pos < l.e))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mins GROUP BY doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_ordered_or_count(spark, sf_dir):
+    """Intervals.ordered(or(key, group), order): disjunction nested in an
+    ordered source, minimal semantics."""
+    from ..operators.intervals import IOr, IOrdered, ITerm
+    from .driver_queries import _tokens
+
+    node = IOrdered(IOr(ITerm(_IVU_A), ITerm("group")), ITerm(_IVU_B))
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
