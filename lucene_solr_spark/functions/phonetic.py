@@ -1,0 +1,138 @@
+"""Double Metaphone phonetic encoder — PhoneticFilterFactory breadth.
+
+Reference surface (SURVEY.md §2.H phonetic analysis; path#symbol per
+SURVEY convention — the mount is empty):
+  lucene/analysis/phonetic/.../DoubleMetaphoneFilter.java
+  (commons-codec language/DoubleMetaphone.java, Philips 2000
+  "The Double Metaphone Search Algorithm", C/C++ Users Journal)
+
+What is pinned here: the PRIMARY-code core of Double Metaphone as ONE
+ordered rewrite chain (regex + translate steps) rendered from a single
+rule table into BOTH engines — pyspark Columns (functions/phonetic.py ->
+F.regexp_replace/F.translate, whole-stage codegen) and DuckDB SQL — so
+cross-engine parity is by construction, not by luck. Input is lowercase
+``[a-z]+`` terms (the rows filter the vocabulary exactly like the
+Soundex row); emitted code chars are uppercase (plus '0' for TH), so a
+rewritten output can never be re-consumed by a later lowercase-context
+rule. Max code length 4 (the commons-codec default).
+
+Documented deviations from full Double Metaphone (same spirit as the
+pinned Soundex variant in plans/coverage2_queries.py):
+  * no word-origin heuristics — the Germanic/Slavic/Italian context
+    switches (SCH+er/en -> SK, Germanic G -> K, Italian CH -> K, Spanish
+    J -> H) need an origin classifier; the chain always takes the
+    English-primary branch. Affected classes: fischer, chemistry,
+    michael, jose.
+  * no alternate code — only the primary channel is emitted (the filter
+    in the reference can inject both; the alternate channel would be a
+    second chain).
+  * GH after a vowel is always silent (right, knight); the laugh/enough
+    F-class exception list is omitted.
+All published vectors asserted in tests/test_phonetic_dm.py are words
+where the core chain IS faithful to the reference primary code.
+
+RE2/Java-regex common-subset discipline: no lookarounds, no pattern
+backreferences; replacements use capture groups rendered as $1/$2 for
+Spark and \\1/\\2 for DuckDB; run-collapse uses X{2,} literals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["double_metaphone_col", "double_metaphone_sql", "double_metaphone_py"]
+
+# Ordered op list. ("re", pattern, repl-with-<1>-placeholders) or
+# ("tr", from_chars, to_chars). Applied top to bottom, all matches.
+DM_OPS: list[tuple[str, ...]] = [
+    # --- initial-position exceptions -------------------------------------
+    ("re", "^x", "s"),  # Xavier -> S...
+    ("re", "^[kgp]n", "n"),  # knight, gnome, pneumonia
+    ("re", "^wr", "r"),  # wright
+    ("re", "^ps", "s"),  # psalm
+    ("re", "^wh", "w"),  # white -> w...
+    ("re", "^w([aeiouy])", "A<1>"),  # initial W + vowel -> A
+    ("re", "^y([aeiou])", "A<1>"),  # initial Y + vowel -> A
+    ("re", "^gh", "K"),  # ghost
+    # --- multi-char consonant contexts (longest first) -------------------
+    ("re", "cc([iey])", "KS<1>"),  # accident -> AKS...
+    ("re", "sch([aeiouy])", "SK<1>"),  # school -> SK...
+    ("re", "sch", "X"),  # schmidt, schneider
+    ("re", "sh", "X"),  # fisher
+    ("re", "th(om|am)", "T<1>"),  # thomas/thames exception
+    ("re", "th", "0"),  # smith -> SM0
+    ("re", "ph", "F"),  # phillip
+    ("re", "^chr", "KR"),  # christ
+    ("re", "ch", "X"),  # church
+    ("re", "ck", "K"),
+    ("re", "c([iey])", "S<1>"),  # cigar -> S...
+    ("re", "dg([iey])", "J<1>"),  # edge -> AJ
+    ("re", "dg", "TK"),  # edgar -> ATKR
+    ("re", "([aeiouy])gh", "<1>"),  # right, knight: silent gh
+    ("re", "gh", "K"),  # afghan
+    ("re", "gn$", "N"),  # sign -> SN
+    ("re", "g([iey])", "J<1>"),  # german soft g (English branch)
+    ("re", "mb$", "M"),  # dumb -> TM
+    ("re", "^h([aeiouy])", "H<1>"),  # house -> HS
+    ("re", "([aeiouy])h([aeiouy])", "<1>H<2>"),  # cahill: vowel-h-vowel kept
+    ("re", "w([aeiouy])", "W<1>"),  # hardware: w + vowel kept
+    # --- single-consonant mappings ---------------------------------------
+    ("re", "x", "KS"),  # maximum -> MKSM
+    ("tr", "cqgjvzdb", "KKKJFSTP"),
+    ("re", "[hwy]", ""),  # remaining h/w/y silent
+    ("tr", "fklmnprst", "FKLMNPRST"),
+    # --- vowels -----------------------------------------------------------
+    ("re", "^[aeiou]", "A"),  # initial vowel -> A
+    ("tr", "aeiou", ""),  # non-initial vowels dropped
+]
+
+# output-run collapse (apple -> APL, science -> SNS) + 4-char truncation
+_DM_OUT_CHARS = "AFHJKLMNPRSTWX0"
+
+
+def _collapse_ops() -> list[tuple[str, ...]]:
+    return [("re", f"{c}{{2,}}", c) for c in _DM_OUT_CHARS]
+
+
+def double_metaphone_col(col) -> Column:
+    """Pinned Double Metaphone primary chain as a pyspark Column
+    (pure built-ins: regexp_replace/translate/substring — JVM codegen)."""
+    x = F.col(col) if isinstance(col, str) else col
+    for op in DM_OPS + _collapse_ops():
+        if op[0] == "re":
+            x = F.regexp_replace(
+                x, op[1], op[2].replace("<1>", "$1").replace("<2>", "$2")
+            )
+        else:
+            x = F.translate(x, op[1], op[2])
+    return F.substring(x, 1, 4)
+
+
+def double_metaphone_sql(col: str) -> str:
+    """The IDENTICAL chain as DuckDB SQL (RE2 dialect: \\1 replacements,
+    'g' flag for replace-all)."""
+    x = col
+    for op in DM_OPS + _collapse_ops():
+        if op[0] == "re":
+            repl = op[2].replace("<1>", "\\1").replace("<2>", "\\2")
+            x = f"regexp_replace({x}, '{op[1]}', '{repl}', 'g')"
+        else:
+            x = f"translate({x}, '{op[1]}', '{op[2]}')"
+    return f"substr({x}, 1, 4)"
+
+
+def double_metaphone_py(word: str) -> str:
+    """Pure-Python rendering of the same chain (test oracle only)."""
+    import re
+
+    x = word
+    for op in DM_OPS + _collapse_ops():
+        if op[0] == "re":
+            repl = op[2].replace("<1>", "\\1").replace("<2>", "\\2")
+            x = re.sub(op[1], repl, x)
+        elif op[2]:
+            x = x.translate(str.maketrans(op[1], op[2]))
+        else:
+            x = x.translate(str.maketrans("", "", op[1]))
+    return x[:4]

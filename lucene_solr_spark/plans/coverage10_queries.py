@@ -334,3 +334,48 @@ def interval_ordered_or_count(spark, sf_dir):
         .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# DoubleMetaphone phonetics —
+# lucene/analysis/phonetic/.../DoubleMetaphoneFilter.java (commons-codec
+# DoubleMetaphone, Philips 2000). The pinned primary-code chain lives in
+# functions/phonetic.py: ONE rule table rendered into pyspark Columns AND
+# DuckDB SQL (RE2/Java common subset), parity by construction; published
+# vectors pinned in tests/test_phonetic_dm.py. Same row shape as the
+# Soundex row: phonetic buckets over the distinct vocabulary — the
+# index-time PhoneticFilter view of the terms dict. Scale: input is the
+# DISTINCT term dictionary (tiny vs corpus); the chain itself is
+# whole-stage-codegen regexp/translate, no Python in the path.
+# ---------------------------------------------------------------------------
+
+
+def _dm_register():
+    from ..functions.phonetic import double_metaphone_sql
+
+    return f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+terms AS (SELECT DISTINCT term FROM toks WHERE regexp_full_match(term, '[a-z]+'))
+SELECT {double_metaphone_sql('term')} AS code, count(*)::BIGINT AS n_terms
+FROM terms GROUP BY code ORDER BY n_terms DESC, code ASC LIMIT 10"""
+
+
+@register("phonetic_double_metaphone", _dm_register())
+def phonetic_double_metaphone(spark, sf_dir):
+    """Terms per Double Metaphone primary code over the distinct
+    vocabulary (count desc, code asc)."""
+    from ..functions.phonetic import double_metaphone_col
+    from .driver_queries import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    terms = (
+        toks.select(F.explode("tokens").alias("term"))
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return (
+        terms.select(double_metaphone_col("term").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("code"))
+        .limit(10)
+    )
