@@ -379,3 +379,46 @@ def phonetic_double_metaphone(spark, sf_dir):
         .orderBy(F.desc("n_terms"), F.asc("code"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# Locale collation sort — solr schema/ICUCollationField.java +
+# lucene/analysis/icu (ICUCollationKeyAnalyzer): locale-aware sort keys
+# generated at index time so ORDER BY is a binary-key compare. Spark-first
+# mapping: Spark 4's collated string type (COLLATE de) generates the ICU
+# collation keys JVM-side — the exact ICUCollationKeyAnalyzer analog —
+# and the DuckDB oracle sorts with ITS ICU 'de' collation; rank-identical
+# output proves the two independent ICU stacks agree on the synthesized
+# non-ASCII corpus (umlaut-injected nation names + a pinned German word
+# list with ä/ö/ü/ß primary/secondary/tertiary differences).
+# Scale: collation keys are per-row narrow byte strings; the sort is the
+# ordinary distributed range-partitioned sort.
+# ---------------------------------------------------------------------------
+
+_COLL_WORDS = [
+    "masse", "maße", "strasse", "straße", "zucker",
+    "äpfel", "apfel", "öl", "ol", "übel", "ubel",
+]
+
+
+@register(
+    "collation_sort_locale",
+    f"""WITH syn AS (
+  SELECT translate(lower(n_name), 'aeou', 'äéöü') AS s FROM nation
+  UNION ALL
+  SELECT * FROM (VALUES {", ".join("('" + w + "')" for w in _COLL_WORDS)}) v(s)
+)
+SELECT row_number() OVER (ORDER BY s COLLATE "de") AS rk, s
+FROM syn ORDER BY rk""",
+)
+def collation_sort_locale(spark, sf_dir):
+    """ORDER BY s COLLATE de over synthesized non-ASCII strings; output
+    (rank, raw string) — rank encodes the locale order for the compare."""
+    from pyspark.sql import Window
+
+    n = _read(spark, sf_dir, "nation")
+    syn = n.select(
+        F.translate(F.lower(F.col("n_name")), "aeou", "äéöü").alias("s")
+    ).unionAll(spark.createDataFrame([(w,) for w in _COLL_WORDS], "s string"))
+    w = Window.orderBy(F.expr("s COLLATE de"))
+    return syn.select(F.row_number().over(w).alias("rk"), "s").orderBy("rk")
