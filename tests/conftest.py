@@ -16,5 +16,9 @@ SF01_DIR = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(app_name="tests", master="local[4]", shuffle_partitions=8)
+    # local[8]: the suite is ~250 small build+query jobs; 8 threads cuts
+    # wall time vs local[4] without entering the single-JVM anti-scaling
+    # region BENCH.md §1 documents past ~12. Engine results are
+    # parallelism-invariant by contract (test_invariance.py pins it).
+    s = get_spark(app_name="tests", master="local[8]", shuffle_partitions=8)
     yield s
