@@ -422,3 +422,61 @@ def collation_sort_locale(spark, sf_dir):
     ).unionAll(spark.createDataFrame([(w,) for w in _COLL_WORDS], "s string"))
     w = Window.orderBy(F.expr("s COLLATE de"))
     return syn.select(F.row_number().over(w).alias("rk"), "s").orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# ExecutorStream — stored-query scheduling
+# (solrj/io/stream/ExecutorStream.java): a bounded control-plane list of
+# stored queries, each compiled to the engine's lazy per-bucket scoring
+# plan and executed as ONE unioned Spark DAG (the threads=N worker pool
+# generalized to executor-wide parallelism; no result rows pass through
+# the driver). Each stored query here is a flat disjunction whose terms
+# appear in lexicographic order, so the Boolean scorer's clause-order
+# left-fold equals the oracle's ORDER BY term fold — float32-exact
+# cross-engine, per stored query.
+# ---------------------------------------------------------------------------
+
+_EXEC_STORED = [
+    ("q1", "batch order"),
+    ("q2", "merge"),
+    ("q3", "scan stream table"),
+]
+
+
+def _exec_oracle_sql() -> str:
+    from .coverage3_queries import _f32_bm25_ctes
+
+    all_terms = sorted({t for _, qs in _EXEC_STORED for t in qs.split()})
+    per_q = []
+    for qid, qs in _EXEC_STORED:
+        tl = ", ".join(f"'{t}'" for t in sorted(qs.split()))
+        per_q.append(
+            f"""{qid} AS (SELECT '{qid}' AS query_id, doc_id,
+        list_reduce(list(s_t ORDER BY term), (a, b) -> (a + b)::FLOAT)
+          AS score_f
+     FROM contrib WHERE term IN ({tl}) GROUP BY doc_id
+     ORDER BY score_f DESC, doc_id ASC LIMIT 5)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM {qid}" for qid, _ in _EXEC_STORED)
+    return f"""WITH {_f32_bm25_ctes(all_terms)},
+{", ".join(per_q)}
+SELECT query_id, doc_id, round(score_f::DOUBLE, 4) AS score
+FROM ({union}) ORDER BY query_id, score_f DESC, doc_id ASC"""
+
+
+@register("executor_stream_topk", _exec_oracle_sql())
+def executor_stream_topk(spark, sf_dir):
+    """ExecutorStream: 3 stored queries -> one unioned engine DAG,
+    per-query top-5, float32-exact per stored query."""
+    from ..streaming.executor_stream import executor_stream
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    res = executor_stream(s, _EXEC_STORED, k=5)
+    return res.orderBy(
+        "query_id", F.desc("score"), F.asc("doc_id")
+    ).select(
+        "query_id",
+        "doc_id",
+        F.round(F.col("score").cast("double"), 4).alias("score"),
+    )
