@@ -179,3 +179,51 @@ def _facet_node(df: DataFrame, spec: dict, parents: list[str]) -> DataFrame:
         # bucket cardinality is limit-bounded -> always broadcastable
         grouped = grouped.join(F.broadcast(renamed), on=keys, how="left")
     return grouped
+
+
+# ---------------------------------------------------------------------------
+# Multi-select faceting (tagged filter exclusion) —
+# solr/core/.../search/facet/FacetRequest.java domain 'excludeTags' +
+# request/SimpleFacets.java '{!ex=tag}' local param over fq '{!tag=tag}'.
+# The UI pattern: every applied filter is tagged, and each facet recomputes
+# its counts over the domain with ITS OWN field's filter excluded, so the
+# user still sees what the other choices would return.
+# ---------------------------------------------------------------------------
+
+
+def multiselect_facets(
+    df: DataFrame,
+    tagged_filters: dict[str, Column],
+    facets: list[tuple[str, str, set[str]]],
+    limit: int = 5,
+) -> DataFrame:
+    """Field facets with per-facet tag exclusion.
+
+    ``tagged_filters``: tag -> predicate Column (the '{!tag=t}fq' set).
+    ``facets``: (facet_name, field, excluded_tags) triples — each facet's
+    domain applies every tagged filter EXCEPT its excluded tags
+    ('facet.field={!ex=t}field').
+
+    Returns (facet, bucket, n_docs), top-``limit`` buckets per facet by
+    (count desc, bucket asc). Spark shape: one grouped aggregation per
+    facet over the shared scan (Catalyst reuses the cached/file scan;
+    filters are pushed), each top-k a TakeOrderedAndProject — no windows,
+    no driver loop; the union is facet-count bounded (tiny).
+    """
+    outs = []
+    for name, field, excl in facets:
+        dom = df
+        for tag, pred in tagged_filters.items():
+            if tag not in excl:
+                dom = dom.filter(pred)
+        outs.append(
+            dom.groupBy(F.col(field).alias("bucket"))
+            .agg(F.count("*").alias("n_docs"))
+            .orderBy(F.desc("n_docs"), F.asc("bucket"))
+            .limit(limit)
+            .select(F.lit(name).alias("facet"), "bucket", "n_docs")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out

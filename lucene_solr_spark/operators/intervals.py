@@ -48,6 +48,18 @@ the two reference modules' own conventions):
 * not_containing(big, little): intervals of big containing none.
 * contained_by(little, big): intervals of little lying inside some big
   interval; not_contained_by is the complement.
+* before(source, reference): intervals of source that end before the
+  start of SOME reference interval (src.end < ref.start); after is the
+  mirror (src.start > ref.end). Subsets of a minimal set stay minimal.
+* overlapping(source, reference): intervals of source that overlap some
+  reference interval (src.start <= ref.end and ref.start <= src.end);
+  not_overlapping is the complement (Lucene's nonOverlapping).
+* extend(source, before, after): each (s, e, g) becomes
+  (max(0, s - before), e + after, g) — gaps pass through unchanged
+  (ExtendedIntervalIterator reports the inner gaps). Pinned deviation:
+  the result is minimality-filtered like every other node (Lucene does
+  not re-minimize after extend; nesting can only arise here via the
+  position-0 clamp, where two clamped intervals share start 0).
 
 Spark restatement: interval counting rows run as Arrow-batched kernels
 over the engine-tokenized ``tokens`` column (plans/coverage11_queries.py)
@@ -86,6 +98,11 @@ __all__ = [
     "INotContaining",
     "IContainedBy",
     "INotContainedBy",
+    "IBefore",
+    "IAfter",
+    "IOverlapping",
+    "INotOverlapping",
+    "IExtend",
     "doc_intervals",
     "interval_terms",
     "minimal_filter",
@@ -154,6 +171,37 @@ class INotContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class IBefore:
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IAfter:
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IOverlapping:
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class INotOverlapping:
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class IExtend:
+    source: object
+    before: int
+    after: int
+
+
 def interval_terms(node) -> set[str]:
     """All distinct terms under an interval node."""
     if isinstance(node, ITerm):
@@ -164,6 +212,10 @@ def interval_terms(node) -> set[str]:
         return interval_terms(node.big) | interval_terms(node.little)
     if isinstance(node, (IContainedBy, INotContainedBy)):
         return interval_terms(node.little) | interval_terms(node.big)
+    if isinstance(node, (IBefore, IAfter, IOverlapping, INotOverlapping)):
+        return interval_terms(node.source) | interval_terms(node.reference)
+    if isinstance(node, IExtend):
+        return interval_terms(node.source)
     out: set[str] = set()
     for s in node.sources:
         out |= interval_terms(s)
@@ -315,6 +367,32 @@ def doc_intervals(node, positions: dict) -> list[tuple[int, int, int]]:
             for iv in little
             if any(s <= iv[0] and iv[1] <= e for s, e, _ in big) == keep
         ]
+    if isinstance(node, (IBefore, IAfter)):
+        src = doc_intervals(node.source, positions)
+        ref = doc_intervals(node.reference, positions)
+        if not ref:
+            return []
+        if isinstance(node, IBefore):
+            last_start = max(s for s, _, _ in ref)
+            return [iv for iv in src if iv[1] < last_start]
+        first_end = min(e for _, e, _ in ref)
+        return [iv for iv in src if iv[0] > first_end]
+    if isinstance(node, (IOverlapping, INotOverlapping)):
+        src = doc_intervals(node.source, positions)
+        ref = doc_intervals(node.reference, positions)
+        keep = isinstance(node, IOverlapping)
+        return [
+            iv
+            for iv in src
+            if any(iv[0] <= e and s <= iv[1] for s, e, _ in ref) == keep
+        ]
+    if isinstance(node, IExtend):
+        return minimal_filter(
+            [
+                (max(0, s - node.before), e + node.after, g)
+                for s, e, g in doc_intervals(node.source, positions)
+            ]
+        )
     raise TypeError(f"unknown interval node: {node!r}")
 
 

@@ -1702,3 +1702,32 @@ def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> Da
 
     rows = searcher.postings.filter(F.col("term").isin(matched))
     return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
+
+
+def sorted_index_topk(spark, segment, k: int) -> DataFrame:
+    """Early-terminated top-k over an index-sorted segment.
+
+    Reference semantics (SURVEY §2.G index sort):
+      index/IndexWriterConfig.java#setIndexSort + LUCENE-6766 and
+      search/TopFieldCollector.java early termination (solr:
+      'segmentTerminateEarly') — when the query sort is a prefix of the
+      index sort, collection stops after the first k competitive docs in
+      index order instead of scoring/sorting the whole segment.
+
+    Spark restatement: the segment's doc ids ARE the sort order
+    (assign_doc_ids ranks by the sort key at build time), so the top-k is
+    the first k docs of the doc-id space — ONE doc-space bucket of the
+    docmap. The scan filters doc_id < bucket_docs (bucket 0): on a
+    disk-backed segment the docmap is range-partitioned by doc_id at
+    write time, so the predicate prunes every other file (min/max parquet
+    stats); at 10^12 docs the job reads one bucket regardless of corpus
+    size, the literal early-termination win.
+    """
+    bd = segment.stats.bucket_docs
+    if k > bd:
+        raise ValueError(
+            f"early termination reads one doc-space bucket; k={k} exceeds "
+            f"bucket_docs={bd} (widen buckets or page with search_after)"
+        )
+    dm = segment.table(spark, "docmap").filter(F.col("doc_id") < bd)
+    return dm.orderBy("doc_id").limit(k)

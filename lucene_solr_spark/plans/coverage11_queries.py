@@ -1,0 +1,189 @@
+"""Round-5 widening batch #2: intervals before/overlapping combinators,
+multi-select faceting with tag exclusion, and early-terminated top-k over
+an index-sorted segment.
+
+Each entry re-expresses a reference operator (public lucene-solr
+path#symbol cited per entry; the reference mount is empty) over the driver
+testdata with a DuckDB oracle using identical column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .coverage10_queries import _IVU_A, _IVU_B, _IVU_C, _interval_count_udf
+from .driver_queries import _read, _tokens, register
+
+# ---------------------------------------------------------------------------
+# Intervals before / overlapping — queries/intervals/Intervals.java#before
+# / #overlapping (IntervalFunction.BEFORE, OverlappingIntervalsSource).
+# Kernel + pinned semantics in operators/intervals.py; random-case parity
+# vs the brute-force spec in tests/test_intervals.py. The SQL oracles use
+# the proven consecutive-differing-pairs characterization of minimal
+# unordered(a, b) intervals (coverage10's _IVU_PAIRS); position base
+# (DuckDB 1-based vs engine 0-based) cancels in every comparison used.
+# ---------------------------------------------------------------------------
+
+_IV_BASE = """tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)"""
+
+
+def _pairs_cte(name: str, ta: str, tb: str) -> str:
+    """Minimal unordered(ta, tb) intervals as (doc_id, s, e) rows."""
+    return f"""{name} AS (SELECT doc_id, pos AS s, npos AS e FROM (
+  SELECT doc_id, term, pos,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+         lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+  FROM pos WHERE term IN ('{ta}', '{tb}')) q
+  WHERE nterm IS NOT NULL AND nterm <> term)"""
+
+
+@register(
+    "interval_before_count",
+    f"""WITH {_IV_BASE},
+{_pairs_cte("mins", _IVU_A, _IVU_B)}
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mins m
+WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = m.doc_id
+              AND p.term = '{_IVU_C}' AND p.pos > m.e)
+GROUP BY m.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_before_count(spark, sf_dir):
+    """Intervals.before(unordered(key, order), hash): source intervals
+    that end before some 'hash' occurrence."""
+    from ..operators.intervals import IBefore, ITerm, IUnordered
+
+    node = IBefore(IUnordered(ITerm(_IVU_A), ITerm(_IVU_B)), ITerm(_IVU_C))
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+@register(
+    "interval_overlapping_count",
+    f"""WITH {_IV_BASE},
+{_pairs_cte("src", _IVU_A, _IVU_B)},
+{_pairs_cte("ref", _IVU_A, _IVU_C)}
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM src m
+WHERE EXISTS (SELECT 1 FROM ref r WHERE r.doc_id = m.doc_id
+              AND m.s <= r.e AND r.s <= m.e)
+GROUP BY m.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_overlapping_count(spark, sf_dir):
+    """Intervals.overlapping(unordered(key, order), unordered(key, hash)):
+    source intervals sharing at least one position with a reference
+    interval."""
+    from ..operators.intervals import IOverlapping, ITerm, IUnordered
+
+    node = IOverlapping(
+        IUnordered(ITerm(_IVU_A), ITerm(_IVU_B)),
+        IUnordered(ITerm(_IVU_A), ITerm(_IVU_C)),
+    )
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-select faceting (tagged filter exclusion) —
+# search/facet/FacetRequest.java domain 'excludeTags' +
+# request/SimpleFacets.java '{!ex=tag}' over fq '{!tag=tag}'. Two applied
+# filters (lang:en tagged L, source:src1 tagged S); each facet recomputes
+# counts with ITS OWN field's filter excluded — the standard faceted-nav
+# UI contract. Operator: operators/facets.py#multiselect_facets (one
+# grouped agg per facet over the shared pushed-filter scan; top-k via
+# TakeOrderedAndProject, no windows, no driver loop).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_multiselect_exclude",
+    """WITH l AS (
+  SELECT lang AS bucket, count(*)::BIGINT AS n_docs FROM documents
+  WHERE source = 'src1' GROUP BY lang
+  ORDER BY n_docs DESC, bucket ASC LIMIT 5
+), s AS (
+  SELECT source AS bucket, count(*)::BIGINT AS n_docs FROM documents
+  WHERE lang = 'en' GROUP BY source
+  ORDER BY n_docs DESC, bucket ASC LIMIT 5
+)
+SELECT * FROM (
+  SELECT 'lang' AS facet, bucket, n_docs FROM l
+  UNION ALL SELECT 'source' AS facet, bucket, n_docs FROM s
+) ORDER BY facet ASC, n_docs DESC, bucket ASC""",
+)
+def facet_multiselect_exclude(spark, sf_dir):
+    """fq={!tag=L}lang:en & fq={!tag=S}source:src1;
+    facet.field={!ex=L}lang + facet.field={!ex=S}source."""
+    from ..operators.facets import multiselect_facets
+
+    d = _read(spark, sf_dir, "documents")
+    out = multiselect_facets(
+        d,
+        {"L": F.col("lang") == "en", "S": F.col("source") == "src1"},
+        [("lang", "lang", {"L"}), ("source", "source", {"S"})],
+        limit=5,
+    )
+    return out.orderBy(F.asc("facet"), F.desc("n_docs"), F.asc("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Early-terminated top-k over an index-sorted segment —
+# index/IndexWriterConfig.java#setIndexSort (LUCENE-6766) +
+# search/TopFieldCollector.java early termination / solr
+# 'segmentTerminateEarly'. The segment is built with doc ids RANKED BY the
+# sort key (length(content), then path) — the index sort — so top-k by
+# that sort is the first k doc ids: ONE doc-space bucket scanned
+# (operators/search.py#sorted_index_topk), never a corpus sort. The
+# oracle performs the full ORDER BY the engine skipped.
+# ---------------------------------------------------------------------------
+
+_SORTED_SEG_CACHE: dict = {}
+_ET_BUCKET_DOCS = 64
+
+
+def _sorted_segment(spark, sf_dir):
+    """One length-sorted segment per sf_dir (bucket_docs=64 so sf0.01's
+    500 docs span 8 buckets and bucket pruning is non-degenerate)."""
+    if sf_dir not in _SORTED_SEG_CACHE:
+        from ..corpus import documents_as_corpus
+        from ..operators.indexer import assign_doc_ids, build_index
+
+        c = documents_as_corpus(spark, sf_dir).drop("doc_id")
+        c = c.withColumn("_len", F.length("content"))
+        c = assign_doc_ids(c, ["_len", "path"]).drop("_len")
+        _SORTED_SEG_CACHE[sf_dir] = build_index(
+            spark, c, out_dir=None, bucket_docs=_ET_BUCKET_DOCS
+        )
+    return _SORTED_SEG_CACHE[sf_dir]
+
+
+@register(
+    "sorted_early_terminate",
+    """SELECT row_number() OVER (ORDER BY length(text), CAST(doc_id AS VARCHAR)) AS rk,
+       doc_id AS orig_doc_id, length(text)::BIGINT AS n_chars
+FROM documents ORDER BY rk LIMIT 10""",
+)
+def sorted_early_terminate(spark, sf_dir):
+    """Top-10 shortest docs via index-sort early termination: scan bucket
+    0 of the length-sorted docmap, never sort the corpus."""
+    from ..operators.search import sorted_index_topk
+
+    seg = _sorted_segment(spark, sf_dir)
+    top = sorted_index_topk(spark, seg, 10)
+    return top.select(
+        (F.col("doc_id") + 1).alias("rk"),
+        F.col("path").cast("long").alias("orig_doc_id"),
+        F.length("content").alias("n_chars"),
+    ).orderBy("rk")

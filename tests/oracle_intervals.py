@@ -21,13 +21,18 @@ from __future__ import annotations
 from itertools import product
 
 from lucene_solr_spark.operators.intervals import (
+    IAfter,
+    IBefore,
     IContainedBy,
     IContaining,
+    IExtend,
     IMaxgaps,
     INotContainedBy,
     INotContaining,
+    INotOverlapping,
     IOr,
     IOrdered,
+    IOverlapping,
     IPhrase,
     ITerm,
     IUnordered,
@@ -122,4 +127,28 @@ def brute_intervals(node, positions):
             for iv in little
             if any(s <= iv[0] and iv[1] <= e for s, e, _ in big) == keep
         ]
+    if isinstance(node, (IBefore, IAfter)):
+        src = brute_intervals(node.source, positions)
+        ref = brute_intervals(node.reference, positions)
+        if not ref:
+            return []
+        if isinstance(node, IBefore):
+            return [iv for iv in src if any(iv[1] < s for s, _, _ in ref)]
+        return [iv for iv in src if any(iv[0] > e for _, e, _ in ref)]
+    if isinstance(node, (IOverlapping, INotOverlapping)):
+        src = brute_intervals(node.source, positions)
+        ref = brute_intervals(node.reference, positions)
+        keep = isinstance(node, IOverlapping)
+        return [
+            iv
+            for iv in src
+            if any(iv[0] <= e and s <= iv[1] for s, e, _ in ref) == keep
+        ]
+    if isinstance(node, IExtend):
+        return _minimal_brute(
+            [
+                (max(0, s - node.before), e + node.after, g)
+                for s, e, g in brute_intervals(node.source, positions)
+            ]
+        )
     raise TypeError(f"unknown interval node: {node!r}")

@@ -13,13 +13,18 @@ import numpy as np
 import pytest
 
 from lucene_solr_spark.operators.intervals import (
+    IAfter,
+    IBefore,
     IContainedBy,
     IContaining,
+    IExtend,
     IMaxgaps,
     INotContainedBy,
     INotContaining,
+    INotOverlapping,
     IOr,
     IOrdered,
+    IOverlapping,
     IPhrase,
     ITerm,
     IUnordered,
@@ -135,6 +140,51 @@ def test_containing_family():
     ]
 
 
+def test_before_after():
+    p = _pos("a x b a x a b")
+    # before(a, b): a-positions strictly before SOME b start (last b at 6)
+    assert _se(doc_intervals(IBefore(ITerm("a"), ITerm("b")), p)) == [
+        (0, 0),
+        (3, 3),
+        (5, 5),
+    ]
+    # after(a, b): a-positions strictly after SOME b end (first b at 2)
+    assert _se(doc_intervals(IAfter(ITerm("a"), ITerm("b")), p)) == [
+        (3, 3),
+        (5, 5),
+    ]
+    # empty reference -> no intervals at all
+    assert doc_intervals(IBefore(ITerm("a"), ITerm("z")), p) == []
+    assert doc_intervals(IAfter(ITerm("a"), ITerm("z")), p) == []
+
+
+def test_overlapping_family():
+    # source windows that share at least one position with a reference window
+    p = _pos("key order x hash key x key order")
+    src = IUnordered(ITerm("key"), ITerm("order"))
+    ref = IUnordered(ITerm("key"), ITerm("hash"))
+    assert _se(doc_intervals(src, p)) == [(0, 1), (1, 4), (6, 7)]
+    assert _se(doc_intervals(ref, p)) == [(0, 3), (3, 4)]
+    assert _se(doc_intervals(IOverlapping(src, ref), p)) == [(0, 1), (1, 4)]
+    assert _se(doc_intervals(INotOverlapping(src, ref), p)) == [(6, 7)]
+    # term-leaf reference degenerates to containing (point overlap)
+    assert doc_intervals(IOverlapping(src, ITerm("hash")), p) == doc_intervals(
+        IContaining(src, ITerm("hash")), p
+    )
+
+
+def test_extend_clamp_and_minimality():
+    p = _pos("a b a")
+    got = doc_intervals(IExtend(ITerm("a"), 2, 1), p)
+    # (0,0)->(0,1), (2,2)->(0,3): the clamped pair nests; minimal survives
+    assert got == [(0, 1, 0)]
+    # no clamping -> widths equal, no nesting, all survive
+    assert _se(doc_intervals(IExtend(ITerm("a"), 0, 1), p)) == [(0, 1), (2, 3)]
+    # gaps pass through from the inner source
+    inner = IOrdered(ITerm("a"), ITerm("b"))
+    assert doc_intervals(IExtend(inner, 0, 0), p) == doc_intervals(inner, p)
+
+
 def test_minimal_filter_transitive():
     # A contains B contains C: only C survives, and A must not survive
     # because B (dropped) still witnesses nesting inside A via C.
@@ -161,7 +211,7 @@ _ALPHABET = ["a", "b", "c"]
 def _rand_tree(rng: random.Random, depth: int, term_only: bool):
     if depth == 0 or rng.random() < 0.35:
         return ITerm(rng.choice(_ALPHABET))
-    kind = rng.randrange(8)
+    kind = rng.randrange(13)
     sub = lambda: _rand_tree(rng, depth - 1, term_only)  # noqa: E731
     leaf = (lambda: ITerm(rng.choice(_ALPHABET))) if term_only else sub
     if kind == 0:
@@ -178,6 +228,16 @@ def _rand_tree(rng: random.Random, depth: int, term_only: bool):
         return IContaining(sub(), sub())
     if kind == 6:
         return INotContaining(sub(), sub())
+    if kind == 7:
+        return IBefore(sub(), sub())
+    if kind == 8:
+        return IAfter(sub(), sub())
+    if kind == 9:
+        return IOverlapping(sub(), sub())
+    if kind == 10:
+        return INotOverlapping(sub(), sub())
+    if kind == 11:
+        return IExtend(sub(), rng.randrange(3), rng.randrange(3))
     return IContainedBy(sub(), sub())
 
 
