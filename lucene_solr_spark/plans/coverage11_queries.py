@@ -187,3 +187,150 @@ def sorted_early_terminate(spark, sf_dir):
         F.col("path").cast("long").alias("orig_doc_id"),
         F.length("content").alias("n_chars"),
     ).orderBy("rk")
+
+
+# ---------------------------------------------------------------------------
+# Intervals.prefix — queries/intervals/Intervals.java#prefix (multi-term
+# interval source): the prefix expands against the segment TERMS DICT (the
+# reference walks the terms enum and ORs the matches, failing past 128
+# expansions) and the expansion feeds the same minimal-interval kernel as
+# any other disjunction. ordered(prefix("s"), join): an s* term followed
+# by 'join', minimal semantics. The expansion collect is a driver-side
+# constant bounded by the 128 cap (and by vocabulary, never corpus).
+# ---------------------------------------------------------------------------
+
+_IV_PREFIX, _IV_PREFIX_CAP = "s", 128
+
+
+@register(
+    "interval_prefix_count",
+    f"""WITH {_IV_BASE},
+lead AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+         FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                               AND b.term = 'join'
+         WHERE a.term LIKE '{_IV_PREFIX}%' GROUP BY a.doc_id, a.pos),
+mins AS (SELECT l.doc_id, l.s, l.e FROM lead l
+         WHERE NOT EXISTS (SELECT 1 FROM pos p
+                           WHERE p.doc_id = l.doc_id
+                             AND p.term LIKE '{_IV_PREFIX}%'
+                             AND p.pos > l.s AND p.pos < l.e))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mins GROUP BY doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_prefix_count(spark, sf_dir):
+    """Intervals.ordered(Intervals.prefix('s'), join): terms-dict prefix
+    expansion into the ordered minimal-interval kernel."""
+    from ..operators.intervals import IOr, IOrdered, ITerm
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    expanded = [
+        r.term
+        for r in s.segment.table(spark, "terms")
+        .filter(F.col("term").startswith(_IV_PREFIX))
+        .select("term")
+        .collect()
+    ]
+    if len(expanded) > _IV_PREFIX_CAP:
+        raise ValueError(
+            f"prefix '{_IV_PREFIX}' expanded to {len(expanded)} terms "
+            f"(> {_IV_PREFIX_CAP}) — Intervals.prefix refuses"
+        )
+    node = IOrdered(IOr(*[ITerm(t) for t in sorted(expanded)]), ITerm("join"))
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# facet2D stream — solrj/io/stream/Facet2DStream.java: two-dimensional
+# facet with independent per-dimension limits (top-x outer buckets by
+# total count, top-y inner buckets within each). Spark shape: ONE grouped
+# agg over (x, y); the top-x outer set is a TakeOrderedAndProject
+# broadcast-joined back (x-limit bounded), inner top-y a window over the
+# bounded outer partitions — no driver loop, one shuffle on the pair key.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet2d_stream",
+    """WITH xy AS (
+  SELECT lang, source, count(*)::BIGINT AS n_docs FROM documents
+  GROUP BY lang, source
+), x AS (
+  SELECT lang, sum(n_docs) AS nx FROM xy GROUP BY lang
+  ORDER BY nx DESC, lang ASC LIMIT 3
+), r AS (
+  SELECT xy.lang, xy.source, xy.n_docs,
+         row_number() OVER (PARTITION BY xy.lang
+                            ORDER BY xy.n_docs DESC, xy.source ASC) AS rn
+  FROM xy JOIN x USING (lang)
+)
+SELECT lang, source, n_docs FROM r WHERE rn <= 2
+ORDER BY lang ASC, n_docs DESC, source ASC""",
+)
+def facet2d_stream(spark, sf_dir):
+    """facet2D(documents, x=lang, y=source, dimensions='3,2', count(*))."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents")
+    xy = d.groupBy("lang", "source").agg(F.count("*").alias("n_docs"))
+    top_x = (
+        xy.groupBy("lang")
+        .agg(F.sum("n_docs").alias("nx"))
+        .orderBy(F.desc("nx"), F.asc("lang"))
+        .limit(3)
+        .select("lang")
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("n_docs"), F.asc("source"))
+    return (
+        xy.join(F.broadcast(top_x), "lang")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("lang", "source", "n_docs")
+        .orderBy(F.asc("lang"), F.desc("n_docs"), F.asc("source"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stats over a function query — handler/component/StatsComponent.java with
+# stats.field={!func}product(l_extendedprice, sub(1, l_discount)): the
+# stats bundle computed over a ValueSource instead of a stored field.
+# Money sums via DECIMAL cast for exact cross-engine equality
+# (stats_component's pinned discipline).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_function_query",
+    """SELECT l_returnflag,
+  count(*) AS cnt,
+  round(min(l_extendedprice * (1 - l_discount)), 2) AS min_v,
+  round(max(l_extendedprice * (1 - l_discount)), 2) AS max_v,
+  sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS sum_v,
+  round(avg(l_quantity * l_discount), 6) AS avg_qd
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+)
+def stats_function_query(spark, sf_dir):
+    """stats.field={!func}product(l_extendedprice, sub(1, l_discount)),
+    grouped by return flag."""
+    li = _read(spark, sf_dir, "lineitem")
+    v = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.min(v), 2).alias("min_v"),
+            F.round(F.max(v), 2).alias("max_v"),
+            F.sum(v.cast("decimal(18,4)")).alias("sum_v"),
+            F.round(F.avg(F.col("l_quantity") * F.col("l_discount")), 6).alias(
+                "avg_qd"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
