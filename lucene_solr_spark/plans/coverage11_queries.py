@@ -334,3 +334,30 @@ def stats_function_query(spark, sf_dir):
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "interval_after_count",
+    f"""WITH {_IV_BASE},
+{_pairs_cte("mins", _IVU_A, _IVU_B)}
+SELECT m.doc_id, count(*)::BIGINT AS n_intervals
+FROM mins m
+WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = m.doc_id
+              AND p.term = '{_IVU_C}' AND p.pos < m.s)
+GROUP BY m.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_after_count(spark, sf_dir):
+    """Intervals.after(unordered(key, order), hash): source intervals
+    that start after some 'hash' occurrence (Intervals.java#after,
+    the mirror of #before — same kernel, same pairs oracle)."""
+    from ..operators.intervals import IAfter, ITerm, IUnordered
+
+    node = IAfter(IUnordered(ITerm(_IVU_A), ITerm(_IVU_B)), ITerm(_IVU_C))
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
