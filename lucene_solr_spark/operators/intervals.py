@@ -62,7 +62,8 @@ the two reference modules' own conventions):
   position-0 clamp, where two clamped intervals share start 0).
 
 Spark restatement: interval counting rows run as Arrow-batched kernels
-over the engine-tokenized ``tokens`` column (plans/coverage11_queries.py)
+over the engine-tokenized ``tokens`` column (plans/coverage10_queries.py
+and plans/coverage11_queries.py)
 — the same per-doc position-array shape the positional-postings decode
 produces, so the identical kernel serves the index path
 (operators/spans.py builds the positions dict from pos_bin blocks). At

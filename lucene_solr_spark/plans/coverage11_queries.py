@@ -361,3 +361,113 @@ def interval_after_count(spark, sf_dir):
         .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# group.main=true — search/grouping (solr GroupingSpecification#setMain):
+# the grouped result flattened back into one main doc list (format=simple),
+# i.e. the per-group top docs merged under the global sort. One bounded
+# window per group + a TakeOrderedAndProject — identical plan shape to
+# group_topk_per_key, but the OUTPUT contract is the flat list.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "group_main_flat",
+    """WITH r AS (
+  SELECT doc_id, lang, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, n_chars FROM r WHERE rn <= 2
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10""",
+)
+def group_main_flat(spark, sf_dir):
+    """group.field=lang group.limit=2 group.main=true: per-group top-2 by
+    n_chars flattened into one main list under the global sort."""
+    from pyspark.sql import Window
+
+    d = _read(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query elevation with markExcludes —
+# handler/component/QueryElevationComponent.java exclude=true entries:
+# excluded ids are REMOVED from the organic results entirely (vs elevated
+# ids pinned on top). Complements the forceElevation row
+# (solr_queries.query_elevation).
+# ---------------------------------------------------------------------------
+
+_ELEV_TOP, _ELEV_EXCLUDED = 7, 3
+
+
+def _elev_excl_sql() -> str:
+    from .driver_queries import _TOKS_CTE
+
+    return f"""WITH {_TOKS_CTE},
+tf AS (SELECT doc_id, count(*)::BIGINT AS score FROM toks
+       WHERE term = 'order' GROUP BY doc_id),
+organic AS (SELECT doc_id, score,
+                   row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+            FROM tf WHERE doc_id NOT IN ({_ELEV_TOP}, {_ELEV_EXCLUDED}))
+SELECT doc_id, score FROM (
+  SELECT {_ELEV_TOP}::BIGINT AS doc_id,
+         coalesce((SELECT score FROM tf WHERE doc_id = {_ELEV_TOP}), 0) AS score,
+         0 AS grp, 1 AS rnk
+  UNION ALL SELECT doc_id, score, 1, rn FROM organic
+) ORDER BY grp ASC, rnk ASC LIMIT 10"""
+
+
+@register("elevation_mark_excludes", _elev_excl_sql())
+def elevation_mark_excludes(spark, sf_dir):
+    """q=order: doc 7 elevated, doc 3 mark-excluded (dropped from the
+    organic list), organic tf ranking follows."""
+    from pyspark.sql import Window
+
+    toks = _tokens(spark, sf_dir)
+    tf = (
+        toks.select("doc_id", F.explode("tokens").alias("term"))
+        .filter(F.col("term") == "order")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("score"))
+    )
+    elev = spark.createDataFrame([(_ELEV_TOP, 1)], "doc_id long, rnk int")
+    pinned = (
+        elev.join(tf, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("score", F.lit(0)).cast("long").alias("score"),
+            F.lit(0).alias("grp"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+    organic = (
+        tf.filter(~F.col("doc_id").isin(_ELEV_TOP, _ELEV_EXCLUDED))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id",
+            "score",
+            F.lit(1).alias("grp"),
+            # bounded window: input is the limit(10) organic head
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    return (
+        pinned.unionByName(organic)
+        .orderBy(F.asc("grp"), F.asc("rnk"))
+        .limit(10)
+        .select("doc_id", "score")
+    )
