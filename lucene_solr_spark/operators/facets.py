@@ -209,7 +209,20 @@ def multiselect_facets(
     facet over the shared scan (Catalyst reuses the cached/file scan;
     filters are pushed), each top-k a TakeOrderedAndProject — no windows,
     no driver loop; the union is facet-count bounded (tiny).
+
+    A facet naming an unknown tag is refused (Solr resolves '{!ex=t}'
+    against the declared tags; a typo silently re-applying the facet's
+    own filter would invert the multi-select contract).
     """
+    if not facets:
+        raise ValueError("multiselect_facets needs at least one facet")
+    for name, _, excl in facets:
+        unknown = set(excl) - tagged_filters.keys()
+        if unknown:
+            raise ValueError(
+                f"facet {name!r} excludes unknown tag(s) {sorted(unknown)}; "
+                f"declared tags: {sorted(tagged_filters)}"
+            )
     outs = []
     for name, field, excl in facets:
         dom = df

@@ -434,6 +434,7 @@ def build_index(
     with_positions: bool = False,
     synonyms=None,
     with_offsets: bool = False,
+    index_sort: list[str] | None = None,
 ) -> Segment:
     """Build one immutable segment from a corpus DataFrame.
 
@@ -460,7 +461,22 @@ def build_index(
     (``soff_bin``/``eoff_bin`` in the positions table), enabling
     offset-based highlighting (operators/highlight.py#highlight_offsets)
     and tv.offsets term vectors.
+
+    ``index_sort`` (IndexWriterConfig#setIndexSort analog): doc ids are
+    assigned as the global rank over these corpus columns (the keys must
+    uniquely identify rows), and the sort is recorded in the segment
+    stats/manifest like Lucene's SegmentInfo sort — early-termination
+    readers (search.py#sorted_index_topk) verify against it. Mutually
+    exclusive with a pre-assigned ``doc_id`` column: the sort DEFINES the
+    ids.
     """
+    if index_sort:
+        if "doc_id" in corpus.columns:
+            raise ValueError(
+                "index_sort requires unassigned doc ids (the sort defines "
+                "them); drop the doc_id column first"
+            )
+        corpus = assign_doc_ids(corpus, list(index_sort))
     if with_offsets and not with_positions:
         raise ValueError("with_offsets requires with_positions")
     if with_offsets and synonyms is not None:
@@ -566,6 +582,7 @@ def build_index(
         bucket_docs=bucket_docs,
         shuffle_n=shuffle_n,
         with_positions=with_positions,
+        index_sort=",".join(index_sort or []),
     )
 
 
@@ -601,11 +618,13 @@ def assemble_segment(
     shuffle_n: int,
     extra_phases: dict | None = None,
     with_positions: bool = False,
+    index_sort: str = "",
 ) -> Segment:
     with _volume_scoped_shuffle(spark, max(8, shuffle_n)):
         return _assemble_segment(
             spark, docmap, tf, seg_id, seg_path, bucket_docs, shuffle_n,
             extra_phases=extra_phases, with_positions=with_positions,
+            index_sort=index_sort,
         )
 
 
@@ -619,6 +638,7 @@ def _assemble_segment(
     shuffle_n: int,
     extra_phases: dict | None = None,
     with_positions: bool = False,
+    index_sort: str = "",
 ) -> Segment:
     """Phase B onward: (docmap, tf rows) -> finished segment.
     Shared by the fresh build (``build_index``) and the segment merger
@@ -759,6 +779,7 @@ def _assemble_segment(
         bucket_docs=bucket_docs,
         min_doc_id=int(id_rng["lo"]) if id_rng["lo"] is not None else -1,
         max_doc_id=int(id_rng["hi"]) if id_rng["hi"] is not None else -1,
+        index_sort=index_sort,
     )
     seg = Segment(segment_id=seg_id, stats=stats, path=seg_path)
     seg.dfs = {"docmap": docmap, "terms": terms, "postings": postings}

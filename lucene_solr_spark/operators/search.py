@@ -1704,30 +1704,62 @@ def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> Da
     return rows.groupBy("bucket").applyInPandas(score_bucket, _TOPK_SCHEMA)
 
 
-def sorted_index_topk(spark, segment, k: int) -> DataFrame:
+def sorted_index_topk(
+    spark, segment, k: int, sort: list[str] | None = None, deleted=None
+) -> DataFrame:
     """Early-terminated top-k over an index-sorted segment.
 
     Reference semantics (SURVEY §2.G index sort):
       index/IndexWriterConfig.java#setIndexSort + LUCENE-6766 and
       search/TopFieldCollector.java early termination (solr:
       'segmentTerminateEarly') — when the query sort is a prefix of the
-      index sort, collection stops after the first k competitive docs in
-      index order instead of scoring/sorting the whole segment.
+      index sort, collection stops after the first k competitive LIVE
+      docs in index order instead of scoring/sorting the whole segment.
 
     Spark restatement: the segment's doc ids ARE the sort order
-    (assign_doc_ids ranks by the sort key at build time), so the top-k is
-    the first k docs of the doc-id space — ONE doc-space bucket of the
-    docmap. The scan filters doc_id < bucket_docs (bucket 0): on a
-    disk-backed segment the docmap is range-partitioned by doc_id at
-    write time, so the predicate prunes every other file (min/max parquet
-    stats); at 10^12 docs the job reads one bucket regardless of corpus
-    size, the literal early-termination win.
+    (``build_index(index_sort=...)`` ranks ids by the sort key and
+    records the sort in the segment stats, Lucene's SegmentInfo sort), so
+    the top-k is the first k live docs of the doc-id space — a bounded
+    prefix of doc-space buckets of the docmap. On a disk-backed segment
+    the docmap is range-partitioned by doc_id at write time, so the
+    predicate prunes every other file (min/max parquet stats); at 10^12
+    docs the job reads one bucket prefix regardless of corpus size, the
+    literal early-termination win.
+
+    ``sort``: the query sort keys; must equal the recorded index sort
+    (Lucene rejects a SortField mismatch — a segment with no recorded
+    sort is insertion-ordered and refused). ``deleted``: optional
+    tombstone doc ids (liveDocs complement); the scan window widens by
+    the tombstone count so the k-th live doc is always inside it.
     """
+    recorded = segment.stats.index_sort
+    if sort is not None:
+        want = ",".join(sort)
+        if recorded != want:
+            raise ValueError(
+                f"query sort [{want}] does not match the segment's recorded "
+                f"index sort [{recorded or 'none: insertion order'}] — "
+                "early termination would return wrong results "
+                "(IndexWriterConfig#setIndexSort mismatch)"
+            )
+    elif not recorded:
+        raise ValueError(
+            "segment records no index sort (insertion-ordered); "
+            "build with build_index(index_sort=[...]) to enable "
+            "early-terminated sorted top-k"
+        )
     bd = segment.stats.bucket_docs
     if k > bd:
         raise ValueError(
-            f"early termination reads one doc-space bucket; k={k} exceeds "
+            f"early termination reads a one-bucket prefix; k={k} exceeds "
             f"bucket_docs={bd} (widen buckets or page with search_after)"
         )
-    dm = segment.table(spark, "docmap").filter(F.col("doc_id") < bd)
+    dead = sorted(int(d) for d in (deleted or ()))
+    # the k-th live doc id is at most k-1 + |tombstones|: widen the bucket
+    # prefix just enough (still O(k + deletes), never O(corpus))
+    need = k + len(dead)
+    window = ((need - 1) // bd + 1) * bd
+    dm = segment.table(spark, "docmap").filter(F.col("doc_id") < window)
+    if dead:
+        dm = dm.filter(~F.col("doc_id").isin(dead))
     return dm.orderBy("doc_id").limit(k)

@@ -191,15 +191,24 @@ def _interval_count_udf(node):
 # and two consecutive pairs can never nest — positions strictly increase).
 # That characterization IS the SQL oracle; proved against the brute-force
 # spec in tests/test_intervals.py::test_unordered_consecutive_pairs.
-_IVU_PAIRS = f"""tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
-ko AS (SELECT doc_id, term, pos FROM pos WHERE term IN ('{_IVU_A}', '{_IVU_B}')),
-seq AS (SELECT doc_id, term, pos,
-               lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
-               lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS npos
-        FROM ko),
-mins AS (SELECT doc_id, pos AS s, npos AS e FROM seq
-         WHERE nterm IS NOT NULL AND nterm <> term)"""
+# ONE parameterized rendering serves every interval oracle here and in
+# coverage11 (a tokenization/characterization fix lands in one place).
+
+_IV_BASE = """tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)"""
+
+
+def _pairs_cte(name: str, ta: str, tb: str) -> str:
+    """Minimal unordered(ta, tb) intervals as (doc_id, s, e) rows."""
+    return f"""{name} AS (SELECT doc_id, pos AS s, npos AS e FROM (
+  SELECT doc_id, term, pos,
+         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
+         lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS npos
+  FROM pos WHERE term IN ('{ta}', '{tb}')) q
+  WHERE nterm IS NOT NULL AND nterm <> term)"""
+
+
+_IVU_PAIRS = f"{_IV_BASE},\n{_pairs_cte('mins', _IVU_A, _IVU_B)}"
 
 
 @register(
@@ -305,8 +314,7 @@ def interval_not_containing_count(spark, sf_dir):
 # strictly inside (a later leading position would nest a smaller interval).
 @register(
     "interval_ordered_or_count",
-    f"""WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+    f"""WITH {_IV_BASE},
 lead AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
          FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
                                AND b.term = '{_IVU_B}'

@@ -11,7 +11,14 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .coverage10_queries import _IVU_A, _IVU_B, _IVU_C, _interval_count_udf
+from .coverage10_queries import (
+    _IV_BASE,
+    _IVU_A,
+    _IVU_B,
+    _IVU_C,
+    _interval_count_udf,
+    _pairs_cte,
+)
 from .driver_queries import _read, _tokens, register
 
 # ---------------------------------------------------------------------------
@@ -20,22 +27,10 @@ from .driver_queries import _read, _tokens, register
 # Kernel + pinned semantics in operators/intervals.py; random-case parity
 # vs the brute-force spec in tests/test_intervals.py. The SQL oracles use
 # the proven consecutive-differing-pairs characterization of minimal
-# unordered(a, b) intervals (coverage10's _IVU_PAIRS); position base
-# (DuckDB 1-based vs engine 0-based) cancels in every comparison used.
+# unordered(a, b) intervals (coverage10's shared _pairs_cte); position
+# base (DuckDB 1-based vs engine 0-based) cancels in every comparison
+# used.
 # ---------------------------------------------------------------------------
-
-_IV_BASE = """tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr)"""
-
-
-def _pairs_cte(name: str, ta: str, tb: str) -> str:
-    """Minimal unordered(ta, tb) intervals as (doc_id, s, e) rows."""
-    return f"""{name} AS (SELECT doc_id, pos AS s, npos AS e FROM (
-  SELECT doc_id, term, pos,
-         lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS nterm,
-         lead(pos)  OVER (PARTITION BY doc_id ORDER BY pos) AS npos
-  FROM pos WHERE term IN ('{ta}', '{tb}')) q
-  WHERE nterm IS NOT NULL AND nterm <> term)"""
 
 
 @register(
@@ -158,13 +153,15 @@ def _sorted_segment(spark, sf_dir):
     500 docs span 8 buckets and bucket pruning is non-degenerate)."""
     if sf_dir not in _SORTED_SEG_CACHE:
         from ..corpus import documents_as_corpus
-        from ..operators.indexer import assign_doc_ids, build_index
+        from ..operators.indexer import build_index
 
         c = documents_as_corpus(spark, sf_dir).drop("doc_id")
+        # _len rides into the docmap as a stored column — the sort field's
+        # doc values, which Lucene's index sorting requires too
         c = c.withColumn("_len", F.length("content"))
-        c = assign_doc_ids(c, ["_len", "path"]).drop("_len")
         _SORTED_SEG_CACHE[sf_dir] = build_index(
-            spark, c, out_dir=None, bucket_docs=_ET_BUCKET_DOCS
+            spark, c, out_dir=None, bucket_docs=_ET_BUCKET_DOCS,
+            index_sort=["_len", "path"],
         )
     return _SORTED_SEG_CACHE[sf_dir]
 
@@ -181,7 +178,7 @@ def sorted_early_terminate(spark, sf_dir):
     from ..operators.search import sorted_index_topk
 
     seg = _sorted_segment(spark, sf_dir)
-    top = sorted_index_topk(spark, seg, 10)
+    top = sorted_index_topk(spark, seg, 10, sort=["_len", "path"])
     return top.select(
         (F.col("doc_id") + 1).alias("rk"),
         F.col("path").cast("long").alias("orig_doc_id"),

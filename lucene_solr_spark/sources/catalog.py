@@ -47,6 +47,12 @@ class SegmentStats:
     # checks this before any flat multi-segment serve.
     min_doc_id: int = -1
     max_doc_id: int = -1
+    # index sort (IndexWriterConfig#setIndexSort recorded in SegmentInfo):
+    # comma-joined sort-key columns when doc ids were RANKED BY a sort key
+    # at build time ("" = insertion order / unknown). Early-termination
+    # readers (operators/search.py#sorted_index_topk) verify their query
+    # sort against this, as Lucene rejects a SortField mismatch.
+    index_sort: str = ""
 
     @property
     def avgdl(self) -> float:

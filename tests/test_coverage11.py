@@ -9,11 +9,11 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-import __spark_entry__ as entry_mod
+import __spark_entry__ as entry_mod  # noqa: F401  (registers the catalog)
 
 from .conftest import SF01_DIR, SF_DIR
 
-Q = entry_mod.queries()
+_ET_SORT = ["_len", "path"]
 
 
 def _plan(df) -> str:
@@ -26,28 +26,26 @@ def _plan(df) -> str:
 
 
 def test_early_terminate_equals_full_sort(spark):
-    """The bucket-pruned early-terminated top-k must equal the full
-    ORDER BY the engine skipped — on the sf0.01 corpus where the segment
-    spans ~10 buckets, so the pruning is non-degenerate."""
+    """The bucket-pruned early-terminated top-k must equal the REAL query
+    sort over the whole docmap — ordered by the sort key columns, not by
+    doc_id, so a segment ranked by the wrong key would fail here — on the
+    sf0.01 corpus where the segment spans ~8 buckets (non-degenerate
+    pruning)."""
     from lucene_solr_spark.operators.search import sorted_index_topk
     from lucene_solr_spark.plans.coverage11_queries import _sorted_segment
 
     seg = _sorted_segment(spark, SF01_DIR)
     assert seg.stats.max_doc_id >= seg.stats.bucket_docs  # >1 bucket
+    assert seg.stats.index_sort == ",".join(_ET_SORT)
     got = [
-        (r.doc_id, r.path)
-        for r in sorted_index_topk(spark, seg, 10).collect()
+        (len(r.content), r.path)
+        for r in sorted_index_topk(spark, seg, 10, sort=_ET_SORT).collect()
     ]
-    full = [
-        (r.doc_id, r.path)
-        for r in seg.table(spark, "docmap")
-        .orderBy("doc_id")
-        .limit(10)
-        .collect()
-    ]
+    full = sorted(
+        (len(r.content), r.path)
+        for r in seg.table(spark, "docmap").select("content", "path").collect()
+    )[:10]
     assert got == full and len(got) == 10
-    # doc ids are the index sort: ranks 0..9
-    assert [d for d, _ in got] == list(range(10))
 
 
 def test_early_terminate_prunes_bucket(spark):
@@ -61,7 +59,7 @@ def test_early_terminate_prunes_bucket(spark):
     )
 
     seg = _sorted_segment(spark, SF01_DIR)
-    plan = _plan(sorted_index_topk(spark, seg, 10))
+    plan = _plan(sorted_index_topk(spark, seg, 10, sort=_ET_SORT))
     assert f"< {_ET_BUCKET_DOCS}" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
 
@@ -72,7 +70,47 @@ def test_early_terminate_refuses_wide_k(spark):
 
     seg = _sorted_segment(spark, SF01_DIR)
     with pytest.raises(ValueError, match="early termination"):
-        sorted_index_topk(spark, seg, seg.stats.bucket_docs + 1)
+        sorted_index_topk(
+            spark, seg, seg.stats.bucket_docs + 1, sort=_ET_SORT
+        )
+
+
+def test_early_terminate_refuses_sort_mismatch(spark):
+    """Lucene rejects a SortField/index-sort mismatch; so does the
+    reader — both against a differently-sorted segment and against an
+    insertion-ordered segment with no recorded sort."""
+    from lucene_solr_spark.operators.search import sorted_index_topk
+    from lucene_solr_spark.plans.coverage11_queries import _sorted_segment
+    from lucene_solr_spark.plans.solr_queries import _engine_searcher
+
+    seg = _sorted_segment(spark, SF01_DIR)
+    with pytest.raises(ValueError, match="does not match"):
+        sorted_index_topk(spark, seg, 5, sort=["lang"])
+    unsorted = _engine_searcher(spark, SF_DIR).segment
+    with pytest.raises(ValueError, match="index sort"):
+        sorted_index_topk(spark, unsorted, 5, sort=["lang"])
+    with pytest.raises(ValueError, match="no index sort"):
+        sorted_index_topk(spark, unsorted, 5)
+
+
+def test_early_terminate_honors_live_docs(spark):
+    """Tombstoned docs never hold a top-k slot, and the widened window
+    still yields k live docs when bucket 0 is partially deleted —
+    TopFieldCollector early termination honors liveDocs."""
+    from lucene_solr_spark.operators.search import sorted_index_topk
+    from lucene_solr_spark.plans.coverage11_queries import _sorted_segment
+
+    seg = _sorted_segment(spark, SF01_DIR)
+    bd = seg.stats.bucket_docs
+    # delete most of bucket 0: the k-th live doc now lives in bucket 1
+    dead = list(range(0, bd - 3))
+    got = [
+        r.doc_id
+        for r in sorted_index_topk(
+            spark, seg, 10, sort=_ET_SORT, deleted=dead
+        ).collect()
+    ]
+    assert got == [bd - 3, bd - 2, bd - 1] + list(range(bd, bd + 7))
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +152,20 @@ def test_multiselect_domains(spark):
     assert len(by_facet["lang"]) > 1
 
 
+def test_multiselect_refuses_unknown_tag_and_empty(spark):
+    """A typo'd exclude tag would silently re-apply the facet's own
+    filter — the inverse of the multi-select contract — so it is refused;
+    so is an empty facet list."""
+    from lucene_solr_spark.operators.facets import multiselect_facets
+
+    d = spark.read.parquet(f"{SF01_DIR}/documents.parquet")
+    tagged = {"L": F.col("lang") == "en"}
+    with pytest.raises(ValueError, match="unknown tag"):
+        multiselect_facets(d, tagged, [("lang", "lang", {"l"})])
+    with pytest.raises(ValueError, match="at least one facet"):
+        multiselect_facets(d, tagged, [])
+
+
 # ---------------------------------------------------------------------------
 # before/overlapping on the ENGINE positional path (the registry rows run
 # the tokens-column kernel; this pins that the same node over decoded
@@ -144,11 +196,11 @@ def test_interval_before_engine_path_parity(spark):
         per_doc.setdefault(r.doc_id, {})[r.term] = delta_decode(
             unpack_ints(r.pos_bin)
         )
-    engine = {
-        d: len(doc_intervals(node, pos))
-        for d, pos in per_doc.items()
-        if len(doc_intervals(node, pos)) > 0
-    }
+    engine = {}
+    for d, pos in per_doc.items():
+        n = len(doc_intervals(node, pos))
+        if n:
+            engine[d] = n
     toks = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
     from lucene_solr_spark.operators.intervals import positions_from_tokens
 

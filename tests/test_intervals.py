@@ -211,7 +211,7 @@ _ALPHABET = ["a", "b", "c"]
 def _rand_tree(rng: random.Random, depth: int, term_only: bool):
     if depth == 0 or rng.random() < 0.35:
         return ITerm(rng.choice(_ALPHABET))
-    kind = rng.randrange(13)
+    kind = rng.randrange(14)
     sub = lambda: _rand_tree(rng, depth - 1, term_only)  # noqa: E731
     leaf = (lambda: ITerm(rng.choice(_ALPHABET))) if term_only else sub
     if kind == 0:
@@ -238,6 +238,8 @@ def _rand_tree(rng: random.Random, depth: int, term_only: bool):
         return INotOverlapping(sub(), sub())
     if kind == 11:
         return IExtend(sub(), rng.randrange(3), rng.randrange(3))
+    if kind == 12:
+        return INotContainedBy(sub(), sub())
     return IContainedBy(sub(), sub())
 
 
