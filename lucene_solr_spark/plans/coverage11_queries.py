@@ -468,3 +468,35 @@ def elevation_mark_excludes(spark, sf_dir):
         .limit(10)
         .select("doc_id", "score")
     )
+
+
+@register(
+    "interval_contained_by_count",
+    f"""WITH {_IV_BASE},
+{_pairs_cte("big", _IVU_A, _IVU_B)}
+SELECT p.doc_id, count(*)::BIGINT AS n_intervals
+FROM pos p
+WHERE p.term = '{_IVU_C}'
+  AND EXISTS (SELECT 1 FROM big b WHERE b.doc_id = p.doc_id
+              AND b.s <= p.pos AND p.pos <= b.e)
+GROUP BY p.doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_contained_by_count(spark, sf_dir):
+    """Intervals.containedBy(hash, unordered(key, order)): 'hash'
+    occurrences lying inside some source interval
+    (queries/intervals/Intervals.java#containedBy,
+    FilteringIntervalsSource — the little-side filter, complementing the
+    big-side containing/notContaining rows)."""
+    from ..operators.intervals import IContainedBy, ITerm, IUnordered
+
+    node = IContainedBy(
+        ITerm(_IVU_C), IUnordered(ITerm(_IVU_A), ITerm(_IVU_B))
+    )
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )
