@@ -1,0 +1,210 @@
+"""Round-5 widening batch #3: EnumFieldType ordinal sort, CurrencyFieldType
+asymmetric conversion, sampled facet counts, and date range faceting with a
+calendar gap.
+
+Each entry re-expresses a reference operator (public lucene-solr
+path#symbol cited per entry; the reference mount is empty) over the driver
+testdata with a DuckDB oracle using identical column aliases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .driver_queries import _read, register
+
+# ---------------------------------------------------------------------------
+# EnumFieldType — solr/core/src/java/org/apache/solr/schema/EnumFieldType.java:
+# a string field whose SORT ORDER is the position in a configured enum list
+# (enumsConfig.xml), not the lexicographic order of the labels. The engine
+# stores the ordinal as the doc value (what EnumFieldType indexes) so ORDER
+# BY is a plain int sort; the label is resolved back for display. The
+# configured order below is severity-ascending, which DIFFERS from the
+# lexicographic label order ('1-URGENT' sorts first lexicographically but
+# LAST by severity) — the whole point of the field type.
+# Scale: the enum config is a tiny broadcast map; the sort key is an int.
+# ---------------------------------------------------------------------------
+
+_ENUM_CONFIG = ["5-LOW", "4-NOT SPECIFIED", "3-MEDIUM", "2-HIGH", "1-URGENT"]
+
+
+def _enum_case_sql(col: str) -> str:
+    whens = " ".join(
+        f"WHEN '{v}' THEN {i}" for i, v in enumerate(_ENUM_CONFIG)
+    )
+    return f"CASE {col} {whens} END"
+
+
+@register(
+    "enum_field_sort",
+    f"""SELECT {_enum_case_sql('o_orderpriority')} AS ordinal,
+       o_orderpriority AS label, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY ordinal, label ORDER BY ordinal ASC""",
+)
+def enum_field_sort(spark, sf_dir):
+    """Order counts per priority, sorted by the CONFIGURED enum ordinal
+    (severity ascending), not the lexicographic label order."""
+    o = _read(spark, sf_dir, "orders")
+    ordinal = F.coalesce(
+        *[
+            F.when(F.col("o_orderpriority") == v, F.lit(i))
+            for i, v in enumerate(_ENUM_CONFIG)
+        ]
+    )
+    return (
+        o.select(ordinal.alias("ordinal"), F.col("o_orderpriority").alias("label"))
+        .groupBy("ordinal", "label")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.asc("ordinal"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# CurrencyFieldType — solr/core/.../schema/CurrencyFieldType.java +
+# CurrencyValue.java: money values carry a per-document currency code;
+# range queries convert each stored amount into the query currency through
+# the provider's rate table (FileExchangeRateProvider) at query time, then
+# apply the numeric bound. The Spark shape: the rate table is a literal
+# broadcast map folded into ONE whole-stage-codegen expression (no join
+# node at all for a static provider); the range predicate sits directly on
+# the converted column so Catalyst can still prune on the raw column when
+# rates are monotone. Sums are rounded once per group as DOUBLE (the
+# driver hashes representations; group magnitude ~1e8 keeps order drift
+# orders of magnitude below a cent).
+# ---------------------------------------------------------------------------
+
+_RATES = {"USD": 1.0, "EUR": 1.08, "GBP": 1.27}
+_CURS = ["USD", "EUR", "GBP"]  # o_orderkey % 3 picks the synthetic code
+_CUR_LO, _CUR_HI = 150000.0, 300000.0
+
+
+@register(
+    "currency_range_query",
+    f"""WITH priced AS (
+  SELECT CASE o_orderkey % 3 WHEN 0 THEN 'USD' WHEN 1 THEN 'EUR' ELSE 'GBP' END AS currency,
+         o_totalprice * (CASE o_orderkey % 3 WHEN 0 THEN {_RATES['USD']!r}
+                         WHEN 1 THEN {_RATES['EUR']!r} ELSE {_RATES['GBP']!r} END) AS usd
+  FROM orders)
+SELECT currency, count(*)::BIGINT AS n_orders,
+       round(sum(usd), 2) AS sum_usd
+FROM priced WHERE usd >= {_CUR_LO!r} AND usd <= {_CUR_HI!r}
+GROUP BY currency ORDER BY currency""",
+)
+def currency_range_query(spark, sf_dir):
+    """usd:[150000 TO 300000] over a mixed-currency price column: convert
+    through the static rate table, filter on the converted value, report
+    per-currency matches."""
+    o = _read(spark, sf_dir, "orders")
+    code = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit("USD"))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit("EUR"))
+        .otherwise(F.lit("GBP"))
+    )
+    rate = (
+        F.when(F.col("o_orderkey") % 3 == 0, F.lit(_RATES["USD"]))
+        .when(F.col("o_orderkey") % 3 == 1, F.lit(_RATES["EUR"]))
+        .otherwise(F.lit(_RATES["GBP"]))
+    )
+    priced = o.select(
+        code.alias("currency"), (F.col("o_totalprice") * rate).alias("usd")
+    )
+    return (
+        priced.filter((F.col("usd") >= _CUR_LO) & (F.col("usd") <= _CUR_HI))
+        .groupBy("currency")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("usd"), 2).alias("sum_usd"),
+        )
+        .orderBy("currency")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sampled facet counts — lucene/facet/.../RandomSamplingFacetsCollector.java:
+# facet over a fixed-rate document sample, then scale counts back by the
+# inverse sampling ratio (the collector's amortized-count correction). The
+# reference samples with an XORShift over collected doc ids; here the
+# sample is the deterministic key residue doc_id % RATE == 0 so both
+# engines (and re-runs) agree bit-for-bit — at scale the same shape runs on
+# xxhash64(doc_id) % RATE. The sample predicate sits in the scan filter, so
+# the facet agg touches 1/RATE of the rows — the collector's entire point.
+# ---------------------------------------------------------------------------
+
+_SAMPLE_RATE = 7
+
+
+@register(
+    "sampled_facet_counts",
+    f"""SELECT lang, count(*)::BIGINT AS n_sampled,
+       (count(*) * {_SAMPLE_RATE})::BIGINT AS n_est
+FROM documents WHERE doc_id % {_SAMPLE_RATE} = 0
+GROUP BY lang ORDER BY n_est DESC, lang ASC LIMIT 10""",
+)
+def sampled_facet_counts(spark, sf_dir):
+    """Facet lang over a 1/7 deterministic sample; counts scaled back by
+    the inverse ratio."""
+    d = _read(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("doc_id") % _SAMPLE_RATE == 0)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            (F.count("*") * _SAMPLE_RATE).cast("long").alias("n_est"),
+        )
+        .orderBy(F.desc("n_est"), F.asc("lang"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date range facet with a calendar gap — solr RangeFacetProcessor /
+# facet.range with facet.range.gap=+1MONTH (DateMathParser calendar units,
+# not fixed millis) and mincount=0: every month bucket in [start, end)
+# appears, zero or not. Spark shape: the bucket spine is
+# sequence(start, end, interval 1 month) exploded driver-free (12 rows),
+# counts come from ONE grouped agg over date_trunc('month'), and the spine
+# LEFT-joins the counts via broadcast (the spine is tiny; no shuffle added
+# beyond the agg's). Calendar-month gaps can't be a numeric width — that's
+# why the reference routes gaps through DateMathParser.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "facet_range_date_gap",
+    """WITH spine AS (
+  SELECT unnest(generate_series(DATE '1996-01-01', DATE '1996-12-01',
+                                INTERVAL 1 MONTH)) AS b
+), cnt AS (
+  SELECT date_trunc('month', o_orderdate) AS b, count(*)::BIGINT AS n
+  FROM orders
+  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+  GROUP BY 1)
+SELECT strftime(spine.b, '%Y-%m') AS bucket,
+       coalesce(cnt.n, 0)::BIGINT AS n_orders
+FROM spine LEFT JOIN cnt ON cnt.b = spine.b
+ORDER BY bucket""",
+)
+def facet_range_date_gap(spark, sf_dir):
+    """facet.range over o_orderdate, gap=+1MONTH, 1996, mincount=0 (empty
+    buckets present)."""
+    o = _read(spark, sf_dir, "orders")
+    spine = spark.sql(
+        "SELECT explode(sequence(to_date('1996-01-01'), to_date('1996-12-01'), "
+        "interval 1 month)) AS b"
+    )
+    cnt = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("b"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(F.broadcast(cnt), "b", "left")
+        .select(
+            F.date_format("b", "yyyy-MM").alias("bucket"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_orders"),
+        )
+        .orderBy("bucket")
+    )
