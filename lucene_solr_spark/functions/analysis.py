@@ -711,3 +711,50 @@ def snowball_stem_udf(token_arrays: pd.Series) -> pd.Series:
         return out
 
     return token_arrays.map(stem_list)
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter analog (analysis/miscellaneous/
+# WordDelimiterGraphFilter.java), pinned option set: splitOnCaseChange=1,
+# splitOnNumerics=1, generateWordParts=1, generateNumberParts=1,
+# catenateAll=1, preserveOriginal=0, with lowercasing applied AFTER the
+# split (the standard schema chain for product codes / identifiers). The
+# flat part list is the graph's FlattenGraphFilter view at index time.
+# ONE ordered boundary-rule table renders into the Spark Column chain AND
+# the DuckDB SQL, so both engines split identically by construction.
+# ---------------------------------------------------------------------------
+
+_WDGF_BOUNDARIES = [
+    "([a-z])([A-Z])",        # case transition   fooBar -> foo Bar
+    "([A-Z])([A-Z][a-z])",   # acronym run end   XTi    -> X Ti
+    "([A-Za-z])([0-9])",     # letter -> digit   shot500 -> shot 500
+    "([0-9])([A-Za-z])",     # digit -> letter   500xt   -> 500 xt
+]
+
+
+def word_delimiter_parts_col(text_col):
+    """Subword parts (word + number parts) of one source token/string."""
+    e = _txt(text_col)
+    for pat in _WDGF_BOUNDARIES:
+        e = F.regexp_replace(e, pat, r"$1 $2")
+    e = F.regexp_replace(e, "[^A-Za-z0-9]+", " ")
+    e = F.lower(F.trim(e))
+    return F.filter(F.split(e, " "), lambda t: t != F.lit(""))
+
+
+def word_delimiter_parts_sql(text_expr: str) -> str:
+    """DuckDB mirror of word_delimiter_parts_col (same rule table)."""
+    e = text_expr
+    for pat in _WDGF_BOUNDARIES:
+        e = f"regexp_replace({e}, '{pat}', '\\1 \\2', 'g')"
+    e = f"regexp_replace({e}, '[^A-Za-z0-9]+', ' ', 'g')"
+    return f"list_filter(string_split(lower(trim({e})), ' '), t -> t <> '')"
+
+
+def word_delimiter_catenate_col(text_col):
+    """catenateAll=1: every alphanumeric run concatenated into one token."""
+    return F.lower(F.regexp_replace(_txt(text_col), "[^A-Za-z0-9]+", ""))
+
+
+def word_delimiter_catenate_sql(text_expr: str) -> str:
+    return f"lower(regexp_replace({text_expr}, '[^A-Za-z0-9]+', '', 'g'))"

@@ -208,3 +208,139 @@ def facet_range_date_gap(spark, sf_dir):
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# WordDelimiterGraphFilter — analysis/miscellaneous/
+# WordDelimiterGraphFilter.java (pinned options: splitOnCaseChange,
+# splitOnNumerics, generateWordParts, generateNumberParts, catenateAll;
+# preserveOriginal=0; lowercase after). The corpus is asserted-ASCII
+# lowercase, so the row synthesizes the product-code shape the filter
+# exists for — "ColdWidget-123v4" built deterministically from part —
+# with IDENTICAL string construction in both engines. The subword split
+# is one shared boundary-rule table rendered into the Spark Column chain
+# and the DuckDB SQL (functions/analysis.py), parity by construction.
+# Scale: the whole chain is regexp/split codegen over one narrow column —
+# no UDF, no shuffle before the grouped count.
+# ---------------------------------------------------------------------------
+
+
+def _wd_register():
+    from ..functions.analysis import (
+        word_delimiter_catenate_sql,
+        word_delimiter_parts_sql,
+    )
+
+    code = (
+        "upper(substr(string_split(p_name, ' ')[1], 1, 1)) || "
+        "substr(string_split(p_name, ' ')[1], 2) || "
+        "upper(substr(string_split(p_name, ' ')[2], 1, 1)) || "
+        "substr(string_split(p_name, ' ')[2], 2) || '-' || "
+        "CAST(p_partkey % 997 AS VARCHAR) || 'v' || "
+        "CAST(p_partkey % 7 AS VARCHAR)"
+    )
+    return f"""WITH codes AS (SELECT {code} AS code FROM part),
+toks AS (
+  SELECT unnest(list_append({word_delimiter_parts_sql('code')},
+                            {word_delimiter_catenate_sql('code')})) AS term
+  FROM codes)
+SELECT term, count(*)::BIGINT AS n_tokens
+FROM toks GROUP BY term ORDER BY n_tokens DESC, term ASC LIMIT 15"""
+
+
+@register("word_delimiter_tokens", _wd_register())
+def word_delimiter_tokens(spark, sf_dir):
+    """Top subword tokens (word parts, number parts, catenateAll) after
+    WordDelimiterGraphFilter over synthesized product codes."""
+    from ..functions.analysis import (
+        word_delimiter_catenate_col,
+        word_delimiter_parts_col,
+    )
+
+    p = _read(spark, sf_dir, "part")
+    w1 = F.element_at(F.split(F.col("p_name"), " "), 1)
+    w2 = F.element_at(F.split(F.col("p_name"), " "), 2)
+    code = F.concat(
+        F.upper(F.substring(w1, 1, 1)), F.expr("substr(split(p_name, ' ')[0], 2)"),
+        F.upper(F.substring(w2, 1, 1)), F.expr("substr(split(p_name, ' ')[1], 2)"),
+        F.lit("-"), (F.col("p_partkey") % 997).cast("string"),
+        F.lit("v"), (F.col("p_partkey") % 7).cast("string"),
+    )
+    codes = p.select(code.alias("code"))
+    toks = codes.select(
+        F.explode(
+            F.concat(
+                word_delimiter_parts_col(F.col("code")),
+                F.array(word_delimiter_catenate_col(F.col("code"))),
+            )
+        ).alias("term")
+    )
+    return (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("term"))
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Intervals.wildcard — queries/intervals/Intervals.java#wildcard: expand a
+# wildcard pattern against the segment terms dict (bounded by the same
+# 128-expansion cap as prefix; refused past it, matching the reference's
+# too-many-expansions failure) and OR the matches into the ordered
+# minimal-interval kernel. Pattern 's*a*' matches scan/small/spark/stream
+# on the driver corpus.
+# ---------------------------------------------------------------------------
+
+_IV_WILD, _IV_WILD_CAP = "s*a*", 128
+
+
+@register(
+    "interval_wildcard_count",
+    """WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+lead AS (SELECT a.doc_id, a.pos AS s, min(b.pos) AS e
+         FROM pos a JOIN pos b ON b.doc_id = a.doc_id AND b.pos > a.pos
+                               AND b.term = 'join'
+         WHERE a.term LIKE 's%a%' GROUP BY a.doc_id, a.pos),
+mins AS (SELECT l.doc_id, l.s, l.e FROM lead l
+         WHERE NOT EXISTS (SELECT 1 FROM pos p
+                           WHERE p.doc_id = l.doc_id
+                             AND p.term LIKE 's%a%'
+                             AND p.pos > l.s AND p.pos < l.e))
+SELECT doc_id, count(*)::BIGINT AS n_intervals
+FROM mins GROUP BY doc_id
+ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
+)
+def interval_wildcard_count(spark, sf_dir):
+    """Intervals.ordered(Intervals.wildcard('s*a*'), join): terms-dict
+    wildcard expansion into the ordered minimal-interval kernel."""
+    import re
+
+    from ..operators.intervals import IOr, IOrdered, ITerm
+    from .coverage10_queries import _interval_count_udf
+    from .driver_queries import _tokens
+    from .solr_queries import _engine_searcher
+
+    rx = "^" + re.escape(_IV_WILD).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+    s = _engine_searcher(spark, sf_dir)
+    expanded = [
+        r.term
+        for r in s.segment.table(spark, "terms")
+        .filter(F.col("term").rlike(rx))
+        .select("term")
+        .collect()
+    ]
+    if len(expanded) > _IV_WILD_CAP:
+        raise ValueError(
+            f"wildcard '{_IV_WILD}' expanded to {len(expanded)} terms "
+            f"(> {_IV_WILD_CAP}) — Intervals.wildcard refuses"
+        )
+    node = IOrdered(IOr(*[ITerm(t) for t in sorted(expanded)]), ITerm("join"))
+    toks = _tokens(spark, sf_dir)
+    return (
+        toks.select("doc_id", _interval_count_udf(node)("tokens").alias("n_intervals"))
+        .filter(F.col("n_intervals") > 0)
+        .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
+        .limit(10)
+    )

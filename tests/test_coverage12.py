@@ -64,3 +64,64 @@ def test_date_gap_full_spine_and_broadcast(spark):
     assert all(r.n_orders >= 0 for r in rows)
     plan = _plan(df)
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_word_delimiter_pinned_example(spark):
+    from lucene_solr_spark.functions.analysis import (
+        word_delimiter_catenate_col,
+        word_delimiter_parts_col,
+    )
+
+    df = spark.createDataFrame([("PowerShot500-XTi v2.0",)], "s string").select(
+        word_delimiter_parts_col("s").alias("parts"),
+        word_delimiter_catenate_col("s").alias("cat"),
+    )
+    r = df.collect()[0]
+    assert r.parts == ["power", "shot", "500", "x", "ti", "v", "2", "0"]
+    assert r.cat == "powershot500xtiv20"
+    # whole chain stays JVM-side: no Python eval node in the plan
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_word_delimiter_sql_mirror_matches():
+    """The DuckDB rendering of the SAME rule table splits identically."""
+    import duckdb
+
+    from lucene_solr_spark.functions.analysis import (
+        word_delimiter_catenate_sql,
+        word_delimiter_parts_sql,
+    )
+
+    con = duckdb.connect()
+    parts, cat = con.execute(
+        f"SELECT {word_delimiter_parts_sql(chr(39) + 'PowerShot500-XTi v2.0' + chr(39))},"
+        f" {word_delimiter_catenate_sql(chr(39) + 'PowerShot500-XTi v2.0' + chr(39))}"
+    ).fetchone()
+    assert parts == ["power", "shot", "500", "x", "ti", "v", "2", "0"]
+    assert cat == "powershot500xtiv20"
+
+
+def test_interval_wildcard_expansion_and_cap(spark):
+    from lucene_solr_spark.plans import coverage12_queries as c
+
+    rows = c.interval_wildcard_count(spark, SF_DIR).collect()
+    assert rows and all(r.n_intervals >= 1 for r in rows)
+    # the pattern must have expanded to the documented term set
+    import re
+
+    rx = re.compile(
+        "^" + re.escape(c._IV_WILD).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+    )
+    vocab = ["scan", "small", "spark", "stream", "slow", "sort", "batch"]
+    assert [t for t in vocab if rx.match(t)] == ["scan", "small", "spark", "stream"]
+    # cap refusal path
+    old = c._IV_WILD_CAP
+    try:
+        c._IV_WILD_CAP = 1
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="refuses"):
+            c.interval_wildcard_count(spark, SF_DIR)
+    finally:
+        c._IV_WILD_CAP = old
