@@ -136,3 +136,100 @@ def double_metaphone_py(word: str) -> str:
         else:
             x = x.translate(str.maketrans("", "", op[1]))
     return x[:4]
+
+
+# ---------------------------------------------------------------------------
+# Caverphone 2.0 — PhoneticFilterFactory encoder="Caverphone"
+# (lucene/analysis/phonetic/.../PhoneticFilter.java routing to
+# commons-codec language/Caverphone2.java; algorithm: David Hood,
+# "Caverphone Revisited", Caversham Project technical paper, 2004).
+#
+# Unlike Double Metaphone, Caverphone 2.0 is DEFINED as one ordered list
+# of regex replacements, so the whole published algorithm renders exactly
+# into all three engines (Python re, pyspark regexp_replace chain, DuckDB
+# regexp_replace(..., 'g')) from the single table below — no deviations.
+# Output is always 10 chars, '1'-padded.
+# ---------------------------------------------------------------------------
+
+CAVERPHONE2_RULES: list[tuple[str, str]] = [
+    ("e$", ""),
+    ("^cough", "cou2f"),
+    ("^rough", "rou2f"),
+    ("^tough", "tou2f"),
+    ("^enough", "enou2f"),
+    ("^trough", "trou2f"),
+    ("^gn", "2n"),
+    ("mb$", "m2"),
+    ("cq", "2q"),
+    ("ci", "si"),
+    ("ce", "se"),
+    ("cy", "sy"),
+    ("tch", "2ch"),
+    ("c", "k"),
+    ("q", "k"),
+    ("x", "k"),
+    ("v", "f"),
+    ("dg", "2g"),
+    ("tio", "sio"),
+    ("tia", "sia"),
+    ("d", "t"),
+    ("ph", "fh"),
+    ("b", "p"),
+    ("sh", "s2"),
+    ("z", "s"),
+    ("^[aeiou]", "A"),
+    ("[aeiou]", "3"),
+    ("j", "y"),
+    ("^y3", "Y3"),
+    ("^y", "A"),
+    ("y", "3"),
+    ("3gh3", "3kh3"),
+    ("gh", "22"),
+    ("g", "k"),
+    ("s+", "S"),
+    ("t+", "T"),
+    ("p+", "P"),
+    ("k+", "K"),
+    ("f+", "F"),
+    ("m+", "M"),
+    ("n+", "N"),
+    ("w3", "W3"),
+    ("wh3", "Wh3"),
+    ("w$", "3"),
+    ("w", "2"),
+    ("^h", "A"),
+    ("h", "2"),
+    ("r3", "R3"),
+    ("r$", "3"),
+    ("r", "2"),
+    ("l3", "L3"),
+    ("l$", "3"),
+    ("l", "2"),
+    ("2", ""),
+    ("3$", "A"),
+    ("3", ""),
+]
+
+
+def caverphone2_py(word: str) -> str:
+    import re
+
+    t = re.sub("[^a-z]", "", word.lower())
+    for pat, repl in CAVERPHONE2_RULES:
+        t = re.sub(pat, repl, t)
+    return (t + "1111111111")[:10]
+
+
+def caverphone2_col(col) -> Column:
+    e = F.col(col) if isinstance(col, str) else col
+    e = F.regexp_replace(F.lower(e), "[^a-z]", "")
+    for pat, repl in CAVERPHONE2_RULES:
+        e = F.regexp_replace(e, pat, repl)
+    return F.substring(F.concat(e, F.lit("1111111111")), 1, 10)
+
+
+def caverphone2_sql(col: str) -> str:
+    e = f"regexp_replace(lower({col}), '[^a-z]', '', 'g')"
+    for pat, repl in CAVERPHONE2_RULES:
+        e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
+    return f"substr({e} || '1111111111', 1, 10)"

@@ -344,3 +344,85 @@ def interval_wildcard_count(spark, sf_dir):
         .orderBy(F.desc("n_intervals"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ParallelStream worker rollup — solrj/io/stream/ParallelStream.java +
+# RollupStream.java: N hash-routed workers ({!hash workers=N worker=i}),
+# each rolling its sorted partition stream with one open-group tuple; the
+# union of worker outputs IS the answer (each key lives on exactly one
+# worker). Spark mapping in streaming/parallel.py: repartition(N, key) is
+# the hash route, sortWithinPartitions the worker's sorted stream, and an
+# Arrow-batched mapInPandas kernel carries the single open group across
+# batch boundaries — no second shuffle, no final agg exchange.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "parallel_stream_rollup",
+    """SELECT l_suppkey, count(*)::BIGINT AS n,
+       round(sum(l_quantity), 2) AS sum_l_quantity,
+       round(sum(l_extendedprice), 2) AS sum_l_extendedprice
+FROM lineitem GROUP BY l_suppkey
+ORDER BY sum_l_extendedprice DESC, l_suppkey ASC LIMIT 10""",
+)
+def parallel_stream_rollup(spark, sf_dir):
+    """rollup(search(lineitem), over=l_suppkey, count(*), sum(qty),
+    sum(price)) under parallel(workers=4)."""
+    from ..streaming.parallel import parallel_rollup
+
+    li = _read(spark, sf_dir, "lineitem")
+    rolled = parallel_rollup(
+        li, "l_suppkey", ["l_quantity", "l_extendedprice"], workers=4
+    )
+    return (
+        rolled.select(
+            "l_suppkey",
+            "n",
+            F.round("sum_l_quantity", 2).alias("sum_l_quantity"),
+            F.round("sum_l_extendedprice", 2).alias("sum_l_extendedprice"),
+        )
+        .orderBy(F.desc("sum_l_extendedprice"), F.asc("l_suppkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Caverphone 2.0 — PhoneticFilterFactory encoder="Caverphone"
+# (lucene/analysis/phonetic/PhoneticFilter.java -> commons-codec
+# Caverphone2; David Hood, Caversham Project 2004). The published
+# algorithm IS an ordered regex-replace list, so one rule table renders
+# into both engines verbatim (functions/phonetic.py) — no deviations,
+# unlike the documented DM subset. Same row shape as
+# phonetic_double_metaphone for comparability.
+# ---------------------------------------------------------------------------
+
+
+def _cv2_register():
+    from ..functions.phonetic import caverphone2_sql
+
+    return f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+terms AS (SELECT DISTINCT term FROM toks WHERE regexp_full_match(term, '[a-z]+'))
+SELECT {caverphone2_sql('term')} AS code, count(*)::BIGINT AS n_terms
+FROM terms GROUP BY code ORDER BY n_terms DESC, code ASC LIMIT 10"""
+
+
+@register("phonetic_caverphone2", _cv2_register())
+def phonetic_caverphone2(spark, sf_dir):
+    """Terms per Caverphone 2.0 code over the distinct vocabulary."""
+    from ..functions.phonetic import caverphone2_col
+    from .driver_queries import _tokens
+
+    toks = _tokens(spark, sf_dir)
+    terms = (
+        toks.select(F.explode("tokens").alias("term"))
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return (
+        terms.select(caverphone2_col("term").alias("code"))
+        .groupBy("code")
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("code"))
+        .limit(10)
+    )

@@ -1,0 +1,79 @@
+"""ParallelStream — hash-partitioned worker execution of a rollup
+(solrj/io/stream/ParallelStream.java wrapping RollupStream over a
+partitionKeys-routed stream, solrj/io/stream/RollupStream.java).
+
+The reference sends the same stream expression to N workers; each worker
+receives ONLY the documents whose partition key hashes to it
+(HashQParserPlugin's `{!hash workers=N worker=i}` route), rolls its sorted
+stream up with O(1) state (one open group tuple), and the client unions
+worker outputs — correct because the hash route puts every key on exactly
+one worker.
+
+Spark-first mapping: `repartition(workers, key)` IS the hash route (one
+exchange), `sortWithinPartitions(key)` is the worker's sorted stream, and
+the rollup runs as an Arrow-batched mapInPandas kernel that carries ONE
+open group across batch boundaries — the reference worker's exact state
+shape. No second shuffle and no final aggregation exchange: the union of
+per-partition outputs is already the answer. At 100 TB this is the shape
+that wins when the key cardinality is huge (a groupBy would shuffle the
+same bytes but also build a hash map per task); for small cardinalities
+plain groupBy's partial aggregation wins — the operator documents, not
+hides, that trade.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parallel_rollup(
+    df: DataFrame,
+    key: str,
+    sum_cols: list[str],
+    workers: int,
+) -> DataFrame:
+    """Roll ``df`` up by ``key`` (count + per-column sums) on ``workers``
+    hash-routed partitions, one streaming pass per worker."""
+    key_type = df.schema[key].dataType.simpleString()
+    schema = ", ".join(
+        [f"{key} {key_type}", "n long"]
+        + [f"sum_{c} double" for c in sum_cols]
+    )
+
+    def roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        open_key = None
+        open_n = 0
+        open_sums = [0.0] * len(sum_cols)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            done_rows = []
+            # groups are contiguous: the partition is sorted by key
+            for k, g in pdf.groupby(key, sort=True):
+                if open_key is not None and k != open_key:
+                    done_rows.append([open_key, open_n, *open_sums])
+                    open_key, open_n = None, 0
+                    open_sums = [0.0] * len(sum_cols)
+                if open_key is None:
+                    open_key = k
+                open_n += len(g)
+                for i, c in enumerate(sum_cols):
+                    open_sums[i] += float(g[c].sum())
+            if done_rows:
+                yield pd.DataFrame(
+                    done_rows, columns=[key, "n"] + [f"sum_{c}" for c in sum_cols]
+                )
+        if open_key is not None:
+            yield pd.DataFrame(
+                [[open_key, open_n, *open_sums]],
+                columns=[key, "n"] + [f"sum_{c}" for c in sum_cols],
+            )
+
+    routed = df.select(key, *sum_cols).repartition(
+        workers, F.col(key)
+    ).sortWithinPartitions(key)
+    return routed.mapInPandas(roll, schema)

@@ -125,3 +125,119 @@ def test_interval_wildcard_expansion_and_cap(spark):
             c.interval_wildcard_count(spark, SF_DIR)
     finally:
         c._IV_WILD_CAP = old
+
+
+def test_parallel_rollup_open_group_spans_batches(spark):
+    """A key group split across Arrow batch boundaries must be merged by
+    the carried open-group state, not emitted twice."""
+    import pandas as pd
+
+    from lucene_solr_spark.streaming.parallel import parallel_rollup
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    rolled = {r.k: (r.n, r.sum_v) for r in parallel_rollup(df, "k", ["v"], 2).collect()}
+    assert rolled == {1: (2, 30.0), 2: (1, 5.0)}
+    # kernel-level: drive the generator with the group split across batches
+    import lucene_solr_spark.streaming.parallel as par
+
+    captured = {}
+
+    def fake_map_in_pandas(fn, schema):
+        b1 = pd.DataFrame({"k": [1, 1], "v": [10.0, 20.0]})
+        b2 = pd.DataFrame({"k": [1, 2], "v": [5.0, 7.0]})
+        captured["out"] = pd.concat(list(fn(iter([b1, b2])))).reset_index(drop=True)
+        return None
+
+    class FakeRouted:
+        def mapInPandas(self, fn, schema):
+            return fake_map_in_pandas(fn, schema)
+
+    class FakeDF:
+        schema = df.schema
+
+        def select(self, *a):
+            return self
+
+        def repartition(self, *a):
+            return self
+
+        def sortWithinPartitions(self, *a):
+            return FakeRouted()
+
+    par.parallel_rollup(FakeDF(), "k", ["v"], 2)
+    out = captured["out"]
+    got = {int(r.k): (int(r.n), float(r.sum_v)) for r in out.itertuples()}
+    assert got == {1: (3, 35.0), 2: (1, 7.0)}
+
+
+def test_parallel_rollup_single_exchange_plan(spark):
+    from lucene_solr_spark.plans import coverage12_queries as c
+
+    df = c.parallel_stream_rollup(spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") == 1  # the hash route, nothing else
+    assert "MapInPandas" in plan and "TakeOrderedAndProject" in plan
+    # parity with the plain grouped agg
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    exp = {
+        (r.l_suppkey, r.n)
+        for r in li.groupBy("l_suppkey").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        (r.l_suppkey, r.n)
+        for r in __import__(
+            "lucene_solr_spark.streaming.parallel", fromlist=["parallel_rollup"]
+        ).parallel_rollup(li, "l_suppkey", [], 4).collect()
+    }
+    assert got == exp
+
+
+_CV2_VECTORS = {
+    # published vectors from the Caverphone 2.0 paper / commons-codec tests
+    "Stevenson": "STFNSN1111",
+    "Peter": "PTA1111111",
+}
+
+
+def test_caverphone2_published_vectors():
+    from lucene_solr_spark.functions.phonetic import caverphone2_py
+
+    for w, code in _CV2_VECTORS.items():
+        assert caverphone2_py(w) == code, w
+
+
+def test_caverphone2_three_way_parity(spark):
+    """Python / Spark / DuckDB renderings of the SAME rule table agree on
+    a mixed word list (including the paper's trigger prefixes/suffixes)."""
+    import duckdb
+
+    from lucene_solr_spark.functions.phonetic import (
+        caverphone2_col,
+        caverphone2_py,
+        caverphone2_sql,
+    )
+
+    words = [
+        "Stevenson", "Peter", "Thompson", "enough", "trough", "cough",
+        "gnome", "lamb", "batch", "vision", "yellow", "whisky", "wright",
+        "hello", "mirror", "williams", "jackson", "xavier", "quick",
+        "edge", "nation", "martia", "shash", "buzz", "aeiou",
+    ]
+    py = {w: caverphone2_py(w) for w in words}
+    sp = {
+        r.w: r.code
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", caverphone2_col("w").alias("code"))
+        .collect()
+    }
+    con = duckdb.connect()
+    vals = ", ".join(f"('{w}')" for w in words)
+    dk = dict(
+        con.execute(
+            f"SELECT w, {caverphone2_sql('w')} FROM (VALUES {vals}) v(w)"
+        ).fetchall()
+    )
+    assert sp == py and dk == py
+    assert all(len(c) == 10 for c in py.values())
