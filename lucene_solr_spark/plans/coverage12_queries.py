@@ -426,3 +426,110 @@ def phonetic_caverphone2(spark, sf_dir):
         .orderBy(F.desc("n_terms"), F.asc("code"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimpleQueryParser — lucene/queryparser/simple/SimpleQueryParser.java via
+# solr SimpleQParserPlugin ({!simple}): the end-user grammar (+ | - "" *
+# ~N ()) with the never-throws contract. plans/simpleqparser.py parses to
+# the SAME IR as the classic parser, so multi-term rewrite and the
+# Boolean-tree scorer run unchanged (engine parity pinned in
+# tests/test_simpleqparser.py). This row checks the MATCH semantics of
+# the parsed tree — coord-style should-count ranking — against a plain
+# SQL restatement of the pinned query
+#   spark+merge | "order batch" | scan* -dup
+# ('+' binds tighter than '|'; '-' negates at its boolean level).
+# ---------------------------------------------------------------------------
+
+_SQ_QUERY = 'spark+merge | "order batch" | scan* -dup'
+
+
+def _sq_match_col(node):
+    """Match-only Column for a simple-parser node over the tokens array."""
+    from ..operators.query import Bool, Term
+    from .driver_queries import _phrase_freq_col
+
+    toks = F.col("tokens")
+    if isinstance(node, Term):
+        return F.array_contains(toks, node.term)
+    if isinstance(node, tuple):
+        kind = node[0]
+        if kind == "phrase":
+            assert node[2] == 0, "match row pins exact phrases"
+            return _phrase_freq_col("tokens", list(node[1])) > 0
+        if kind == "wildcard" and node[1].endswith("*"):
+            base = node[1][:-1]
+            return F.exists(toks, lambda t: t.startswith(base))
+        raise ValueError(f"unsupported leaf in match row: {node!r}")
+    assert isinstance(node, Bool)
+    parts = []
+    for c in node.must:
+        parts.append(_sq_match_col(c))
+    if node.should:
+        ind = [
+            _sq_match_col(c).cast("int") for c in node.should
+        ]
+        need = max(1, node.min_should_match) if not node.must else node.min_should_match
+        total = ind[0]
+        for x in ind[1:]:
+            total = total + x
+        if need:
+            parts.append(total >= need)
+    for c in node.must_not:
+        parts.append(~_sq_match_col(c))
+    if not (node.must or node.should):
+        return F.lit(False)  # pure-negative: matches nothing
+    out = parts[0]
+    for p in parts[1:]:
+        out = out & p
+    return out
+
+
+@register(
+    "simple_qparser_match",
+    """WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS f_spark,
+         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS f_merge,
+         max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS f_dup,
+         max(CASE WHEN term LIKE 'scan%' THEN 1 ELSE 0 END) AS f_scan
+  FROM pos GROUP BY doc_id),
+ph AS (SELECT DISTINCT a.doc_id FROM pos a
+       JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'order' AND b.term = 'batch')
+SELECT f.doc_id,
+       (f_spark * f_merge
+        + CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END
+        + f_scan)::BIGINT AS n_should
+FROM flags f LEFT JOIN ph ON ph.doc_id = f.doc_id
+WHERE f_dup = 0
+  AND (f_spark * f_merge + CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END
+       + f_scan) >= 1
+ORDER BY n_should DESC, f.doc_id ASC LIMIT 20""",
+)
+def simple_qparser_match(spark, sf_dir):
+    """Coord-ranked matches of the pinned {!simple} query."""
+    from ..operators.query import Bool
+    from .driver_queries import _tokens
+    from .simpleqparser import simple_parse
+
+    node = simple_parse(_SQ_QUERY)
+    assert isinstance(node, Bool) and node.should and node.must_not
+    toks = _tokens(spark, sf_dir)
+    n_should = None
+    for c in node.should:
+        ind = _sq_match_col(c).cast("long")
+        n_should = ind if n_should is None else (n_should + ind)
+    neg_ok = None
+    for c in node.must_not:
+        nn = ~_sq_match_col(c)
+        neg_ok = nn if neg_ok is None else (neg_ok & nn)
+    return (
+        toks.select("doc_id", n_should.alias("n_should"), neg_ok.alias("_ok"))
+        .filter((F.col("n_should") >= 1) & F.col("_ok"))
+        .drop("_ok")
+        .orderBy(F.desc("n_should"), F.asc("doc_id"))
+        .limit(20)
+    )
