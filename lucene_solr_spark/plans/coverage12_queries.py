@@ -533,3 +533,85 @@ def simple_qparser_match(spark, sf_dir):
         .orderBy(F.desc("n_should"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# QParser plugin dispatch — QueryParsing.java#parseLocalParams + the
+# QParser.getParser registry (plans/localparams.py): eight parser types
+# dispatched from their {!type ...} strings, all landing in the SAME IR
+# and counted in ONE scan (eight sum(match) aggregates over the tokens
+# frame, unpivoted driver-side — no per-parser job). The term_verbatim
+# row pins the documented {!term}-vs-{!field} analysis difference:
+# '{!term f=text}Spark' is verbatim (0 docs against the lowercased
+# corpus) while '{!field f=text}Order Batch' analyzes to a phrase.
+# ---------------------------------------------------------------------------
+
+_DISPATCH_PARAMS = {"route": "hot"}
+_DISPATCH_QS = {
+    "bool": "{!bool must='{!term f=text}spark' must_not='{!raw f=text}dup'}",
+    "field_phrase": "{!field f=text}Order Batch",
+    "lucene": "spark AND merge",
+    "prefix": "{!prefix f=text}sca",
+    "raw": "{!raw f=text}scan",
+    "simple": "{!simple}order+batch | window",
+    "switch": "{!switch case.hot='{!prefix f=text}wind'"
+    " default='{!term f=text}table' v=$route}",
+    "term_verbatim": "{!term f=text}Spark",
+}
+
+
+@register(
+    "qparser_dispatch_matrix",
+    """WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tokarr),
+flags AS (
+  SELECT doc_id,
+         max(CASE WHEN term = 'spark' THEN 1 ELSE 0 END) AS f_spark,
+         max(CASE WHEN term = 'merge' THEN 1 ELSE 0 END) AS f_merge,
+         max(CASE WHEN term = 'order' THEN 1 ELSE 0 END) AS f_order,
+         max(CASE WHEN term = 'batch' THEN 1 ELSE 0 END) AS f_batch,
+         max(CASE WHEN term = 'window' THEN 1 ELSE 0 END) AS f_window,
+         max(CASE WHEN term = 'Spark' THEN 1 ELSE 0 END) AS f_verbatim,
+         max(CASE WHEN term = 'scan' THEN 1 ELSE 0 END) AS f_scan,
+         max(CASE WHEN term LIKE 'sca%' THEN 1 ELSE 0 END) AS f_sca,
+         max(CASE WHEN term LIKE 'wind%' THEN 1 ELSE 0 END) AS f_wind,
+         max(CASE WHEN term = 'dup' THEN 1 ELSE 0 END) AS f_dup
+  FROM pos GROUP BY doc_id),
+ph AS (SELECT DISTINCT a.doc_id FROM pos a
+       JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       WHERE a.term = 'order' AND b.term = 'batch'),
+j AS (SELECT f.*, CASE WHEN ph.doc_id IS NOT NULL THEN 1 ELSE 0 END AS f_phrase
+      FROM flags f LEFT JOIN ph ON ph.doc_id = f.doc_id)
+SELECT * FROM (
+  SELECT 'bool' AS parser,
+         sum(CASE WHEN f_spark = 1 AND f_dup = 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs FROM j
+  UNION ALL SELECT 'field_phrase', sum(f_phrase)::BIGINT FROM j
+  UNION ALL SELECT 'lucene',
+         sum(CASE WHEN f_spark = 1 AND f_merge = 1 THEN 1 ELSE 0 END)::BIGINT FROM j
+  UNION ALL SELECT 'prefix', sum(f_sca)::BIGINT FROM j
+  UNION ALL SELECT 'raw', sum(f_scan)::BIGINT FROM j
+  UNION ALL SELECT 'simple',
+         sum(CASE WHEN (f_order = 1 AND f_batch = 1) OR f_window = 1
+             THEN 1 ELSE 0 END)::BIGINT FROM j
+  UNION ALL SELECT 'switch', sum(f_wind)::BIGINT FROM j
+  UNION ALL SELECT 'term_verbatim', sum(f_verbatim)::BIGINT FROM j
+) ORDER BY parser""",
+)
+def qparser_dispatch_matrix(spark, sf_dir):
+    """Per-parser match counts for the pinned dispatch strings."""
+    from .driver_queries import _tokens
+    from .localparams import dispatch
+
+    toks = _tokens(spark, sf_dir)
+    aggs = [
+        F.sum(_sq_match_col(dispatch(q, _DISPATCH_PARAMS)).cast("long")).alias(name)
+        for name, q in sorted(_DISPATCH_QS.items())
+    ]
+    wide = toks.agg(*aggs)
+    names = sorted(_DISPATCH_QS)
+    stack = ", ".join(f"'{n}', {n}" for n in names)
+    return (
+        wide.selectExpr(
+            f"stack({len(names)}, {stack}) AS (parser, n_docs)"
+        ).orderBy("parser")
+    )
