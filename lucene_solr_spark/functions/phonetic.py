@@ -233,3 +233,188 @@ def caverphone2_sql(col: str) -> str:
     for pat, repl in CAVERPHONE2_RULES:
         e = f"regexp_replace({e}, '{pat}', '{repl}', 'g')"
     return f"substr({e} || '1111111111', 1, 10)"
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS — PhoneticFilterFactory encoder="Nysiis"
+# (lucene/analysis/phonetic/.../PhoneticFilter.java routing to
+# commons-codec language/Nysiis.java; algorithm: Robert L. Taft, "Name
+# Search Techniques", New York State Identification and Intelligence
+# System, 1970).
+#
+# Two renderings from one spec:
+#   * nysiis_py — the published algorithm verbatim: first/last-pattern
+#     rewrites, then a left-to-right scan whose per-position transcode
+#     mutates the buffer (so later positions see transformed context),
+#     append-if-different key build, trailing S / AY / A trims, strict
+#     6-char truncation. This is the TEST ORACLE.
+#   * nysiis_col / nysiis_sql — the same algorithm as one ordered
+#     regexp_replace chain rendered into pyspark Columns and DuckDB SQL
+#     (cross-engine parity by construction, like Caverphone/DM). The
+#     scan's mutated-prev semantics are reproduced by resolving W runs
+#     to fixpoint first, then iterating the [H-rules, W] block (each H
+#     resolution can expose a W and vice versa); tests/test_phonetic_
+#     nysiis.py asserts chain == scan over the corpus vocabulary and
+#     hypothesis-random words. First char is emitted verbatim
+#     (protected as uppercase through the lowercase-context rules).
+#
+# Documented bound: consonant-fed H/W runs longer than the 4 chain
+# iterations (e.g. 'bhhhhh') may deviate from the scan; no [a-z]+ corpus
+# term comes near it and the parity test screens random inputs.
+# ---------------------------------------------------------------------------
+
+_NY_VOWELS = "aeiou"
+_NY_V_CLASS = "[aAEIOU]"  # post-collapse vowels + protected first char
+_NY_NV_CLASS = "[^aAEIOU]"
+
+NYSIIS_FIRST: list[tuple[str, str]] = [
+    ("^mac", "mcc"),
+    ("^kn", "nn"),
+    ("^k", "c"),
+    ("^(ph|pf)", "ff"),
+    ("^sch", "sss"),
+]
+NYSIIS_LAST: list[tuple[str, str]] = [
+    ("(ee|ie)$", "y"),
+    ("(dt|rt|rd|nt|nd)$", "d"),
+]
+
+
+def _nysiis_stage2() -> list[tuple[str, str]]:
+    """Tail transcode + dedup + trailing trims, first char protected."""
+    hw_block = [
+        (f"({_NY_NV_CLASS})h", "<1><1>"),
+        (f"({_NY_V_CLASS})h({_NY_NV_CLASS})", "<1><1><2>"),
+        (f"({_NY_V_CLASS})h$", "<1><1>"),
+        (f"({_NY_V_CLASS})w", "<1><1>"),
+    ]
+    # ORDER: the scan's SCH/KN/PH checks see the RAW right-context, so
+    # they must run before k->c (which manufactures c) and m->n (which
+    # manufactures n) can corrupt it
+    rules: list[tuple[str, str]] = [
+        ("ev", "af"),
+        ("[eiou]", "a"),
+        ("sch", "sss"),
+        ("kn", "nn"),
+        ("k", "c"),
+        ("ph", "ff"),
+        ("q", "g"),
+        ("z", "s"),
+        ("m", "n"),
+    ]
+    rules += [(f"({_NY_V_CLASS})w", "<1><1>")] * 4  # W runs to fixpoint first
+    for _ in range(4):
+        rules += hw_block
+    # run collapse == the scan's append-if-different key build
+    for c in "abcdfghjlnprstvwxy":
+        rules.append((f"{c}{{2,}}", c))
+    # the protected first char can be duplicated by the H/W prev-copy
+    # rules (uppercase) and followed by equal lowercase output: collapse
+    # mixed-case runs at the head in one class rule per letter
+    for c in "abcdefghijklmnopqrstuvwxyz":
+        u = c.upper()
+        rules.append((f"^{u}[{u}{c}]+", u))
+    rules += [
+        ("(.)s$", "<1>"),
+        ("ay$", "y"),
+        ("^Ay$", "Y"),
+        ("(.)a$", "<1>"),
+    ]
+    return rules
+
+
+def nysiis_py(word: str, strict: bool = True) -> str:
+    """Scan-based reference implementation (the published algorithm)."""
+    import re
+
+    s = re.sub("[^a-z]", "", word.lower())
+    for pat, repl in NYSIIS_FIRST + NYSIIS_LAST:
+        s = re.sub(pat, repl, s, count=1)
+    if not s:
+        return ""
+    chars = list(s)
+    key = [chars[0]]
+
+    def transcode(prev: str, curr: str, nxt: str, anxt: str) -> str:
+        if curr == "e" and nxt == "v":
+            return "af"
+        if curr in _NY_VOWELS:
+            return "a"
+        if curr == "q":
+            return "g"
+        if curr == "z":
+            return "s"
+        if curr == "m":
+            return "n"
+        if curr == "k":
+            return "nn" if nxt == "n" else "c"
+        if curr == "s" and nxt == "c" and anxt == "h":
+            return "sss"
+        if curr == "p" and nxt == "h":
+            return "ff"
+        if curr == "h" and (prev not in _NY_VOWELS or nxt not in _NY_VOWELS):
+            return prev
+        if curr == "w" and prev in _NY_VOWELS:
+            return prev
+        return curr
+
+    for i in range(1, len(chars)):
+        nxt = chars[i + 1] if i + 1 < len(chars) else " "
+        anxt = chars[i + 2] if i + 2 < len(chars) else " "
+        t = transcode(chars[i - 1], chars[i], nxt, anxt)
+        for j, c in enumerate(t):  # arraycopy: overwrite, never insert
+            if i + j < len(chars):
+                chars[i + j] = c
+        if chars[i] != key[-1]:
+            key.append(chars[i])
+    out = "".join(key)
+    if len(out) > 1 and out.endswith("s"):
+        out = out[:-1]
+    if len(out) > 1 and out.endswith("ay"):
+        out = out[:-2] + "y"
+    if len(out) > 1 and out.endswith("a"):
+        out = out[:-1]
+    out = out.upper()
+    return out[:6] if strict else out
+
+
+def nysiis_chain_py(word: str, strict: bool = True) -> str:
+    """The regex-chain rendering in pure Python (parity tests)."""
+    import re
+
+    s = re.sub("[^a-z]", "", word.lower())
+    for pat, repl in NYSIIS_FIRST + NYSIIS_LAST:
+        s = re.sub(pat, repl, s, count=1)
+    if not s:
+        return ""
+    s = s[0].upper() + s[1:]
+    for pat, repl in _nysiis_stage2():
+        s = re.sub(pat, repl.replace("<1>", "\\1").replace("<2>", "\\2"), s)
+    s = s.upper()
+    return s[:6] if strict else s
+
+
+def nysiis_col(col, strict: bool = True) -> Column:
+    """NYSIIS as a pyspark Column (regexp_replace chain, JVM codegen)."""
+    x = F.col(col) if isinstance(col, str) else col
+    x = F.regexp_replace(F.lower(x), "[^a-z]", "")
+    for pat, repl in NYSIIS_FIRST + NYSIIS_LAST:
+        x = F.regexp_replace(x, pat, repl)  # ^/$ anchored: first hit only
+    x = F.concat(F.upper(F.substring(x, 1, 1)), F.substring(x, 2, 1 << 30))
+    for pat, repl in _nysiis_stage2():
+        x = F.regexp_replace(x, pat, repl.replace("<1>", "$1").replace("<2>", "$2"))
+    x = F.upper(x)
+    return F.substring(x, 1, 6) if strict else x
+
+
+def nysiis_sql(col: str, strict: bool = True) -> str:
+    """The IDENTICAL chain as DuckDB SQL."""
+    x = f"regexp_replace(lower({col}), '[^a-z]', '', 'g')"
+    for pat, repl in NYSIIS_FIRST + NYSIIS_LAST:
+        x = f"regexp_replace({x}, '{pat}', '{repl}')"  # anchored, single
+    x = f"(upper(substr({x}, 1, 1)) || substr({x}, 2))"
+    for pat, repl in _nysiis_stage2():
+        r = repl.replace("<1>", "\\1").replace("<2>", "\\2")
+        x = f"regexp_replace({x}, '{pat}', '{r}', 'g')"
+    x = f"upper({x})"
+    return f"substr({x}, 1, 6)" if strict else x

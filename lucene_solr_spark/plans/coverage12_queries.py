@@ -615,3 +615,40 @@ def qparser_dispatch_matrix(spark, sf_dir):
             f"stack({len(names)}, {stack}) AS (parser, n_docs)"
         ).orderBy("parser")
     )
+
+
+# ---------------------------------------------------------------------------
+# NYSIIS — PhoneticFilterFactory encoder="Nysiis" (Taft 1970 via
+# commons-codec Nysiis.java; functions/phonetic.py renders ONE rule
+# chain into both engines, and the scan-based nysiis_py spec oracle is
+# parity-tested against it in tests/test_phonetic_nysiis.py). Same row
+# shape as phonetic_double_metaphone / phonetic_caverphone2.
+# ---------------------------------------------------------------------------
+
+
+def _nysiis_register():
+    from ..functions.phonetic import nysiis_sql
+
+    return f"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+terms AS (SELECT DISTINCT term FROM toks WHERE regexp_full_match(term, '[a-z]+'))
+SELECT {nysiis_sql('term')} AS code, count(*)::BIGINT AS n_terms
+FROM terms GROUP BY code ORDER BY n_terms DESC, code ASC LIMIT 10"""
+
+
+@register("phonetic_nysiis", _nysiis_register())
+def phonetic_nysiis(spark, sf_dir):
+    """Top NYSIIS code classes over the distinct [a-z]+ vocabulary."""
+    from ..functions.phonetic import nysiis_col
+
+    d = _read(spark, sf_dir, "documents")
+    terms = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term").rlike("^[a-z]+$"))
+        .distinct()
+    )
+    return (
+        terms.groupBy(nysiis_col("term").alias("code"))
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("code"))
+        .limit(10)
+    )
