@@ -652,3 +652,45 @@ def phonetic_nysiis(spark, sf_dir):
         .orderBy(F.desc("n_terms"), F.asc("code"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# FingerprintFilter — lucene/analysis/common/.../miscellaneous/
+# FingerprintFilter.java via solr FingerprintFilterFactory: one output
+# token = the SORTED, DE-DUPLICATED input tokens joined by a separator,
+# discarded when it exceeds maxOutputTokenSize. The Solr recipe for
+# shuffled-word dedup fields (OpenRefine-style clustering key). Pure
+# array built-ins in both engines (array_distinct/array_sort/array_join
+# vs list_distinct/list_sort/array_to_string) — codegen, no UDF.
+# ---------------------------------------------------------------------------
+
+_FP_MAX = 150  # chars; sf0.01 fingerprints span 30..168, so both branches fire
+
+
+@register(
+    "fingerprint_filter_classes",
+    f"""WITH fp AS (
+  SELECT doc_id,
+         array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ') AS raw_fp
+  FROM documents),
+kept AS (SELECT doc_id,
+                CASE WHEN length(raw_fp) <= {_FP_MAX} THEN raw_fp END AS fingerprint
+         FROM fp)
+SELECT fingerprint, count(*)::BIGINT AS n_docs
+FROM kept WHERE fingerprint IS NOT NULL
+GROUP BY fingerprint ORDER BY n_docs DESC, fingerprint ASC LIMIT 10""",
+)
+def fingerprint_filter_classes(spark, sf_dir):
+    """Duplicate classes under the fingerprint key (maxOutputTokenSize
+    guard drops over-long fingerprints, as the reference filter does)."""
+    d = _read(spark, sf_dir, "documents")
+    raw = F.array_join(F.array_sort(F.array_distinct(F.split("text", " "))), " ")
+    fp = F.when(F.length(raw) <= _FP_MAX, raw)
+    return (
+        d.select(fp.alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
+        .limit(10)
+    )
