@@ -42,6 +42,7 @@ __all__ = [
     "Phrase",
     "Synonym",
     "Bool",
+    "DisMax",
     "collect_terms",
     "collect_term_leaves",
     "collect_fields",
@@ -121,13 +122,38 @@ class Bool:
                 object.__setattr__(self, f, tuple(v))
 
 
+@dataclass(frozen=True)
+class DisMax:
+    """A disjunction-max node (search/DisjunctionMaxQuery.java): matches
+    where ANY clause matches; score = best clause score + tie *
+    (sum of the others). Accumulation contract mirrors Bool: the sum is
+    a float32 left fold in clause-list order, the max is exact, and the
+    tie combine is float32 step-by-step ((sum-max), *tie, +max) — the
+    scalar oracle and the DuckDB engine-row oracles restate the same
+    fold. tie=0 is Lucene's default (pure max); tie=1 makes the node
+    score-identical to a SHOULD-sum Bool."""
+
+    clauses: tuple = ()
+    tie: float = 0.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if not isinstance(self.clauses, tuple):
+            object.__setattr__(self, "clauses", tuple(self.clauses))
+
+
 def collect_terms(node) -> set[str]:
     """All distinct terms anywhere in the tree (incl. MUST_NOT/FILTER)."""
     if isinstance(node, Term):
         return {node.term}
     if isinstance(node, (Phrase, Synonym)):
         return set(node.terms)
-    out: set[str] = set()
+    if isinstance(node, DisMax):
+        out: set[str] = set()
+        for c in node.clauses:
+            out |= collect_terms(c)
+        return out
+    out = set()
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out |= collect_terms(c)
@@ -142,7 +168,12 @@ def collect_term_leaves(node) -> set[str]:
         return {node.term}
     if isinstance(node, (Phrase, Synonym)):
         return set()
-    out: set[str] = set()
+    if isinstance(node, DisMax):
+        out: set[str] = set()
+        for c in node.clauses:
+            out |= collect_term_leaves(c)
+        return out
+    out = set()
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out |= collect_term_leaves(c)
@@ -153,7 +184,12 @@ def collect_fields(node) -> set:
     """Field names used by Term/Phrase/Synonym leaves (None = default)."""
     if isinstance(node, (Term, Phrase, Synonym)):
         return {node.field}
-    out: set = set()
+    if isinstance(node, DisMax):
+        out: set = set()
+        for c in node.clauses:
+            out |= collect_fields(c)
+        return out
+    out = set()
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out |= collect_fields(c)
@@ -166,7 +202,12 @@ def collect_phrases(node) -> list["Phrase"]:
         return []
     if isinstance(node, Phrase):
         return [node]
-    out: list[Phrase] = []
+    if isinstance(node, DisMax):
+        out: list[Phrase] = []
+        for c in node.clauses:
+            out.extend(collect_phrases(c))
+        return out
+    out = []
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out.extend(collect_phrases(c))
@@ -179,7 +220,12 @@ def collect_synonyms(node) -> list["Synonym"]:
         return []
     if isinstance(node, Synonym):
         return [node]
-    out: list[Synonym] = []
+    if isinstance(node, DisMax):
+        out: list[Synonym] = []
+        for c in node.clauses:
+            out.extend(collect_synonyms(c))
+        return out
+    out = []
     for part in (node.must, node.should, node.must_not, node.filter):
         for c in part:
             out.extend(collect_synonyms(c))
@@ -201,6 +247,13 @@ def rewrite(node):
     """BooleanQuery#rewrite analog — conservative, score-preserving in
     float32 (only boost==1 splices and exact single-clause collapses, so the
     rewritten tree is bit-identical to the original under eval_node)."""
+    if isinstance(node, DisMax):
+        # DisjunctionMaxQuery#rewrite: single-clause DMQ collapses to the
+        # clause (tie is then unobservable); boost folds only when exact
+        clauses = tuple(rewrite(c) for c in node.clauses)
+        if len(clauses) == 1 and node.boost == 1.0:
+            return clauses[0]
+        return DisMax(clauses=clauses, tie=node.tie, boost=node.boost)
     if not isinstance(node, Bool):
         # Term/Phrase/Synonym and any extension leaf (e.g. the Monitor's
         # multi-term leaves) pass through untouched
@@ -310,6 +363,31 @@ def eval_node(
         if node.boost != 1.0:
             s = (s * np.float32(node.boost)).astype(np.float32)
         return m, s
+
+    if isinstance(node, DisMax):
+        if not node.clauses:
+            return np.zeros(span, dtype=bool), np.zeros(span, dtype=np.float32)
+        mask = np.zeros(span, dtype=bool)
+        best = np.zeros(span, dtype=np.float32)
+        total = np.zeros(span, dtype=np.float32)
+        for c in node.clauses:
+            cm, cs = eval_node(
+                c, tscores, tmasks, span, pscores, pmasks, sscores, smasks
+            )
+            cs = np.where(cm, cs, np.float32(0.0)).astype(np.float32)
+            mask |= cm
+            np.maximum(best, cs, out=best)
+            total = (total + cs).astype(np.float32)  # f32 fold, clause order
+        if node.tie == 0.0:
+            score = best
+        else:
+            rest = (total - best).astype(np.float32)
+            rest = (rest * np.float32(node.tie)).astype(np.float32)
+            score = (best + rest).astype(np.float32)
+        score = np.where(mask, score, np.float32(0.0)).astype(np.float32)
+        if node.boost != 1.0:
+            score = (score * np.float32(node.boost)).astype(np.float32)
+        return mask, score
 
     # Bool node
     if not (node.must or node.should or node.filter):

@@ -694,3 +694,50 @@ def fingerprint_filter_classes(spark, sf_dir):
         .orderBy(F.desc("n_docs"), F.asc("fingerprint"))
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+# ENGINE-PATH {!maxscore} — search/DisjunctionMaxQuery.java via solr
+# MaxScoreQParserPlugin: SHOULD clauses combine as max + tie*(rest)
+# instead of sum. The dispatcher (plans/localparams.py) parses the
+# classic body and wraps its SHOULD clauses in the DisMax IR node; the
+# per-bucket kernel (operators/query.py#eval_node) evaluates it in
+# float32 (exact max; sum is the f32 clause-order fold; tie combine
+# f32 step-by-step). Oracle restates the identical fold: cidx pins the
+# CLAUSE order ('order','batch','stream'), not term order.
+# ---------------------------------------------------------------------------
+
+_MS_TIE = 0.3
+
+
+def _maxscore_register():
+    from .coverage3_queries import _f32_bm25_ctes
+
+    return f"""WITH {_f32_bm25_ctes(['batch', 'order', 'stream'])},
+cl AS (SELECT c.doc_id, c.s_t,
+              CASE c.term WHEN 'order' THEN 0 WHEN 'batch' THEN 1 ELSE 2 END AS cidx
+       FROM contrib c),
+agg AS (SELECT doc_id, max(s_t) AS best,
+               list_reduce(list(s_t ORDER BY cidx), (a, b) -> (a + b)::FLOAT) AS total
+        FROM cl GROUP BY doc_id),
+ms AS (SELECT doc_id,
+              (best + (((total - best)::FLOAT * ({_MS_TIE}::FLOAT))::FLOAT))::FLOAT
+                AS score_f
+       FROM agg)
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM ms ORDER BY score_f DESC, doc_id ASC LIMIT 10"""
+
+
+@register("maxscore_engine_topk", _maxscore_register())
+def maxscore_engine_topk(spark, sf_dir):
+    """Real-engine top-10 for '{!maxscore tie=0.3}order batch stream',
+    float32-exact cross-engine."""
+    from .localparams import dispatch
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    node = dispatch(f"{{!maxscore tie={_MS_TIE}}}order batch stream")
+    res = s.topk_query(node, k=10)
+    return res.select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )

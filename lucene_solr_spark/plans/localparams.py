@@ -13,6 +13,7 @@ params):
   solr/core/.../search/SwitchQParserPlugin.java    ({!switch})
   solr/core/.../search/LuceneQParserPlugin.java    ({!lucene}, the default)
   solr/core/.../search/SimpleQParserPlugin.java    ({!simple})
+  solr/core/.../search/MaxScoreQParserPlugin.java  ({!maxscore})
 
 Syntax: ``{!type k=v k2='quoted v' v=$ref}body``. The first bare token
 names the parser (``type=`` works too); values are bare words,
@@ -47,7 +48,7 @@ dispatched type unchanged.
 from __future__ import annotations
 
 from ..functions.analysis import tokenize_text
-from ..operators.query import Bool, Term
+from ..operators.query import Bool, DisMax, Term
 from .qparser import QueryParseError, parse as lucene_parse
 from .simpleqparser import simple_parse
 
@@ -215,6 +216,39 @@ def _p_bool(local, body, params):
     return node
 
 
+def _p_maxscore(local, body, params):
+    """MaxScoreQParserPlugin: classic syntax, but the SHOULD clauses of
+    each Boolean node combine as max (+ tie * the rest) instead of sum —
+    the parser wraps them in one DisjunctionMaxQuery. MUST / MUST_NOT /
+    FILTER clauses are untouched. The reference rebuilds the query with
+    a single SHOULD clause, so the original minimumNumberShouldMatch is
+    dropped (mirrored here)."""
+    tie = float(_one(local, "tie", "0.0") or 0.0)
+
+    def wrap(node):
+        if isinstance(node, Bool) and node.should:
+            return Bool(
+                must=tuple(wrap(c) for c in node.must),
+                should=(DisMax(
+                    clauses=tuple(wrap(c) for c in node.should), tie=tie
+                ),),
+                must_not=node.must_not,
+                filter=node.filter,
+                boost=node.boost,
+            )
+        if isinstance(node, Bool):
+            return Bool(
+                must=tuple(wrap(c) for c in node.must),
+                must_not=node.must_not,
+                filter=node.filter,
+                min_should_match=node.min_should_match,
+                boost=node.boost,
+            )
+        return node
+
+    return wrap(lucene_parse(body))
+
+
 def _p_switch(local, body, params):
     val = (body or "").strip()
     if not val:
@@ -239,6 +273,7 @@ _REGISTRY = {
     "prefix": _p_prefix,
     "bool": _p_bool,
     "switch": _p_switch,
+    "maxscore": _p_maxscore,
 }
 
 

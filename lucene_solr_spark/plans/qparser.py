@@ -40,7 +40,7 @@ from __future__ import annotations
 import re
 
 from ..functions.analysis import tokenize_text
-from ..operators.query import Bool, Term
+from ..operators.query import Bool, DisMax, Term
 
 _TOKEN_RE = re.compile(
     r"""
@@ -288,6 +288,15 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
             _, terms, slop, boost, field = node
             return Phrase(terms=tuple(terms), slop=slop, boost=boost, field=field)
         raise QueryParseError(f"unknown leaf {kind}")
+    if isinstance(node, DisMax):
+        return DisMax(
+            clauses=tuple(
+                resolve_multi_terms(c, searcher, max_expansions)
+                for c in node.clauses
+            ),
+            tie=node.tie,
+            boost=node.boost,
+        )
     if isinstance(node, Bool):
         def rs(part):
             return tuple(resolve_multi_terms(c, searcher, max_expansions) for c in part)

@@ -322,7 +322,13 @@ class OracleIndex:
 
     def eval_bool(self, node) -> tuple[set, dict]:
         """Returns (matching doc_ids, {doc_id: float32 score})."""
-        from lucene_solr_spark.operators.query import Bool, Phrase, Synonym, Term
+        from lucene_solr_spark.operators.query import (
+            Bool,
+            DisMax,
+            Phrase,
+            Synonym,
+            Term,
+        )
 
         if isinstance(node, Term):
             return self._term_scores(node.term, node.boost)
@@ -330,6 +336,30 @@ class OracleIndex:
             return self._phrase_scores(node)
         if isinstance(node, Synonym):
             return self._synonym_scores(node)
+        if isinstance(node, DisMax):
+            res = [self.eval_bool(c) for c in node.clauses]
+            cand = set()
+            for m, _ in res:
+                cand |= m
+            out = {}
+            for d in sorted(cand):
+                vals = [
+                    s[d] if d in m else np.float32(0.0) for m, s in res
+                ]
+                best = max(vals, key=float) if vals else np.float32(0.0)
+                total = np.float32(0.0)
+                for v in vals:  # f32 left fold in clause order
+                    total = np.float32(total + v)
+                if node.tie == 0.0:
+                    acc = best
+                else:
+                    rest = np.float32(total - best)
+                    rest = np.float32(rest * np.float32(node.tie))
+                    acc = np.float32(best + rest)
+                if node.boost != 1.0:
+                    acc = np.float32(acc * np.float32(node.boost))
+                out[d] = acc
+            return cand, out
         assert isinstance(node, Bool)
         if not (node.must or node.should or node.filter):
             return set(), {}

@@ -8,7 +8,7 @@ from __future__ import annotations
 
 import pytest
 
-from lucene_solr_spark.operators.query import Bool, Term
+from lucene_solr_spark.operators.query import Bool, DisMax, Term, eval_node, rewrite
 from lucene_solr_spark.plans.localparams import (
     dispatch,
     parse_local_params,
@@ -141,24 +141,113 @@ def test_nested_dispatch_matches_classic_tree():
     assert got == want
 
 
+# ---- maxscore / DisMax -------------------------------------------------------
+
+def test_maxscore_structure():
+    q = dispatch("{!maxscore tie=0.5}+spark order batch")
+    assert q == Bool(
+        must=(Term("spark"),),
+        should=(DisMax(clauses=(Term("order"), Term("batch")), tie=0.5),),
+    )
+    # pure disjunction: outer Bool rewrites away to the bare DisMax
+    assert rewrite(dispatch("{!maxscore}order batch")) == DisMax(
+        clauses=(Term("order"), Term("batch"))
+    )
+
+
+def test_dismax_rewrite_single_clause_collapses():
+    assert rewrite(DisMax(clauses=(Term("spark"),), tie=0.7)) == Term("spark")
+    assert rewrite(DisMax(clauses=(Term("spark"),), boost=2.0)) == DisMax(
+        clauses=(Term("spark"),), boost=2.0
+    )
+
+
+def test_dismax_eval_kernel():
+    import numpy as np
+
+    tscores = {
+        "a": np.array([0.5, 0.0, 0.2], dtype=np.float32),
+        "b": np.array([0.3, 0.4, 0.0], dtype=np.float32),
+    }
+    tmasks = {
+        "a": np.array([True, False, True]),
+        "b": np.array([True, True, False]),
+    }
+    node = DisMax(clauses=(Term("a"), Term("b")), tie=0.5)
+    mask, score = eval_node(node, tscores, tmasks, 3)
+    assert mask.tolist() == [True, True, True]
+    exp = np.float32(0.5) + np.float32(0.5) * np.float32(0.3)
+    assert score[0] == exp and score[1] == np.float32(0.4)
+    assert score[2] == np.float32(0.2)
+    # tie=1 == SHOULD sum on the same inputs
+    _, s1 = eval_node(DisMax(clauses=(Term("a"), Term("b")), tie=1.0),
+                      tscores, tmasks, 3)
+    _, s2 = eval_node(Bool(should=(Term("a"), Term("b"))), tscores, tmasks, 3)
+    assert (s1 == s2).all()
+    # empty DisMax matches nothing
+    m0, s0 = eval_node(DisMax(), tscores, tmasks, 3)
+    assert not m0.any() and not s0.any()
+
+
 # ---- engine parity -----------------------------------------------------------
 
-def test_dispatched_tree_scores_like_classic(spark):
+@pytest.fixture(scope="module")
+def searcher(spark):
     from lucene_solr_spark.corpus import documents_as_corpus
     from lucene_solr_spark.operators.indexer import build_index
     from lucene_solr_spark.operators.search import Searcher
-    from lucene_solr_spark.plans.qparser import resolve_multi_terms
 
     from .conftest import SF_DIR
 
     corpus = documents_as_corpus(spark, SF_DIR)
     seg = build_index(spark, corpus, out_dir=None, bucket_docs=128)
-    s = Searcher(spark, seg)
+    return Searcher(spark, seg)
+
+
+def test_dispatched_tree_scores_like_classic(searcher):
+    from lucene_solr_spark.plans.qparser import resolve_multi_terms
+
     a = resolve_multi_terms(
         dispatch("{!bool must='{!field f=text}Spark' should='{!prefix f=text}mer'}"),
-        s,
+        searcher,
     )
-    b = resolve_multi_terms(parse("+spark mer*"), s)
-    ra = [(r["doc_id"], r["score"]) for r in s.topk_query(a, k=10).collect()]
-    rb = [(r["doc_id"], r["score"]) for r in s.topk_query(b, k=10).collect()]
+    b = resolve_multi_terms(parse("+spark mer*"), searcher)
+    ra = [(r["doc_id"], r["score"]) for r in searcher.topk_query(a, k=10).collect()]
+    rb = [(r["doc_id"], r["score"]) for r in searcher.topk_query(b, k=10).collect()]
+    assert ra == rb
+
+
+def test_maxscore_engine_matches_scalar_oracle(spark, searcher):
+    import numpy as np
+
+    from .conftest import SF_DIR
+    from .oracle import OracleIndex
+
+    docs = [
+        (int(r["doc_id"]), r["text"])
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    ]
+    ora = OracleIndex(docs)
+    node = dispatch("{!maxscore tie=0.3}order batch stream")
+    got = [
+        (r["doc_id"], np.float32(r["score"]))
+        for r in searcher.topk_query(node, k=10).collect()
+    ]
+    want = [(d, np.float32(s)) for d, s in ora.topk_bool(node, k=10)]
+    assert got == want
+
+
+def test_maxscore_tie1_equals_sum_engine(searcher):
+    node = dispatch("{!maxscore tie=1.0}order batch stream")
+    sum_node = parse("order batch stream")
+    ra = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_query(node, k=10).collect()
+    ]
+    rb = [
+        (r["doc_id"], r["score"])
+        for r in searcher.topk_query(sum_node, k=10).collect()
+    ]
     assert ra == rb
