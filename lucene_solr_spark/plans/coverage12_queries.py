@@ -741,3 +741,41 @@ def maxscore_engine_topk(spark, sf_dir):
     return res.select(
         "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
     )
+
+
+# ---------------------------------------------------------------------------
+# JSON facet join domain — {"domain": {"join": {"from": ..., "to": ...}}}
+# (solr/core/.../search/facet/FacetRequest.java#Domain +
+# search/JoinQParserPlugin.java as a domain switch): the facet domain is
+# MAPPED through the join before bucketing — each to-side doc enters the
+# domain at most once however many from-docs point at it (set semantics,
+# not inner-join multiplicity). Base domain: customers in the BUILDING
+# segment; facet: order priority counts over their orders. Distinct
+# from-keys broadcast into a semi-join; the facet is one map-combined
+# shuffle — the {!join}-then-facet plan you'd want at 100 TB.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_facet_join_domain",
+    """SELECT o.o_orderpriority, count(*)::BIGINT AS n
+FROM orders o
+WHERE o.o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""",
+)
+def json_facet_join_domain(spark, sf_dir):
+    """facet over orders' o_orderpriority with domain join from
+    c_custkey (BUILDING customers) to o_custkey."""
+    c = (
+        _read(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("o_custkey"))
+        .distinct()
+    )
+    o = _read(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    return (
+        o.join(F.broadcast(c), "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .orderBy("o_orderpriority")
+    )
