@@ -779,3 +779,89 @@ def json_facet_join_domain(spark, sf_dir):
         .agg(F.count("*").alias("n"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# CollapsingQParser min=field + nullPolicy=expand —
+# solr/core/.../search/CollapsingQParserPlugin.java: collapse groups pick
+# the doc with the MIN of a numeric field (not score), and docs whose
+# collapse field is NULL are kept as their own singleton groups
+# (nullPolicy=expand). Collapse key = nullif(lang,'de') so the null path
+# is genuinely exercised. Spark shape: min(struct(field, doc_id)) —
+# ONE map-combined agg (no window, no per-group sort), the selector you
+# want at 100 TB; the null side is a filter passthrough unioned in.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "collapse_null_policy_expand",
+    """WITH d AS (SELECT doc_id, n_chars, nullif(lang, 'de') AS grp FROM documents),
+best AS (SELECT grp, doc_id, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY n_chars ASC, doc_id ASC) AS rn
+  FROM d WHERE grp IS NOT NULL) WHERE rn = 1),
+expanded AS (SELECT grp, doc_id, n_chars FROM d WHERE grp IS NULL)
+SELECT grp, doc_id, n_chars FROM (SELECT * FROM best UNION ALL SELECT * FROM expanded)
+ORDER BY doc_id ASC LIMIT 50""",
+)
+def collapse_null_policy_expand(spark, sf_dir):
+    """collapse field=lang' min=n_chars nullPolicy=expand (lang='de'
+    nulled out to exercise the expand path)."""
+    d = _read(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars", F.expr("nullif(lang, 'de')").alias("grp")
+    )
+    best = (
+        d.filter(F.col("grp").isNotNull())
+        .groupBy("grp")
+        .agg(F.min(F.struct("n_chars", "doc_id")).alias("m"))
+        .select("grp", F.col("m.doc_id").alias("doc_id"), F.col("m.n_chars").alias("n_chars"))
+    )
+    expanded = d.filter(F.col("grp").isNull()).select("grp", "doc_id", "n_chars")
+    return best.unionByName(expanded).orderBy(F.asc("doc_id")).limit(50)
+
+
+# ---------------------------------------------------------------------------
+# Streaming math hist() — solrj/io/eval/HistogramEvaluator.java: equal-
+# width histogram of a numeric stream (bin bounds from the global
+# min/max). Both engines compute bin = least(floor((x-min)*8/(max-min)),7)
+# with the SAME double-op order, so bin assignment is bit-identical;
+# per-bin mean rounded (parallel-sum jitter well under 2dp at these
+# magnitudes, the repo's established discipline for double aggregates).
+# The global extrema broadcast as a 1-row aggregate (no driver collect).
+# ---------------------------------------------------------------------------
+
+_HIST_BINS = 8
+
+
+@register(
+    "stream_histogram",
+    f"""WITH ext AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi FROM orders),
+b AS (SELECT least(floor((o.o_totalprice - e.lo) * {_HIST_BINS} / (e.hi - e.lo)),
+                   {_HIST_BINS - 1})::BIGINT AS bin, o.o_totalprice
+      FROM orders o CROSS JOIN ext e)
+SELECT bin, count(*)::BIGINT AS n, round(avg(o_totalprice), 2) AS mean_price
+FROM b GROUP BY bin ORDER BY bin""",
+)
+def stream_histogram(spark, sf_dir):
+    """hist(o_totalprice, 8): equal-width bins, count + mean per bin."""
+    o = _read(spark, sf_dir, "orders").select("o_totalprice")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    binc = F.least(
+        F.floor(
+            (F.col("o_totalprice") - F.col("lo"))
+            * F.lit(_HIST_BINS)
+            / (F.col("hi") - F.col("lo"))
+        ),
+        F.lit(_HIST_BINS - 1),
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(ext))
+        .select(binc.alias("bin"), "o_totalprice")
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("mean_price"),
+        )
+        .orderBy("bin")
+    )
