@@ -225,6 +225,31 @@ def _search(args) -> int:
             hits = hits.select("gdoc_id", "score").withColumnRenamed(
                 "gdoc_id", "doc_id"
             )
+    elif (
+        getattr(args, "deftype", "lucene") in ("simple", "maxscore")
+        or args.query.lstrip().startswith("{!")
+    ):
+        # local-params dispatch (plans/localparams.py — QParser.getParser
+        # analog): a q starting with {!type ...} picks its parser inline
+        # (overriding defType, as in the reference); --deftype simple /
+        # maxscore wrap a plain q. Evaluated across the WHOLE catalog via
+        # MultiSearcher.topk_query — global stats, liveDocs excluded,
+        # --fq applies as the usual stored-fields mask.
+        from .plans.localparams import dispatch
+        from .plans.qparser import resolve_multi_terms
+
+        ms = MultiSearcher.from_catalog(spark, cat)
+        q = args.query.lstrip()
+        if not q.startswith("{!"):
+            q = (
+                "{!simple}" if args.deftype == "simple"
+                else f"{{!maxscore tie={args.tie}}}"
+            ) + q
+        node = resolve_multi_terms(dispatch(q), ms)
+        hits = ms.topk_query(node, k=args.k, fq=args.fq)
+        hits = hits.select("gdoc_id", "score").withColumnRenamed(
+            "gdoc_id", "doc_id"
+        )
     elif getattr(args, "synonyms", None):
         # query-time synonym expansion against the plain index
         from .functions.synonyms import parse_synonym_rules
@@ -349,9 +374,14 @@ def main(argv: list[str] | None = None) -> int:
                    help="filter query: SQL predicate over stored fields "
                         "(mask only — scores and stats untouched)")
     s.add_argument("--deftype", default="lucene",
-                   choices=["lucene", "edismax", "surround", "xmlparser"],
+                   choices=["lucene", "edismax", "surround", "xmlparser",
+                            "simple", "maxscore"],
                    help="query parser: classic lucene (default), edismax, "
-                        "surround (W/N span ops), or xmlparser (XML DSL)")
+                        "surround (W/N span ops), xmlparser (XML DSL), "
+                        "simple (never-throws end-user grammar), or "
+                        "maxscore (SHOULD clauses combine as max + tie). "
+                        "A --query starting with {!type ...} dispatches "
+                        "through the local-params registry regardless")
     s.add_argument("--qf", default=None,
                    help="edismax qf spec (field^boost ...; field = 'content')")
     s.add_argument("--pf", default=None, help="edismax phrase-boost fields")

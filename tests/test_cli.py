@@ -416,3 +416,52 @@ def test_cli_xmlparser_match_all_honours_fq(spark, cli_index, capsys):
     got = [r["doc_id"] for r in _lines(capsys)]
     assert got == list(range(100, 105))
     assert all(d >= 100 for d in got)
+
+
+def test_cli_simple_parser_matches_classic_equivalent(spark, cli_index, capsys):
+    """--deftype simple: 'order+batch | window' scores exactly like the
+    classic '(+order +batch) window' (same IR modulo grouping)."""
+    rc = main(["search", "--index", cli_index, "--deftype", "simple",
+               "--query", "order+batch | window", "--k", "5"])
+    assert rc == 0
+    simple = [(r["doc_id"], round(r["score"], 6)) for r in _lines(capsys)]
+    rc = main(["search", "--index", cli_index,
+               "--query", "(+order +batch) window", "--k", "5"])
+    assert rc == 0
+    classic = [(r["doc_id"], round(r["score"], 6)) for r in _lines(capsys)]
+    assert simple and simple == classic
+
+
+def test_cli_simple_parser_never_throws(spark, cli_index, capsys):
+    for junk in ["(((", '"unterminated', "+ | -", ""]:
+        rc = main(["search", "--index", cli_index, "--deftype", "simple",
+                   "--query", junk, "--k", "5"])
+        assert rc == 0, junk
+        _lines(capsys)  # drain
+
+
+def test_cli_local_params_dispatch(spark, cli_index, capsys):
+    """A {!type ...} query dispatches through the registry regardless of
+    --deftype; {!maxscore} result matches the library tree evaluation."""
+    from lucene_solr_spark.plans.localparams import dispatch
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    q = "{!maxscore tie=0.3}order batch"
+    rc = main(["search", "--index", cli_index, "--query", q, "--k", "5"])
+    assert rc == 0
+    got = [(r["doc_id"], round(r["score"], 6)) for r in _lines(capsys)]
+    ms = MultiSearcher.from_catalog(spark, Catalog(cli_index))
+    want = [
+        (int(r["gdoc_id"]), round(float(r["score"]), 6))
+        for r in ms.topk_query(dispatch(q), k=5).collect()
+    ]
+    assert got and got == want
+
+
+def test_cli_local_params_honours_fq(spark, cli_index, capsys):
+    rc = main(["search", "--index", cli_index,
+               "--query", "{!term f=text}order",
+               "--fq", "doc_id >= 250", "--k", "50"])
+    assert rc == 0
+    got = [r["doc_id"] for r in _lines(capsys)]
+    assert got and all(d >= 250 for d in got)
