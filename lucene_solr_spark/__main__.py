@@ -96,6 +96,31 @@ def _disjoint_doc_ids(spark, segments) -> bool:
     return all(a[1] < b[0] for a, b in zip(spans, spans[1:]))
 
 
+def _fetch_stored(spark, segs_by_id, wanted, fl):
+    """RealTimeGet-style stored-fields point fetch for the <=k result
+    docs (solr RealTimeGetComponent / the 'fl' field list over the
+    stored-fields store): one isin-pruned docmap scan per segment;
+    driver-side rows bounded by --k. ``wanted`` maps segment_id ->
+    {local doc_id: printed doc_id}; unknown fl names are ignored, as in
+    the reference."""
+    from pyspark.sql import functions as F
+
+    out: dict[int, dict] = {}
+    for sid, w in wanted.items():
+        seg = segs_by_id.get(sid)
+        if seg is None or not w:
+            continue
+        dm = seg.table(spark, "docmap").filter(
+            F.col("doc_id").isin([int(x) for x in w])
+        )
+        cols = [c for c in fl if c in dm.columns]
+        if not cols:
+            continue
+        for r in dm.select("doc_id", *cols).collect():
+            out[w[int(r["doc_id"])]] = {c: r[c] for c in cols}
+    return out
+
+
 def _search(args) -> int:
     from .operators.search import MultiSearcher, Searcher
     from .session import get_spark
@@ -103,6 +128,7 @@ def _search(args) -> int:
 
     spark = get_spark(app_name="fulltext-search")
     cat = Catalog(args.index)
+    printed = "doc_id"  # branches serving gdoc-space results override
     if getattr(args, "deftype", "lucene") == "edismax":
         # eDisMax request (ExtendedDismaxQParser analog): the catalog's
         # single field is addressed as 'content' in qf/pf specs
@@ -211,6 +237,8 @@ def _search(args) -> int:
                 )
                 parts.append(
                     dm.select(
+                        F.lit(seg.segment_id).alias("segment_id"),
+                        F.col("doc_id").alias("local_id"),
                         (F.col("doc_id") + F.lit(ms.doc_base[seg.segment_id]))
                         .alias("doc_id"),
                         F.lit(1.0).cast("float").alias("score"),
@@ -222,9 +250,7 @@ def _search(args) -> int:
             hits = hits.orderBy("doc_id").limit(args.k)
         else:
             hits = ms.topk_query(tree, k=args.k, fq=args.fq)
-            hits = hits.select("gdoc_id", "score").withColumnRenamed(
-                "gdoc_id", "doc_id"
-            )
+            printed = "gdoc_id"  # same values the rename used to print
     elif (
         getattr(args, "deftype", "lucene") in ("simple", "maxscore")
         or args.query.lstrip().startswith("{!")
@@ -247,9 +273,7 @@ def _search(args) -> int:
             ) + q
         node = resolve_multi_terms(dispatch(q), ms)
         hits = ms.topk_query(node, k=args.k, fq=args.fq)
-        hits = hits.select("gdoc_id", "score").withColumnRenamed(
-            "gdoc_id", "doc_id"
-        )
+        printed = "gdoc_id"
     elif getattr(args, "synonyms", None):
         # query-time synonym expansion against the plain index
         from .functions.synonyms import parse_synonym_rules
@@ -269,8 +293,32 @@ def _search(args) -> int:
     else:
         ms = MultiSearcher.from_catalog(spark, cat)
         hits = ms.search(args.query, k=args.k, fq=args.fq)
-    for r in hits.collect():
-        print(json.dumps({"doc_id": int(r.doc_id), "score": float(r.score)}))
+    rows = hits.collect()
+    extra: dict[int, dict] = {}
+    fl = [c.strip() for c in (getattr(args, "fl", None) or "").split(",")
+          if c.strip()]
+    if fl and rows:
+        cols = set(rows[0].__fields__)
+        segs_by_id = {s.segment_id: s for s in cat.segments()}
+        wanted: dict[str, dict[int, int]] = {}
+        if "segment_id" in cols:
+            # unambiguous (segment, local id) pairs straight from the hit
+            local_col = "local_id" if "local_id" in cols else "doc_id"
+            for r in rows:
+                wanted.setdefault(r["segment_id"], {})[int(r[local_col])] = (
+                    int(r[printed])
+                )
+        else:
+            # flat doc-id space: edismax/surround serve it only after the
+            # disjoint-ranges guard, and the synonym path is single-
+            # segment, so a raw id matches in at most one docmap
+            for sid in segs_by_id:
+                wanted[sid] = {int(r[printed]): int(r[printed]) for r in rows}
+        extra = _fetch_stored(spark, segs_by_id, wanted, fl)
+    for r in rows:
+        rec = {"doc_id": int(r[printed]), "score": float(r["score"])}
+        rec.update(extra.get(rec["doc_id"], {}))
+        print(json.dumps(rec, default=str))
     return 0
 
 
@@ -397,6 +445,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="edismax multiplicative boost function over dl")
     s.add_argument("--synonyms", default=None,
                    help="synonyms.txt for QUERY-TIME expansion (classic parser path)")
+    s.add_argument("--fl", default=None,
+                   help="comma-separated stored fields to return with each "
+                        "hit (RealTimeGet-style point fetch from the "
+                        "stored-fields store; unknown names ignored)")
     s.set_defaults(func=_search)
 
     c = sub.add_parser("check", help="CheckIndex every committed segment")

@@ -465,3 +465,37 @@ def test_cli_local_params_honours_fq(spark, cli_index, capsys):
     assert rc == 0
     got = [r["doc_id"] for r in _lines(capsys)]
     assert got and all(d >= 250 for d in got)
+
+
+def test_cli_fl_returns_stored_fields(spark, cli_index, capsys):
+    """--fl fetches stored fields for the hits (RealTimeGet-style);
+    values must match the source parquet; unknown names are ignored."""
+    rc = main(["search", "--index", cli_index, "--query", "order batch",
+               "--k", "5", "--fl", "lang,content,nosuchfield"])
+    assert rc == 0
+    got = _lines(capsys)
+    assert len(got) == 5
+    src = {
+        int(r["doc_id"]): (r["lang"], r["text"])
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang", "text").collect()
+    }
+    for rec in got:
+        assert "nosuchfield" not in rec
+        assert (rec["lang"], rec["content"]) == src[rec["doc_id"]]
+
+
+def test_cli_fl_on_localparams_and_xml_matchall(spark, cli_index, capsys):
+    rc = main(["search", "--index", cli_index,
+               "--query", "{!maxscore}order batch", "--k", "3",
+               "--fl", "lang"])
+    assert rc == 0
+    for rec in _lines(capsys):
+        assert isinstance(rec["lang"], str) and rec["lang"]
+    rc = main(["search", "--index", cli_index, "--query",
+               "<MatchAllDocsQuery/>", "--deftype", "xmlparser",
+               "--k", "3", "--fl", "content_sha256"])
+    assert rc == 0
+    recs = _lines(capsys)
+    assert [r["doc_id"] for r in recs] == [0, 1, 2]
+    assert all(len(r["content_sha256"]) == 64 for r in recs)
