@@ -261,8 +261,9 @@ def _search(args) -> int:
         # maxscore wrap a plain q. Evaluated across the WHOLE catalog via
         # MultiSearcher.topk_query — global stats, liveDocs excluded,
         # --fq applies as the usual stored-fields mask.
+        from .operators.query import collect_fields
         from .plans.localparams import dispatch
-        from .plans.qparser import resolve_multi_terms
+        from .plans.qparser import QueryParseError, resolve_multi_terms
 
         ms = MultiSearcher.from_catalog(spark, cat)
         q = args.query.lstrip()
@@ -271,7 +272,23 @@ def _search(args) -> int:
                 "{!simple}" if args.deftype == "simple"
                 else f"{{!maxscore tie={args.tie}}}"
             ) + q
-        node = resolve_multi_terms(dispatch(q), ms)
+        try:
+            node = resolve_multi_terms(dispatch(q), ms)
+        except QueryParseError as exc:
+            print(json.dumps({"error": str(exc)}), file=sys.stderr)
+            return 2
+        if collect_fields(node) - {None}:
+            # a field-scoped leaf (e.g. {!term f=lang}) would otherwise be
+            # looked up in the single text field's postings — silently
+            # scoring the wrong field. Refuse like Searcher.topk_query;
+            # use --fq for stored-field predicates.
+            print(
+                json.dumps({"error": "field-scoped clauses are not served "
+                            "by this single-field catalog; filter stored "
+                            "fields with --fq instead"}),
+                file=sys.stderr,
+            )
+            return 2
         hits = ms.topk_query(node, k=args.k, fq=args.fq)
         printed = "gdoc_id"
     elif getattr(args, "synonyms", None):

@@ -499,3 +499,19 @@ def test_cli_fl_on_localparams_and_xml_matchall(spark, cli_index, capsys):
     recs = _lines(capsys)
     assert [r["doc_id"] for r in recs] == [0, 1, 2]
     assert all(len(r["content_sha256"]) == 64 for r in recs)
+
+
+def test_cli_local_params_refuses_field_scope_and_bad_syntax(
+    spark, cli_index, capsys
+):
+    """{!term f=lang} must refuse (it would score the text field's
+    postings for a lang query), and malformed local params must emit a
+    clean JSON error, not a traceback."""
+    rc = main(["search", "--index", cli_index,
+               "--query", "{!term f=lang}order", "--k", "3"])
+    assert rc == 2
+    assert "field-scoped" in capsys.readouterr().err
+    for bad in ["{!nosuch}x", "{!term v=$missing}", "{!bool}"]:
+        rc = main(["search", "--index", cli_index, "--query", bad])
+        assert rc == 2, bad
+        assert "error" in capsys.readouterr().err
