@@ -319,22 +319,28 @@ def _search(args) -> int:
         segs_by_id = {s.segment_id: s for s in cat.segments()}
         wanted: dict[str, dict[int, int]] = {}
         if "segment_id" in cols:
-            # unambiguous (segment, local id) pairs straight from the hit
+            # unambiguous (segment, local id) pairs straight from the hit;
+            # the fetch is keyed by the SAME pair, not the printed id —
+            # on the classic multi-segment path two segments can print
+            # equal local doc_ids and must not swap stored fields
             local_col = "local_id" if "local_id" in cols else "doc_id"
+            row_key = lambda r: (r["segment_id"], int(r[local_col]))  # noqa: E731
             for r in rows:
                 wanted.setdefault(r["segment_id"], {})[int(r[local_col])] = (
-                    int(r[printed])
+                    row_key(r)
                 )
         else:
             # flat doc-id space: edismax/surround serve it only after the
             # disjoint-ranges guard, and the synonym path is single-
             # segment, so a raw id matches in at most one docmap
+            row_key = lambda r: int(r[printed])  # noqa: E731
             for sid in segs_by_id:
                 wanted[sid] = {int(r[printed]): int(r[printed]) for r in rows}
         extra = _fetch_stored(spark, segs_by_id, wanted, fl)
     for r in rows:
         rec = {"doc_id": int(r[printed]), "score": float(r["score"])}
-        rec.update(extra.get(rec["doc_id"], {}))
+        if fl:
+            rec.update(extra.get(row_key(r), {}))
         print(json.dumps(rec, default=str))
     return 0
 
@@ -445,8 +451,11 @@ def main(argv: list[str] | None = None) -> int:
                         "surround (W/N span ops), xmlparser (XML DSL), "
                         "simple (never-throws end-user grammar), or "
                         "maxscore (SHOULD clauses combine as max + tie). "
-                        "A --query starting with {!type ...} dispatches "
-                        "through the local-params registry regardless")
+                        "Under lucene/simple/maxscore, a --query starting "
+                        "with {!type ...} dispatches through the "
+                        "local-params registry instead (the edismax/"
+                        "surround/xmlparser deftypes take their own "
+                        "syntax verbatim)")
     s.add_argument("--qf", default=None,
                    help="edismax qf spec (field^boost ...; field = 'content')")
     s.add_argument("--pf", default=None, help="edismax phrase-boost fields")

@@ -222,13 +222,9 @@ def interval_prefix_count(spark, sf_dir):
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
-    expanded = [
-        r.term
-        for r in s.segment.table(spark, "terms")
-        .filter(F.col("term").startswith(_IV_PREFIX))
-        .select("term")
-        .collect()
-    ]
+    # shared terms-dict walk; cap+1 so over-broad prefixes REFUSE rather
+    # than silently truncate
+    expanded = s.expand_terms(prefix=_IV_PREFIX, max_expansions=_IV_PREFIX_CAP + 1)
     if len(expanded) > _IV_PREFIX_CAP:
         raise ValueError(
             f"prefix '{_IV_PREFIX}' expanded to {len(expanded)} terms "

@@ -315,22 +315,15 @@ ORDER BY n_intervals DESC, doc_id ASC LIMIT 10""",
 def interval_wildcard_count(spark, sf_dir):
     """Intervals.ordered(Intervals.wildcard('s*a*'), join): terms-dict
     wildcard expansion into the ordered minimal-interval kernel."""
-    import re
-
     from ..operators.intervals import IOr, IOrdered, ITerm
     from .coverage10_queries import _interval_count_udf
     from .driver_queries import _tokens
     from .solr_queries import _engine_searcher
 
-    rx = "^" + re.escape(_IV_WILD).replace(r"\*", ".*").replace(r"\?", ".") + "$"
     s = _engine_searcher(spark, sf_dir)
-    expanded = [
-        r.term
-        for r in s.segment.table(spark, "terms")
-        .filter(F.col("term").rlike(rx))
-        .select("term")
-        .collect()
-    ]
+    # the shared terms-dict automaton walk (one more than the cap so an
+    # over-broad pattern is detected and REFUSED, not silently truncated)
+    expanded = s.expand_terms(wildcard=_IV_WILD, max_expansions=_IV_WILD_CAP + 1)
     if len(expanded) > _IV_WILD_CAP:
         raise ValueError(
             f"wildcard '{_IV_WILD}' expanded to {len(expanded)} terms "

@@ -143,6 +143,17 @@ def _one(local: dict, key: str, default: str | None = None) -> str | None:
     return vals[-1] if vals else default
 
 
+def _num(local: dict, key: str, default: str, conv):
+    """Numeric local param; a malformed value is a parse error (the CLI
+    contract: every bad local-params input surfaces as QueryParseError,
+    never a bare ValueError traceback)."""
+    raw = _one(local, key, default) or default
+    try:
+        return conv(raw)
+    except ValueError as exc:
+        raise QueryParseError(f"bad numeric local param {key}={raw!r}") from exc
+
+
 def _field_of(local: dict) -> str | None:
     f = _one(local, "f")
     # the engine's default field is the document text column; leave
@@ -203,13 +214,12 @@ def _p_bool(local, body, params):
     def sub(key):
         return tuple(dispatch(v, params) for v in local.get(key, ()))
 
-    mm = _one(local, "mm")
     node = Bool(
         must=sub("must"),
         should=sub("should"),
         must_not=sub("must_not"),
         filter=sub("filter"),
-        min_should_match=int(mm) if mm else 0,
+        min_should_match=_num(local, "mm", "0", int),
     )
     if not (node.must or node.should or node.must_not or node.filter):
         raise QueryParseError("{!bool} needs at least one clause param")
@@ -223,7 +233,7 @@ def _p_maxscore(local, body, params):
     FILTER clauses are untouched. The reference rebuilds the query with
     a single SHOULD clause, so the original minimumNumberShouldMatch is
     dropped (mirrored here)."""
-    tie = float(_one(local, "tie", "0.0") or 0.0)
+    tie = _num(local, "tie", "0.0", float)
 
     def wrap(node):
         if isinstance(node, Bool) and node.should:

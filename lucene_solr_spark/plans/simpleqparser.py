@@ -171,6 +171,7 @@ def _parse_level(toks: list, i: int, default_and: bool, depth: int):
     cur_neg: list = []
     cur_had_and = False
     pending_and = False
+    pending_or = False  # explicit '|' overrides a default AND operator
     pending_not = False
 
     def close_group():
@@ -180,17 +181,19 @@ def _parse_level(toks: list, i: int, default_and: bool, depth: int):
         cur_pos, cur_neg, cur_had_and = [], [], False
 
     def add_atom(a):
-        nonlocal pending_and, pending_not, cur_had_and
+        nonlocal pending_and, pending_or, pending_not, cur_had_and
         if a is None:
-            pending_and = pending_not = False
+            pending_and = pending_or = pending_not = False
             return
-        joined_by_and = pending_and or (default_and and (cur_pos or cur_neg))
+        joined_by_and = pending_and or (
+            default_and and not pending_or and (cur_pos or cur_neg)
+        )
         if not joined_by_and and (cur_pos or cur_neg):
             close_group()
         if joined_by_and:
             cur_had_and = True
         (cur_neg if pending_not else cur_pos).append(a)
-        pending_and = pending_not = False
+        pending_and = pending_or = pending_not = False
 
     while i < len(toks):
         kind, val = toks[i]
@@ -203,6 +206,7 @@ def _parse_level(toks: list, i: int, default_and: bool, depth: int):
             continue
         if kind == "OR":
             pending_and = False
+            pending_or = True  # an explicit '|' is honored under q.op=AND
             continue
         if kind == "NOT":
             pending_not = True
@@ -245,8 +249,9 @@ def _parse_level(toks: list, i: int, default_and: bool, depth: int):
         return Bool(), i
     if len(nodes) == 1 and not or_negs:
         return nodes[0], i
-    if default_and:
-        return Bool(must=tuple(nodes), must_not=tuple(or_negs)), i
+    # under q.op=AND, whitespace joins INTO a group, so multiple groups
+    # can only have been split by an explicit '|' — the groups are
+    # OR-combined under either default operator
     return Bool(should=tuple(nodes), must_not=tuple(or_negs)), i
 
 

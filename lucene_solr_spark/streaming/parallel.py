@@ -44,6 +44,13 @@ def parallel_rollup(
         + [f"sum_{c} double" for c in sum_cols]
     )
 
+    # sentinel for the NULL-key group: pandas groupby would either drop
+    # null rows (dropna default) or sort NaN LAST while Spark's
+    # sortWithinPartitions put nulls FIRST — both break the one-open-group
+    # carry. Nulls are split out and processed first, matching the
+    # partition's physical order.
+    _NULL = object()
+
     def roll(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         open_key = None
         open_n = 0
@@ -52,10 +59,18 @@ def parallel_rollup(
             if pdf.empty:
                 continue
             done_rows = []
+            null_mask = pdf[key].isna()
+            groups = []
+            if null_mask.any():
+                groups.append((_NULL, pdf[null_mask]))
             # groups are contiguous: the partition is sorted by key
-            for k, g in pdf.groupby(key, sort=True):
+            groups.extend(pdf[~null_mask].groupby(key, sort=True))
+            for k, g in groups:
                 if open_key is not None and k != open_key:
-                    done_rows.append([open_key, open_n, *open_sums])
+                    done_rows.append(
+                        [None if open_key is _NULL else open_key,
+                         open_n, *open_sums]
+                    )
                     open_key, open_n = None, 0
                     open_sums = [0.0] * len(sum_cols)
                 if open_key is None:
@@ -69,7 +84,7 @@ def parallel_rollup(
                 )
         if open_key is not None:
             yield pd.DataFrame(
-                [[open_key, open_n, *open_sums]],
+                [[None if open_key is _NULL else open_key, open_n, *open_sums]],
                 columns=[key, "n"] + [f"sum_{c}" for c in sum_cols],
             )
 

@@ -511,7 +511,46 @@ def test_cli_local_params_refuses_field_scope_and_bad_syntax(
                "--query", "{!term f=lang}order", "--k", "3"])
     assert rc == 2
     assert "field-scoped" in capsys.readouterr().err
-    for bad in ["{!nosuch}x", "{!term v=$missing}", "{!bool}"]:
+    for bad in ["{!nosuch}x", "{!term v=$missing}", "{!bool}",
+                "{!maxscore tie=abc}order", "{!bool must=a mm=x}"]:
         rc = main(["search", "--index", cli_index, "--query", bad])
         assert rc == 2, bad
         assert "error" in capsys.readouterr().err
+
+
+def test_cli_fl_multi_segment_local_id_collision(spark, tmp_path, capsys):
+    """Two independently built segments share local doc ids; --fl must
+    fetch each hit's fields from ITS OWN segment (keyed by
+    (segment_id, local id), not the printed id)."""
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    idx = str(tmp_path / "fl2seg")
+    docs = documents_as_corpus(spark, SF)
+    lo = docs.filter(F.col("doc_id") < 250)
+    hi = docs.filter(F.col("doc_id") >= 250).withColumn(
+        "doc_id", F.col("doc_id") - 250
+    )
+    cat = Catalog(idx)
+    for sid, part in (("lo", lo), ("hi", hi)):
+        build_index(spark, part, out_dir=idx, segment_id=sid)
+        cat.commit_swap(add=[sid])
+    rc = main(["search", "--index", idx, "--query", "order batch",
+               "--k", "10", "--fl", "content_sha256"])
+    assert rc == 0
+    recs = _lines(capsys)
+    assert len(recs) == 10
+    sha = {
+        (sid, int(r["doc_id"])): r["content_sha256"]
+        for sid, part in (("lo", lo), ("hi", hi))
+        for r in part.select("doc_id", "content_sha256").collect()
+    }
+    ms = MultiSearcher.from_catalog(spark, Catalog(idx))
+    want = sorted(
+        (int(r["doc_id"]), round(float(r["score"]), 6),
+         sha[(r["segment_id"], int(r["doc_id"]))])
+        for r in ms.search("order batch", k=10).collect()
+    )
+    got = sorted(
+        (r["doc_id"], round(r["score"], 6), r["content_sha256"]) for r in recs
+    )
+    assert got == want

@@ -241,3 +241,22 @@ def test_caverphone2_three_way_parity(spark):
     )
     assert sp == py and dk == py
     assert all(len(c) == 10 for c in py.values())
+
+
+def test_parallel_rollup_keeps_null_key_group(spark):
+    """Null rollup keys must form their own group (Spark groupBy
+    semantics), not be silently dropped by pandas' dropna default, and
+    must not break the one-open-group carry (Spark sorted them FIRST in
+    the partition while pandas would have sorted NaN last)."""
+    from lucene_solr_spark.streaming.parallel import parallel_rollup
+
+    rows = [(None, 1.0), ("a", 2.0), (None, 3.0), ("b", 4.0), ("a", 5.0)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    got = {r.k: (r.n, r.sum_v) for r in parallel_rollup(df, "k", ["v"], 2).collect()}
+    want = {
+        r["k"]: (r["n"], r["s"])
+        for r in df.groupBy("k")
+        .agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+        .collect()
+    }
+    assert got == want and None in got

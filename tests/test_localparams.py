@@ -251,3 +251,10 @@ def test_maxscore_tie1_equals_sum_engine(searcher):
         for r in searcher.topk_query(sum_node, k=10).collect()
     ]
     assert ra == rb
+
+
+def test_bad_numeric_local_params_are_parse_errors():
+    with pytest.raises(QueryParseError, match="tie"):
+        dispatch("{!maxscore tie=abc}order")
+    with pytest.raises(QueryParseError, match="mm"):
+        dispatch("{!bool must=a mm=x}")

@@ -159,3 +159,15 @@ def test_engine_scores_match_classic(searcher, sq, cq):
     ra = [(r["doc_id"], r["score"]) for r in searcher.topk_query(a, k=10).collect()]
     rb = [(r["doc_id"], r["score"]) for r in searcher.topk_query(b, k=10).collect()]
     assert ra == rb, f"{sq!r} vs {cq!r}"
+
+
+def test_explicit_or_overrides_default_and():
+    # '|' must be honored under q.op=AND (it used to be swallowed by the
+    # default operator and silently AND the clauses)
+    q = simple_parse("spark | merge", default_and=True)
+    assert q == Bool(should=(Term("spark"), Term("merge")))
+    # whitespace joins into the AND group; '|' splits groups
+    q = simple_parse("spark merge | scan", default_and=True)
+    assert q == Bool(
+        should=(Bool(must=(Term("spark"), Term("merge"))), Term("scan"))
+    )
