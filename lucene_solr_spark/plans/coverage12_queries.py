@@ -858,3 +858,36 @@ def stream_histogram(spark, sf_dir):
         )
         .orderBy("bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# LengthFilter + TruncateTokenFilter —
+# lucene/analysis/common/.../miscellaneous/LengthFilter.java (min/max
+# character bounds drop tokens entirely) and TruncateTokenFilter.java
+# (prefixLength truncation, the cheap stemmer substitute). One chain:
+# length gate [3,8] then truncate to 4 chars; the row counts the
+# resulting token-class sizes over the distinct vocabulary — pure
+# built-ins (length/substr) in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "length_truncate_tokens",
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+terms AS (SELECT DISTINCT term FROM toks),
+kept AS (SELECT substr(term, 1, 4) AS tkey FROM terms
+         WHERE length(term) BETWEEN 3 AND 8)
+SELECT tkey, count(*)::BIGINT AS n_terms
+FROM kept GROUP BY tkey ORDER BY n_terms DESC, tkey ASC LIMIT 15""",
+)
+def length_truncate_tokens(spark, sf_dir):
+    """Token classes after LengthFilter(3,8) + Truncate(4)."""
+    d = _read(spark, sf_dir, "documents")
+    terms = d.select(F.explode(F.split("text", " ")).alias("term")).distinct()
+    return (
+        terms.filter(F.length("term").between(3, 8))
+        .groupBy(F.substring("term", 1, 4).alias("tkey"))
+        .agg(F.count("*").alias("n_terms"))
+        .orderBy(F.desc("n_terms"), F.asc("tkey"))
+        .limit(15)
+    )
