@@ -458,6 +458,8 @@ def _sq_match_col(node):
     parts = []
     for c in node.must:
         parts.append(_sq_match_col(c))
+    for c in node.filter:
+        parts.append(_sq_match_col(c))  # FILTER gates like MUST (no score here)
     if node.should:
         ind = [
             _sq_match_col(c).cast("int") for c in node.should
@@ -470,7 +472,7 @@ def _sq_match_col(node):
             parts.append(total >= need)
     for c in node.must_not:
         parts.append(~_sq_match_col(c))
-    if not (node.must or node.should):
+    if not (node.must or node.should or node.filter):
         return F.lit(False)  # pure-negative: matches nothing
     out = parts[0]
     for p in parts[1:]:
