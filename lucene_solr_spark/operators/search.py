@@ -1446,6 +1446,9 @@ class MultiSearcher:
         self._deletes: DataFrame | None = None
         if deletes is not None and not deletes.isEmpty():
             self._deletes = deletes
+        # shards.tolerant bookkeeping (set by from_catalog(tolerant=True))
+        self.skipped: list[tuple[str, str]] = []
+        self.partial_results = False
 
     def _deleted_docs(self, s: Segment) -> DataFrame | None:
         """This segment's tombstones as a (bucket, doc_id) DataFrame sharing
@@ -1462,8 +1465,48 @@ class MultiSearcher:
         )
 
     @classmethod
-    def from_catalog(cls, spark: SparkSession, catalog) -> "MultiSearcher":
-        return cls(spark, catalog.segments(), deletes=catalog.deletes(spark))
+    def from_catalog(
+        cls, spark: SparkSession, catalog, tolerant: bool = False
+    ) -> "MultiSearcher":
+        """``tolerant`` is solr's shards.tolerant=true
+        (HttpShardHandler/SearchHandler: a failed shard is skipped and the
+        response carries partialResults=true instead of propagating the
+        error; the default re-raises like shards.tolerant=false). A
+        segment "fails" when a required table's completeness marker is
+        missing — the per-table _SUCCESS marker is this engine's analog
+        of the reference's per-file checksum validation at reader-open
+        (index/SegmentInfos.java read path). Skipped segments are listed
+        on ``.skipped`` (segment_id, reason) and ``.partial_results`` is
+        set — surfaced, not logged."""
+        segs = catalog.segments()
+        if not tolerant:
+            return cls(spark, segs, deletes=catalog.deletes(spark))
+        ok: list[Segment] = []
+        skipped: list[tuple[str, str]] = []
+        for s in segs:
+            reason = cls._validate_segment(s)
+            if reason is None:
+                ok.append(s)
+            else:
+                skipped.append((s.segment_id, reason))
+        if not ok:
+            raise RuntimeError(
+                "shards.tolerant: every segment failed validation: "
+                + "; ".join(f"{sid}: {r}" for sid, r in skipped)
+            )
+        ms = cls(spark, ok, deletes=catalog.deletes(spark))
+        ms.skipped = skipped
+        ms.partial_results = bool(skipped)
+        return ms
+
+    @staticmethod
+    def _validate_segment(s: Segment) -> str | None:
+        """None when servable; else the skip reason. In-memory (NRT)
+        segments are live by construction."""
+        for t in ("terms", "postings", "docmap"):
+            if not s.has_table(t):
+                return f"missing table {t!r}"
+        return None
 
     def _all_terms(self) -> DataFrame:
         """Every segment's terms dict as ONE scan: all on-disk segments go

@@ -142,6 +142,73 @@ def fuzzy_like_this_topk(spark, sf_dir):
 _FE_TERM = "vector"
 
 
+# ---------------------------------------------------------------------------
+# shards.tolerant=true — solr/core/.../handler/component/SearchHandler.java
+# + HttpShardHandler.java: with shards.tolerant a failed shard is skipped
+# and the response carries partialResults=true; without it the shard error
+# propagates. ENGINE-PATH row: two real segments are built from the
+# even/odd doc halves, the odd segment's terms table is then destroyed,
+# and MultiSearcher.from_catalog(tolerant=True) serves the survivor —
+# n_hits comes from a real top-k over the served half, and the
+# skipped/partial flags are the row's payload. The oracle derives the
+# same numbers from the even half arithmetically.
+# ---------------------------------------------------------------------------
+
+_ST_CACHE: dict = {}
+
+
+@register(
+    "shards_tolerant_search",
+    """SELECT sum(CASE WHEN doc_id % 2 = 0
+             AND list_contains(string_split(text, ' '), 'spark')
+             THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+       sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_served,
+       1::BIGINT AS n_skipped, 1::BIGINT AS partial_results
+FROM documents""",
+)
+def shards_tolerant_search(spark, sf_dir):
+    """Tolerant multi-shard search over a catalog with one broken segment."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.search import MultiSearcher
+    from ..sources.catalog import Catalog
+
+    key = sf_dir
+    if key not in _ST_CACHE:
+        root = "/tmp/spark_graft_tol/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        cat = Catalog(root)
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 0),
+            out_dir=root, segment_id="even",
+        )
+        build_index(
+            spark, docs.filter(F.col("doc_id") % 2 == 1),
+            out_dir=root, segment_id="odd",
+        )
+        for s in Catalog(root).segments():
+            if s.segment_id == "odd":  # destroy the shard
+                shutil.rmtree(f"{s.path}/terms", ignore_errors=True)
+        _ST_CACHE[key] = root
+    cat = Catalog(_ST_CACHE[key])
+    ms = MultiSearcher.from_catalog(spark, cat, tolerant=True)
+    n_hits = ms.topk("spark", k=ms.n_docs + 1).count()
+    return spark.createDataFrame(
+        [(
+            int(n_hits),
+            int(ms.n_docs),
+            int(len(ms.skipped)),
+            int(ms.partial_results),
+        )],
+        "n_hits bigint, n_docs_served bigint, n_skipped bigint, "
+        "partial_results bigint",
+    )
+
+
 @register(
     "facet_exists_cap",
     f"""SELECT DISTINCT source AS bucket, 1 AS n

@@ -113,6 +113,52 @@ def test_fuzzy_expansion_against_vocab(spark):
     assert max(r.n_variants for r in rows) >= 2  # both seeds hit variants
 
 
+# -- shards.tolerant ----------------------------------------------------------
+
+
+def test_shards_tolerant_contract(spark):
+    """tolerant=True skips the broken shard with a reason and flags
+    partialResults; tolerant=False (the default) hits the failure; a
+    catalog where EVERY shard is broken raises even in tolerant mode."""
+    from lucene_solr_spark.operators.search import MultiSearcher
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    c17.shards_tolerant_search(spark, SF_DIR).collect()  # builds + breaks odd
+    root = c17._ST_CACHE[SF_DIR]
+    cat = Catalog(root)
+
+    ms = MultiSearcher.from_catalog(spark, cat, tolerant=True)
+    assert ms.partial_results
+    assert ms.skipped == [("odd", "missing table 'terms'")]
+    assert {s.segment_id for s in ms.segments} == {"even"}
+
+    # default mode serves the broken segment and fails when it is read
+    strict = MultiSearcher.from_catalog(spark, cat)
+    with pytest.raises(Exception):
+        strict.topk("spark", k=5).collect()
+
+    # every shard broken -> error even under tolerant (Solr 500s too)
+    import shutil
+
+    for s in cat.segments():
+        if s.segment_id == "even":
+            shutil.rmtree(f"{s.path}/postings", ignore_errors=True)
+    try:
+        with pytest.raises(RuntimeError, match="every segment failed"):
+            MultiSearcher.from_catalog(spark, Catalog(root), tolerant=True)
+    finally:
+        c17._ST_CACHE.pop(SF_DIR, None)  # cache now fully broken: rebuild next use
+
+
+def test_shards_tolerant_hits_are_half(spark):
+    row = c17.shards_tolerant_search(spark, SF_DIR).first()
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n_even = d.filter(F.col("doc_id") % 2 == 0).count()
+    assert row.n_docs_served == n_even
+    assert 0 < row.n_hits <= n_even
+    assert row.n_skipped == 1 and row.partial_results == 1
+
+
 # -- facet.exists -------------------------------------------------------------
 
 
