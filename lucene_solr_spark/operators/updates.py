@@ -144,3 +144,47 @@ def atomic_update(
     # 3. publish atomically
     catalog.commit_swap(add=[seg_id])
     return UpdateResult(n_updated, n_rejected, seg_id, rejected_out)
+
+
+def update_numeric_docvalue(
+    spark: SparkSession,
+    segment,
+    column: str,
+    updates: DataFrame,
+) -> int:
+    """In-place numeric docvalues update — IndexWriter#updateNumericDocValue
+    (LUCENE-5189 docvalues generations) / Solr's in-place atomic update
+    path (AtomicUpdateDocumentMerger#computeInPlaceUpdatableFields: only
+    non-indexed numeric DV fields and ``_version_`` qualify).
+
+    ``updates`` is (doc_id, value) for the touched docs only. The update
+    writes a NEW generation sidecar next to the segment's tables — the
+    .dvd gen-file analog — and readers overlay generations newest-last
+    (Segment.stored_fields). Postings, positions, norms, and the base
+    docmap bytes are untouched: a term query returns identical results
+    before and after, exactly the reference's contract. A later merge
+    reads through the overlay view, so merged segments materialize
+    current values and carry no sidecars (forceMerge collapsing DV
+    generations).
+
+    Returns the generation number written. Cost at scale: one narrow
+    (doc_id, value) write of the touched rows — never a docmap rewrite.
+    """
+    import os
+
+    assert segment.path, "in-place DV updates need an on-disk segment"
+    base_cols = set(segment.stored_fields(spark).columns)
+    if column not in base_cols:
+        raise ValueError(
+            f"unknown docvalues field {column!r}; in-place updates cannot "
+            "add fields (Lucene updateNumericDocValue contract)"
+        )
+    gens = [g for c, g in segment.dv_generations() if c == column]
+    gen = (max(gens) + 1) if gens else 1
+    out = os.path.join(segment.path, f"dv_{column}_g{gen}")
+    updates.select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("value")
+    ).write.mode("errorifexists").parquet(out)
+    # a cached composed docmap view is stale now
+    segment.dfs.pop("_docmap_view", None)
+    return gen

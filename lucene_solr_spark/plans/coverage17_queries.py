@@ -226,3 +226,61 @@ def facet_exists_cap(spark, sf_dir):
         .withColumn("n", F.lit(1))
         .orderBy(F.asc("bucket"))
     )
+
+
+# ---------------------------------------------------------------------------
+# In-place numeric docvalues update — lucene IndexWriter#updateNumericDocValue
+# (LUCENE-5189 docvalues generations) / solr in-place atomic updates
+# (AtomicUpdateDocumentMerger#computeInPlaceUpdatableFields). ENGINE-PATH:
+# a real segment takes TWO update generations on `_version_` (the one
+# field Solr always allows in-place) — gen1 bumps every 10th doc to 2,
+# gen2 bumps every 20th to 3, so the newest generation provably overrides
+# the older one — and the row reads version counts through the reader's
+# overlay view. Postings are untouched (pinned by test: identical top-k
+# before/after); the oracle derives the same counts arithmetically.
+# ---------------------------------------------------------------------------
+
+_DV_CACHE: dict = {}
+
+
+@register(
+    "dv_inplace_update",
+    """SELECT CASE WHEN doc_id % 20 = 0 THEN 3
+            WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END::BIGINT AS version,
+       count(*)::BIGINT AS n_docs
+FROM documents GROUP BY version ORDER BY version ASC""",
+)
+def dv_inplace_update(spark, sf_dir):
+    """Per-version doc counts after two stacked in-place DV generations."""
+    import hashlib as _h
+    import shutil
+
+    from ..corpus import documents_as_corpus
+    from ..operators.indexer import build_index
+    from ..operators.updates import update_numeric_docvalue
+    from ..sources.catalog import Catalog
+
+    key = sf_dir
+    if key not in _DV_CACHE:
+        root = "/tmp/spark_graft_dv/" + _h.md5(sf_dir.encode()).hexdigest()[:8]
+        shutil.rmtree(root, ignore_errors=True)
+        docs = documents_as_corpus(spark, sf_dir)
+        build_index(spark, docs, out_dir=root, segment_id="base")
+        seg = Catalog(root).segments()[0]
+        ids = docs.select(F.col("doc_id"))
+        update_numeric_docvalue(
+            spark, seg, "_version_",
+            ids.filter(F.col("doc_id") % 10 == 0).withColumn("value", F.lit(2)),
+        )
+        update_numeric_docvalue(
+            spark, seg, "_version_",
+            ids.filter(F.col("doc_id") % 20 == 0).withColumn("value", F.lit(3)),
+        )
+        _DV_CACHE[key] = root
+    seg = Catalog(_DV_CACHE[key]).segments()[0]
+    return (
+        seg.stored_fields(spark)
+        .groupBy(F.col("_version_").alias("version"))
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy(F.asc("version"))
+    )

@@ -25,7 +25,12 @@ import uuid
 from dataclasses import dataclass, field
 from typing import Any
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DV_GEN_RE = re.compile(r"^dv_(.+)_g(\d+)$")
 
 MANIFEST = "_MANIFEST.json"
 TABLES = ("docmap", "terms", "postings")
@@ -104,12 +109,40 @@ class Segment:
     def stored_fields(self, spark: SparkSession) -> DataFrame:
         """The raw stored-fields table WITHOUT the norms join — for readers
         whose predicates/projections touch only stored columns (keeps their
-        plans join-free)."""
+        plans join-free), overlaid with any in-place docvalues update
+        generations (LUCENE-5189 .dvd gen files;
+        ``operators/updates.py#update_numeric_docvalue``): each sidecar
+        holds (doc_id, value) for the docs that generation touched and
+        newer generations win — readers see current values, postings and
+        the base docmap bytes stay untouched."""
         dm = self.dfs.get("docmap")
         if dm is None:
             assert self.path, "segment has no path and no cached df for docmap"
             dm = spark.read.parquet(os.path.join(self.path, "docmap"))
+        for column, gen in self.dv_generations():
+            side = spark.read.parquet(
+                os.path.join(self.path, f"dv_{column}_g{gen}")
+            ).select("doc_id", F.col("value").alias("__dv"))
+            dm = (
+                dm.join(side, "doc_id", "left")
+                .withColumn(column, F.coalesce("__dv", column))
+                .drop("__dv")
+            )
         return dm
+
+    def dv_generations(self) -> list[tuple[str, int]]:
+        """(column, generation) pairs of committed in-place DV update
+        sidecars, oldest generation first (apply order)."""
+        if not self.path or not os.path.isdir(self.path):
+            return []
+        out = []
+        for name in os.listdir(self.path):
+            m = _DV_GEN_RE.match(name)
+            if m and os.path.exists(
+                os.path.join(self.path, name, "_SUCCESS")
+            ):
+                out.append((m.group(1), int(m.group(2))))
+        return sorted(out, key=lambda cg: cg[1])
 
     def has_table(self, name: str) -> bool:
         if name in self.dfs:

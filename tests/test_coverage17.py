@@ -159,6 +159,71 @@ def test_shards_tolerant_hits_are_half(spark):
     assert row.n_skipped == 1 and row.partial_results == 1
 
 
+# -- in-place DV updates ------------------------------------------------------
+
+
+def test_dv_update_postings_untouched(spark):
+    """A term query returns identical results before and after in-place DV
+    generations land — the update never touches postings."""
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    c17.dv_inplace_update(spark, SF_DIR).collect()  # builds + two gens
+    seg = Catalog(c17._DV_CACHE[SF_DIR]).segments()[0]
+    assert [g for _, g in seg.dv_generations()] == [1, 2]
+    hits = Searcher(spark, seg).topk("spark join", k=10).collect()
+    # rebuild the same corpus WITHOUT updates: identical top-k
+    from lucene_solr_spark.corpus import documents_as_corpus
+    from lucene_solr_spark.operators.indexer import build_index
+
+    clean = build_index(
+        spark, documents_as_corpus(spark, SF_DIR), out_dir=None, bucket_docs=256
+    )
+    clean_hits = Searcher(spark, clean).topk("spark join", k=10).collect()
+    assert [(r.doc_id, r.score) for r in hits] == [
+        (r.doc_id, r.score) for r in clean_hits
+    ]
+
+
+def test_dv_update_unknown_field_refused(spark):
+    from lucene_solr_spark.operators.updates import update_numeric_docvalue
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    c17.dv_inplace_update(spark, SF_DIR).collect()
+    seg = Catalog(c17._DV_CACHE[SF_DIR]).segments()[0]
+    ids = spark.range(1).select(F.col("id").alias("doc_id"), F.lit(1).alias("value"))
+    with pytest.raises(ValueError, match="cannot add fields"):
+        update_numeric_docvalue(spark, seg, "no_such_field", ids)
+
+
+def test_dv_update_merge_materializes(spark):
+    """forceMerge collapses DV generations: the merged segment carries the
+    updated values in its base docmap and no sidecars."""
+    from lucene_solr_spark.operators.merge import merge_segments
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    c17.dv_inplace_update(spark, SF_DIR).collect()
+    seg = Catalog(c17._DV_CACHE[SF_DIR]).segments()[0]
+    merged = merge_segments(
+        spark, [seg], out_dir="/tmp/spark_graft_dv_merged", segment_id="m1"
+    )
+    assert merged.dv_generations() == []
+    versions = {
+        r._version_: r.n
+        for r in merged.stored_fields(spark)
+        .groupBy("_version_")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    expect = {
+        r.version: r.n_docs for r in c17.dv_inplace_update(spark, SF_DIR).collect()
+    }
+    assert versions == expect
+    import shutil
+
+    shutil.rmtree("/tmp/spark_graft_dv_merged", ignore_errors=True)
+
+
 # -- facet.exists -------------------------------------------------------------
 
 
