@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .driver_queries import register
+from .driver_queries import _read, register
 
 # ---------------------------------------------------------------------------
 # update stream — solrj/io/stream/UpdateStream.java (with CommitStream as
@@ -77,4 +77,52 @@ def update_stream_reindex(spark, sf_dir):
         .groupBy("lang")
         .agg(F.count("*").alias("n_docs"))
         .orderBy(F.asc("lang"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic range facets — lucene/facet/src/java/org/apache/lucene/facet/
+# range/DynamicRangeUtil.java (computeDynamicRanges): split a numeric
+# field into N ranges holding ~equal WEIGHT (doc count here, weight 1
+# per doc) and report each range's bounds + count — the "let the data
+# pick the buckets" sibling of the fixed-bounds `facet_range`. Both
+# engines compute the same equal-frequency split via ntile(N) over the
+# sorted values (ties broken by the value order itself, deterministic on
+# this data), then min/max/count per tile — one window + one agg, no
+# driver-side quantile pass. Scale note: a global ntile is a
+# single-partition sort, the same full value sort the reference's
+# computeDynamicRanges performs on its collected array; the 100 TB
+# variant swaps it for repartitionByRange + per-partition offsets (or
+# approx_percentile bounds), trading exact equal weights for
+# distribution — this row pins the exact-bounds semantics.
+# ---------------------------------------------------------------------------
+
+_DR_N = 4
+
+
+@register(
+    "dynamic_range_facet",
+    f"""WITH t AS (SELECT o_totalprice AS v,
+            ntile({_DR_N}) OVER (ORDER BY o_totalprice ASC) AS tile
+     FROM orders)
+SELECT tile, min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS n_docs
+FROM t GROUP BY tile ORDER BY tile ASC""",
+)
+def dynamic_range_facet(spark, sf_dir):
+    """DynamicRangeUtil: 4 equal-weight ranges over o_totalprice."""
+    from pyspark.sql import Window
+
+    o = _read(spark, sf_dir, "orders")
+    w = Window.orderBy(F.asc("o_totalprice"))
+    t = o.select(
+        F.col("o_totalprice").alias("v"), F.ntile(_DR_N).over(w).alias("tile")
+    )
+    return (
+        t.groupBy("tile")
+        .agg(
+            F.min("v").alias("lo"),
+            F.max("v").alias("hi"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy(F.asc("tile"))
     )

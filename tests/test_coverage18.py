@@ -43,3 +43,16 @@ def test_update_stream_replay_idempotent(spark):
     src = Catalog(f"{root}/src").segments()[0]
     ingest_batch(dest, src.stored_fields(spark).limit(3), batch_id=0, stream_id="upd-")
     assert [s.segment_id for s in dest.segments()] == before
+
+
+def test_dynamic_ranges_equal_weight(spark):
+    """Tiles hold equal weight (+/-1 doc) and bounds partition the value
+    line in order — the computeDynamicRanges contract."""
+    rows = c18.dynamic_range_facet(spark, SF_DIR).collect()
+    assert [r.tile for r in rows] == list(range(1, c18._DR_N + 1))
+    counts = [r.n_docs for r in rows]
+    assert max(counts) - min(counts) <= 1
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # ranges ordered, non-overlapping on this data
+    n = spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert sum(counts) == n
