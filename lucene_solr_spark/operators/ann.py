@@ -53,6 +53,27 @@ def cosine_topk(emb: DataFrame, probe: list[float], k: int = 10,
     )
 
 
+def euclidean_topk(emb: DataFrame, probe: list[float], k: int = 10,
+                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Brute-force L2 top-k against a literal probe vector, scored with
+    Lucene's EUCLIDEAN similarity-to-score transform 1/(1+d^2)
+    (index/VectorSimilarityFunction.java#EUCLIDEAN, the score used by
+    KnnFloatVectorQuery). d^2 is expanded to dot products
+    (v.v - 2 v.p + p.p) so the oracle's list_dot_product mirrors the
+    operation shape exactly. JVM-side fold; TakeOrderedAndProject."""
+    p = F.array(*[F.lit(float(x)) for x in probe])
+    v = F.col(vec_col).cast("array<double>")
+    d2 = _dot(v, v) - F.lit(2.0) * _dot(v, p) + _dot(p, p)
+    return (
+        emb.select(
+            F.col(id_col),
+            F.round(F.lit(1.0) / (F.lit(1.0) + d2), 6).alias("l2_score"),
+        )
+        .orderBy(F.desc("l2_score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> list[list[float]]:
     """Deterministic ±1 hyperplanes (reproducible literals, both engines)."""
     rng = np.random.default_rng(seed)
