@@ -45,6 +45,7 @@ import lucene_solr_spark.plans.coverage16_queries  # noqa: E402,F401  (registers
 import lucene_solr_spark.plans.coverage17_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage18_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage19_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.coverage20_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
