@@ -74,6 +74,37 @@ def euclidean_topk(emb: DataFrame, probe: list[float], k: int = 10,
     )
 
 
+def byte_quantize_expr(vec_col):
+    """int8 floor-quantization as a Column: floor(x*127) clamped to
+    [-128, 127] per element (array<float|double> in, array<long> out).
+    THE pinned quantizer — vector_byte_dot_topk and the
+    vector_quantized_recall gate must share it so the gate measures the
+    quantizer that ships. SQL mirror: DUCK_BYTE_QUANT."""
+    return F.transform(
+        vec_col.cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-128).cast("long"),
+            F.least(F.lit(127).cast("long"), F.floor(x * 127.0)),
+        ),
+    )
+
+
+# DuckDB rendering of byte_quantize_expr ({e} = the vector expression)
+DUCK_BYTE_QUANT = (
+    "list_transform({e}::DOUBLE[], "
+    "x -> greatest(-128, least(127, floor(x * 127.0)))::BIGINT)"
+)
+
+
+def long_dot_expr(a, b):
+    """Integer dot product of two array<long> Columns (exact, JVM fold)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
 def lsh_planes(dim: int, n_planes: int = 8, seed: int = LSH_SEED) -> list[list[float]]:
     """Deterministic ±1 hyperplanes (reproducible literals, both engines)."""
     rng = np.random.default_rng(seed)

@@ -14,6 +14,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import ann
+from ..operators.dedup import DUCK_H60, h60
 from .driver_queries import _TOKS_CTE, _read, register
 
 # ---------------------------------------------------------------------------
@@ -40,7 +41,7 @@ _MH_K = 3
 sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS shingle
        FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i + 2 <= len(t)),
 h AS (SELECT DISTINCT doc_id,
-             ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS mh FROM sh),
+             {DUCK_H60.format(e='shingle')} AS mh FROM sh),
 r AS (SELECT doc_id, mh,
              row_number() OVER (PARTITION BY doc_id ORDER BY mh ASC) AS rn
       FROM h)
@@ -66,12 +67,7 @@ def minhash_filter_sig(spark, sf_dir):
             ).alias("shingle"),
         )
     )
-    h = sh.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10)
-        .cast("long")
-        .alias("mh"),
-    ).distinct()
+    h = sh.select("doc_id", h60(F.col("shingle")).alias("mh")).distinct()
     w = Window.partitionBy("doc_id").orderBy(F.asc("mh"))
     kept = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= _MH_K)
     return (
@@ -103,13 +99,33 @@ _KR_STEM_SQL = (
 )
 
 
-@register(
-    "keyword_repeat_stems",
-    f"""WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared position-keyed pluralized surface stream (both stemmer rows must
+# test the SAME derived stream): SQL CTEs yielding surf(tok) ...
+_SURF_CTES = """tokarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
         FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i <= len(t)),
 surf AS (SELECT CASE WHEN (doc_id + pos) % 3 = 0 THEN tok || 's' ELSE tok END AS tok
-         FROM pos),
+         FROM pos)"""
+
+
+def _surf_stream(d):
+    """... and the identical Spark rendering over the documents table."""
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    return pos.select(
+        F.when(
+            (F.col("doc_id") + F.col("pos")) % 3 == 0,
+            F.concat("tok", F.lit("s")),
+        )
+        .otherwise(F.col("tok"))
+        .alias("tok")
+    )
+
+
+@register(
+    "keyword_repeat_stems",
+    f"""WITH {_SURF_CTES},
 em AS (SELECT unnest(list_distinct([tok, {_KR_STEM_SQL.format(t='tok')}])) AS term
        FROM surf)
 SELECT term, count(*)::BIGINT AS n
@@ -118,15 +134,7 @@ FROM em GROUP BY term ORDER BY n DESC, term ASC LIMIT 20""",
 def keyword_repeat_stems(spark, sf_dir):
     """KeywordRepeat -> EnglishMinimalStem -> RemoveDuplicates: top-20
     emitted terms over the position-pluralized token stream."""
-    d = _read(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    surf = pos.select(
-        F.when((F.col("doc_id") + F.col("pos")) % 3 == 0, F.concat("tok", F.lit("s")))
-        .otherwise(F.col("tok"))
-        .alias("tok")
-    )
+    surf = _surf_stream(_read(spark, sf_dir, "documents"))
     em = surf.select(
         F.explode(
             F.array_distinct(
@@ -162,26 +170,14 @@ _SO_CASE = (
 
 @register(
     "stemmer_override_top",
-    f"""WITH tokarr AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-pos AS (SELECT doc_id, i - 1 AS pos, t[i] AS tok
-        FROM tokarr, (SELECT unnest(range(1, 4000)) AS i) ix WHERE i <= len(t)),
-surf AS (SELECT CASE WHEN (doc_id + pos) % 3 = 0 THEN tok || 's' ELSE tok END AS tok
-         FROM pos)
+    f"""WITH {_SURF_CTES}
 SELECT {_SO_CASE.format(t='tok')} AS term, count(*)::BIGINT AS n
 FROM surf GROUP BY 1 ORDER BY n DESC, term ASC LIMIT 20""",
 )
 def stemmer_override_top(spark, sf_dir):
     """StemmerOverride('windows'->'window-os') + KeywordMarker('keys')
     ahead of EnglishMinimalStem: top-20 index terms."""
-    d = _read(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
-    )
-    surf = pos.select(
-        F.when((F.col("doc_id") + F.col("pos")) % 3 == 0, F.concat("tok", F.lit("s")))
-        .otherwise(F.col("tok"))
-        .alias("tok")
-    )
+    surf = _surf_stream(_read(spark, sf_dir, "documents"))
     return (
         surf.select(F.expr(_SO_CASE.format(t="tok")).alias("term"))
         .groupBy("term")

@@ -105,8 +105,7 @@ def _quantize_byte(vec: list[float]) -> list[int]:
 @register(
     "vector_byte_dot_topk",
     f"""WITH q AS (SELECT vec_id,
-        list_transform(embedding::DOUBLE[],
-                       x -> greatest(-128, least(127, floor(x * 127.0)))::BIGINT) AS qv
+        {ann.DUCK_BYTE_QUANT.format(e='embedding')} AS qv
       FROM embeddings),
 probe AS (SELECT qv AS p FROM q WHERE vec_id = 0)
 SELECT vec_id,
@@ -121,18 +120,7 @@ def vector_byte_dot_topk(spark, sf_dir):
     raw = [float(x) for x in emb.filter("vec_id = 0").collect()[0]["embedding"]]
     pq = _quantize_byte(raw)
     p = F.array(*[F.lit(int(x)).cast("long") for x in pq])
-    qv = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.greatest(
-            F.lit(-128).cast("long"),
-            F.least(F.lit(127).cast("long"), F.floor(x * 127.0)),
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with(qv, p, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = ann.long_dot_expr(ann.byte_quantize_expr(F.col("embedding")), p)
     denom = float(_BYTE_DIMS * (1 << 15))
     return (
         emb.select(

@@ -13,6 +13,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators import ann
+from ..operators.dedup import DUCK_H60, h60
 from .coverage3_queries import _f32_bm25_ctes
 from .dataops_queries import _duck_cos
 from .driver_queries import _read, register
@@ -40,8 +41,7 @@ full10 AS (SELECT vec_id FROM (
     FROM embeddings, probe)
   ORDER BY c DESC, vec_id ASC LIMIT {_QR_K}),
 q AS (SELECT vec_id,
-        list_transform(embedding::DOUBLE[],
-                       x -> greatest(-128, least(127, floor(x * 127.0)))::BIGINT) AS qv
+        {ann.DUCK_BYTE_QUANT.format(e='embedding')} AS qv
       FROM embeddings),
 qprobe AS (SELECT qv AS p FROM q WHERE vec_id = 0),
 quant10 AS (SELECT vec_id FROM (
@@ -60,18 +60,7 @@ def vector_quantized_recall(spark, sf_dir):
     full10 = ann.cosine_topk(emb, raw, k=_QR_K).select("vec_id")
     pq = _quantize_byte(raw)
     p = F.array(*[F.lit(int(x)).cast("long") for x in pq])
-    qv = F.transform(
-        F.col("embedding").cast("array<double>"),
-        lambda x: F.greatest(
-            F.lit(-128).cast("long"),
-            F.least(F.lit(127).cast("long"), F.floor(x * 127.0)),
-        ),
-    )
-    dot = F.aggregate(
-        F.zip_with(qv, p, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
+    dot = ann.long_dot_expr(ann.byte_quantize_expr(F.col("embedding")), p)
     quant10 = (
         emb.select("vec_id", dot.alias("d"))
         .orderBy(F.desc("d"), F.asc("vec_id"))
@@ -137,7 +126,7 @@ _CIR_SHARDS = 8
 
 @register(
     "composite_id_routing",
-    f"""SELECT (('0x' || substr(md5(lang), 1, 15))::BIGINT % {_CIR_SHARDS}) AS shard,
+    f"""SELECT ({DUCK_H60.format(e='lang')} % {_CIR_SHARDS}) AS shard,
        lang, count(*)::BIGINT AS n_docs
 FROM documents
 GROUP BY 1, 2 ORDER BY shard ASC, lang ASC""",
@@ -145,10 +134,7 @@ GROUP BY 1, 2 ORDER BY shard ASC, lang ASC""",
 def composite_id_routing(spark, sf_dir):
     """'lang!doc_id' composite routing: prefix-hash shard per lang."""
     d = _read(spark, sf_dir, "documents")
-    shard = (
-        F.conv(F.substring(F.md5("lang"), 1, 15), 16, 10).cast("long")
-        % _CIR_SHARDS
-    ).alias("shard")
+    shard = (h60(F.col("lang")) % _CIR_SHARDS).alias("shard")
     return (
         d.groupBy(shard, "lang")
         .agg(F.count("*").alias("n_docs"))
@@ -191,7 +177,7 @@ def parent_block_knn(spark, sf_dir):
     p = F.array(*[F.lit(float(x)) for x in probe])
     c = emb.select(
         "vec_id",
-        (F.col("vec_id") / _PB_BLOCK).cast("long").alias("parent_id"),
+        F.floor(F.col("vec_id") / _PB_BLOCK).cast("long").alias("parent_id"),
         F.round(
             ann.cosine(F.col("embedding").cast("array<double>"), p), 6
         ).alias("cos_sim"),
@@ -217,9 +203,10 @@ def parent_block_knn(spark, sf_dir):
 # here boosting BM25 relevance by a doc-value factor
 # (score(q) * n_chars/1000). ENGINE-PATH: the inner scores are the real
 # WAND engine's float32 BM25; the product ranks in float64. The oracle
-# re-derives the f32 scores via the shared binary32 CTEs. k covers the
-# whole match set at test SF; at scale this is reranking a k-bounded
-# head, the same shape as ltr_rerank.
+# re-derives the f32 scores via the shared binary32 CTEs. The rerank
+# window is the full segment doc count so the head provably covers every
+# matching doc; at scale a deployment bounds it, accepting the standard
+# rerank-window approximation (the ltr_rerank shape).
 # ---------------------------------------------------------------------------
 
 _QVS_TERMS = ["batch", "order", "stream"]
@@ -240,7 +227,12 @@ def function_query_nested_score(spark, sf_dir):
     from .solr_queries import _engine_searcher
 
     s = _engine_searcher(spark, sf_dir)
-    scores = s.topk(" ".join(_QVS_TERMS), k=1000, mode="wand")
+    # rerank window = the whole segment: the oracle ranks over every
+    # matching doc, so the engine head must too (a fixed k<n can miss an
+    # oracle-top doc whose BM25 rank is low but n_chars factor is large)
+    scores = s.topk(
+        " ".join(_QVS_TERMS), k=s.segment.stats.n_docs, mode="wand"
+    )
     d = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
     boosted = scores.join(d, "doc_id").select(
         "doc_id",

@@ -163,7 +163,7 @@ SELECT source, count(*) FILTER (WHERE rn <= {_SC_CAP})::BIGINT AS n_kept,
 FROM r GROUP BY source ORDER BY source ASC""",
 )
 def source_cap_sample(spark, sf_dir):
-    """Cap each source at {cap} docs (doc_id order): kept/total counts."""
+    """Cap each source at 10 docs (doc_id order): kept/total counts."""
     d = _read(spark, sf_dir, "documents")
     w = Window.partitionBy("source").orderBy(F.asc("doc_id"))
     return (
