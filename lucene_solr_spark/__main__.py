@@ -154,6 +154,21 @@ def _search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        # Solr's edismax rejects a qf/pf naming an undefined field
+        # ("undefined field" SolrException); refuse with the same shape
+        # as the other CLI errors instead of an assertion deep in the
+        # kernel. The catalog's single stored text field is 'content'.
+        for spec_name, spec in (("qf", args.qf), ("pf", args.pf)):
+            for part in (spec or "").split():
+                field = part.split("^", 1)[0]
+                if field and field != "content":
+                    print(
+                        json.dumps({"error": f"undefined field '{field}' "
+                                    f"in {spec_name}; this catalog's only "
+                                    "field is 'content'"}),
+                        file=sys.stderr,
+                    )
+                    return 2
         params = {
             "q": args.query,
             "qf": args.qf or "content",

@@ -262,6 +262,25 @@ def test_cli_surround_refuses_fq(spark, cli_index, capsys):
     assert "not supported" in captured.err
 
 
+def test_cli_edismax_refuses_undefined_field(spark, cli_index, capsys):
+    """Solr's edismax "undefined field" refusal: a qf/pf naming anything
+    but the catalog's 'content' field errors cleanly (rc=2, JSON on
+    stderr), not an assertion in the kernel."""
+    rc = main([
+        "search", "--index", cli_index, "--query", "key order",
+        "--deftype", "edismax", "--qf", "text",
+    ])
+    assert rc == 2
+    captured = capsys.readouterr()
+    assert "undefined field 'text'" in captured.err
+    rc = main([
+        "search", "--index", cli_index, "--query", "key order",
+        "--deftype", "edismax", "--qf", "content", "--pf", "body^2",
+    ])
+    assert rc == 2
+    assert "undefined field 'body'" in capsys.readouterr().err
+
+
 def test_cli_xmlparser_match_all(spark, cli_index, capsys):
     rc = main([
         "search", "--index", cli_index, "--query", "<MatchAllDocsQuery/>",
