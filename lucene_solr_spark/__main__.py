@@ -128,6 +128,16 @@ def _search(args) -> int:
 
     spark = get_spark(app_name="fulltext-search")
     cat = Catalog(args.index)
+    # an index path with no committed segments is a user error, not an
+    # internal state (Lucene throws IndexNotFoundException for a
+    # directory without a segments_N file): refuse cleanly up front
+    if not cat.segments():
+        print(
+            json.dumps({"error": f"no index found at '{args.index}' "
+                        "(no committed segments)"}),
+            file=sys.stderr,
+        )
+        return 2
     printed = "doc_id"  # branches serving gdoc-space results override
     if getattr(args, "deftype", "lucene") == "edismax":
         # eDisMax request (ExtendedDismaxQParser analog): the catalog's
@@ -191,7 +201,7 @@ def _search(args) -> int:
         # kernel (operators/surround.py); single merged segment like the
         # other positional front ends
         from .operators.spans import span_topk
-        from .operators.surround import parse_surround
+        from .operators.surround import SurroundParseError, parse_surround
 
         if args.fq:
             print(
@@ -216,7 +226,16 @@ def _search(args) -> int:
                 )
                 return 2
             ex = MultiSearcher.from_catalog(spark, cat).expand_terms
-        node = parse_surround(args.query, expand=lambda pfx: ex(prefix=pfx))
+        try:
+            node = parse_surround(
+                args.query, expand=lambda pfx: ex(prefix=pfx)
+            )
+        except SurroundParseError as exc:
+            # surface the parse failure the way the local-params
+            # dispatcher does (JSON on stderr, rc=2), not a traceback
+            print(json.dumps({"error": f"surround parse: {exc}"}),
+                  file=sys.stderr)
+            return 2
         # liveDocs: tombstoned docs are excluded here exactly as on the
         # classic (MultiSearcher) path
         tomb = [int(r.doc_id) for r in cat.deletes(spark).collect()]

@@ -281,6 +281,29 @@ def test_cli_edismax_refuses_undefined_field(spark, cli_index, capsys):
     assert "undefined field 'body'" in capsys.readouterr().err
 
 
+def test_cli_surround_parse_error_is_json(spark, cli_index, capsys):
+    """Bad surround syntax surfaces as the CLI's JSON error contract
+    (rc=2), not a SurroundParseError traceback."""
+    rc = main([
+        "search", "--index", cli_index, "--query", "W(key,",
+        "--deftype", "surround",
+    ])
+    assert rc == 2
+    assert "surround parse" in capsys.readouterr().err
+
+
+def test_cli_missing_index_is_json(spark, tmp_path, capsys):
+    """A path with no committed segments refuses cleanly
+    (IndexNotFoundException analog), for every parser branch."""
+    for extra in ([], ["--deftype", "edismax", "--qf", "content"]):
+        rc = main([
+            "search", "--index", str(tmp_path / "nope"), "--query", "order",
+            *extra,
+        ])
+        assert rc == 2
+        assert "no index found" in capsys.readouterr().err
+
+
 def test_cli_xmlparser_match_all(spark, cli_index, capsys):
     rc = main([
         "search", "--index", cli_index, "--query", "<MatchAllDocsQuery/>",
