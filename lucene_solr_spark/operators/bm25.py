@@ -34,7 +34,12 @@ def idf(N: int, df: int) -> float:
 
 def norm_cache(avgdl: float, k1: float = K1, b: float = B) -> np.ndarray:
     """256-entry float32 cache: norm byte -> k1*(1-b+b*dl/avgdl).
-    Mirrors BM25Similarity#scorer's ``cache`` array."""
+    Mirrors BM25Similarity#scorer's ``cache`` array. avgdl is 0 only for
+    a segment with zero indexed tokens — no posting can be scored there,
+    so any finite cache works; 1.0 keeps the arithmetic warning-free
+    (Lucene never hits this: a non-empty index has avgFieldLength > 0)."""
+    if avgdl == 0:
+        avgdl = 1.0
     dl = BYTE4_DECODE_TABLE.astype(np.float32)
     return (
         np.float32(k1)
