@@ -758,10 +758,21 @@ def _assemble_segment(
     # sum of doc lengths) — no scan ever touches the wide stored fields
     n_docs = n_docs_pre if not seg_path else docmap.count()
     # doc-id range: a narrow column-pruned agg; lets multi-segment servers
-    # verify flat doc-id spaces are disjoint (catalog.py#SegmentStats)
+    # verify flat doc-id spaces are disjoint (catalog.py#SegmentStats).
+    # The distinct count rides the same agg to refuse duplicate
+    # pre-assigned doc ids up front — Lucene doc ids are unique by
+    # construction, and a collision here would silently merge two docs'
+    # postings/norms into one id.
     id_rng = docmap.agg(
-        F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")
+        F.min("doc_id").alias("lo"),
+        F.max("doc_id").alias("hi"),
+        F.countDistinct("doc_id").alias("nd"),
     ).collect()[0]
+    if id_rng["nd"] is not None and int(id_rng["nd"]) != int(n_docs):
+        raise ValueError(
+            f"corpus doc_id column has duplicates: {n_docs} rows but "
+            f"{int(id_rng['nd'])} distinct ids — doc ids must be unique"
+        )
     pagg = terms.agg(
         F.sum("n_blocks").alias("nblocks"),
         F.sum("df").alias("n_postings"),

@@ -104,3 +104,20 @@ def test_synth_corpus_deterministic_and_skewed(spark):
     assert [r["content_sha256"] for r in c1] == [r["content_sha256"] for r in c2]
     joined = " ".join(r["content"] for r in c1)
     assert "import" in joined and "return" in joined
+
+
+def test_build_refuses_duplicate_doc_ids(spark):
+    """Pre-assigned doc ids must be unique (Lucene ids are unique by
+    construction); a collision would silently merge two docs' postings."""
+    from lucene_solr_spark.corpus import stamp_sha256
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    dup = spark.createDataFrame(
+        [(0, "r", "a", "c", "en", "order"), (0, "r", "b", "c", "en", "batch")],
+        schema,
+    )
+    with pytest.raises(ValueError, match="doc_id column has duplicates"):
+        build_index(spark, stamp_sha256(dup), out_dir=None)
