@@ -342,8 +342,15 @@ def _search(args) -> int:
             args.query, rules, k=args.k, fq=args.fq
         )
     else:
+        from .plans.qparser import QueryParseError
+
         ms = MultiSearcher.from_catalog(spark, cat)
-        hits = ms.search(args.query, k=args.k, fq=args.fq)
+        try:
+            hits = ms.search(args.query, k=args.k, fq=args.fq)
+        except QueryParseError as exc:
+            print(json.dumps({"error": f"query parse: {exc}"}),
+                  file=sys.stderr)
+            return 2
     rows = hits.collect()
     extra: dict[int, dict] = {}
     fl = [c.strip() for c in (getattr(args, "fl", None) or "").split(",")

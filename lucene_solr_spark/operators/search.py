@@ -409,6 +409,17 @@ class Searcher:
         from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
 
         node = parse(query_string)
+        if node == ("matchall",):
+            # MatchAllDocsQuery (`*:*`): every doc, constant score 1.0,
+            # docID tie-break — a pruned docmap scan, no postings touched
+            out = self.docmap.select(
+                "doc_id", F.lit(1.0).cast("float").alias("score")
+            )
+            if fq is not None:
+                out = out.join(
+                    self.fq_docs(fq).select("doc_id"), "doc_id", "left_semi"
+                )
+            return out.orderBy(F.asc("doc_id")).limit(k)
         if isinstance(node, tuple) and node[0] == "phrase":
             if fq is None:
                 return self._phrase_tuple_topk(node, k)
@@ -1721,6 +1732,28 @@ class MultiSearcher:
         from .query import Phrase
 
         node = parse(query_string)
+        if node == ("matchall",):
+            # MatchAllDocsQuery across the catalog: every LIVE doc,
+            # constant score 1.0, global doc order (docBase + local id)
+            parts = []
+            for s in self.segments:
+                base = self.doc_base[s.segment_id]
+                dm = s.stored_fields(self.spark).select("doc_id")
+                dd = self._deleted_docs(s)
+                if dd is not None:
+                    dm = dm.join(dd.select("doc_id"), "doc_id", "left_anti")
+                parts.append(
+                    dm.select(
+                        F.lit(s.segment_id).alias("segment_id"),
+                        "doc_id",
+                        (F.col("doc_id") + F.lit(base)).alias("gdoc_id"),
+                        F.lit(1.0).cast("float").alias("score"),
+                    )
+                )
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.orderBy(F.asc("gdoc_id")).limit(k)
         if isinstance(node, tuple) and node[0] == "phrase":
             node = Phrase(tuple(node[1]), node[2], node[3], node[4])
         else:

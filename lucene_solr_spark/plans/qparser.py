@@ -81,6 +81,12 @@ def _split_boost(tok: str) -> tuple[str, float]:
     m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", tok)
     if m:
         return m.group(1), float(m.group(2))
+    if "^" in tok:
+        # '^' is only ever the boost operator; a dangling or negative
+        # boost is a parse error (BoostQuery rejects boost < 0, the
+        # classic grammar requires a number after '^') — refusing beats
+        # silently re-tokenizing 'order^-2' into a phrase
+        raise QueryParseError(f"invalid boost in {tok!r}")
     return tok, 1.0
 
 
@@ -174,6 +180,11 @@ def _parse_tokens(toks: list[str], i: int = 0, depth: int = 0):
             occur, body = "MUST", body[1:]
         elif body.startswith("-"):
             occur, body = "MUST_NOT", body[1:]
+        if body == "*:*":
+            # the canonical MatchAllDocsQuery syntax (classic
+            # QueryParser.jj: field '*' + term '*')
+            push(("matchall",), occur)
+            continue
         # optional field: prefix (classic `field:clause` scoping) — applies
         # to the immediately following term/phrase/range/multi-term leaf
         field = None
@@ -254,6 +265,14 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
         return node
     if isinstance(node, tuple):
         kind = node[0]
+        if kind == "matchall":
+            # MatchAllDocsQuery nested in a Boolean tree: no scored-tree
+            # rendering here (the constant-1 clause would need its own
+            # scorer slot); serve the common top-level form in
+            # Searcher.search and refuse the nested shape explicitly
+            raise QueryParseError(
+                "*:* is only supported as the entire query"
+            )
         if kind in ("wildcard", "fuzzy", "range") and node[-1] is not None:
             raise QueryParseError(
                 f"field-scoped {kind} queries need a per-field terms "

@@ -162,3 +162,36 @@ def test_search_phrase_string(built):
     ]
     want2 = [(d, np.float32(s)) for d, s in ora.topk_phrase("key order", k=10, slop=2)]
     assert sloppy == want2
+
+
+# ---- MatchAllDocsQuery (`*:*`) and boost validation -------------------------
+
+def test_match_all_star_colon_star(built, spark):
+    searcher, _ = built
+    n = searcher.segment.stats.n_docs
+    rows = searcher.search("*:*", k=n + 10).collect()
+    assert len(rows) == n  # every doc
+    assert all(r.score == 1.0 for r in rows)  # constant score
+    ids = [r.doc_id for r in rows]
+    assert ids == sorted(ids)  # docID tie-break order
+    # fq composes: the match-all scan respects the filter
+    en = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("lang = 'en'")
+        .count()
+    )
+    assert searcher.search("*:*", k=n + 10, fq="lang = 'en'").count() == en
+
+
+def test_match_all_nested_refused(built):
+    searcher, _ = built
+    with pytest.raises(QueryParseError, match="entire query"):
+        searcher.search("order *:*", k=3)
+
+
+def test_invalid_boost_refused():
+    with pytest.raises(QueryParseError, match="invalid boost"):
+        parse("order^-2")
+    with pytest.raises(QueryParseError, match="invalid boost"):
+        parse("order^")
+    assert parse("order^2.5") == Term("order", 2.5)
