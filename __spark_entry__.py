@@ -51,6 +51,7 @@ import lucene_solr_spark.plans.coverage22_queries  # noqa: E402,F401  (registers
 import lucene_solr_spark.plans.coverage23_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage24_queries  # noqa: E402,F401  (registers entries)
 import lucene_solr_spark.plans.coverage25_queries  # noqa: E402,F401  (registers entries)
+import lucene_solr_spark.plans.coverage26_queries  # noqa: E402,F401  (registers entries)
 
 
 def entry(spark: SparkSession) -> DataFrame:
