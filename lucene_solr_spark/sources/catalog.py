@@ -300,6 +300,18 @@ class Catalog:
 
     def _gen_ids(self, gen: int) -> list[str]:
         p = os.path.join(self.root, "_commits", f"segments_{gen}.json")
+        if not os.path.exists(p):
+            # IndexNotFoundException analog for a missing segments_N:
+            # name what IS available instead of a raw FileNotFoundError
+            avail = sorted(
+                int(f[len("segments_"):-len(".json")])
+                for f in os.listdir(os.path.join(self.root, "_commits"))
+                if f.startswith("segments_") and f.endswith(".json")
+            ) if os.path.isdir(os.path.join(self.root, "_commits")) else []
+            raise ValueError(
+                f"no commit generation {gen} in {self.root!r} "
+                f"(archived generations: {avail or 'none'})"
+            )
         with open(p) as f:
             return list(json.load(f)["segments"])
 

@@ -67,3 +67,25 @@ def test_cleanup_never_touches_live_or_pinned(spark, cat):
     assert cat.cleanup() == []  # everything live or pinned
     cat.release_snapshot(snap)
     assert cat.cleanup() == []  # still live
+
+
+def test_time_travel_to_missing_generation_refuses(spark, tmp_path):
+    """segments(at=N) for an unarchived N raises a named error listing
+    what exists (IndexNotFoundException analog), not FileNotFoundError."""
+    import pytest
+
+    from lucene_solr_spark.corpus import stamp_sha256
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    root = str(tmp_path / "cat")
+    cat = Catalog(root)
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    df = spark.createDataFrame([(0, "r", "a", "c", "en", "order")], schema)
+    build_index(spark, stamp_sha256(df), out_dir=root, segment_id="s0")
+    cat.commit_swap(add=["s0"])
+    with pytest.raises(ValueError, match="no commit generation 999"):
+        cat.segments(at=999)
