@@ -26,7 +26,7 @@ from .driver_queries import register
 
 @register(
     "matchall_engine_constant",
-    """SELECT doc_id, 1.0 AS score
+    """SELECT doc_id, 1.0::DOUBLE AS score
 FROM documents ORDER BY doc_id ASC LIMIT 20""",
 )
 def matchall_engine_constant(spark, sf_dir):
