@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -127,10 +128,17 @@ def _search(args) -> int:
     from .sources.catalog import Catalog
 
     spark = get_spark(app_name="fulltext-search")
+    # an absent or empty index path is a user error, not an internal
+    # state (Lucene's IndexNotFoundException; its read path never creates
+    # the directory) — check BEFORE Catalog(), whose constructor mkdirs
+    if not os.path.isdir(args.index):
+        print(
+            json.dumps({"error": f"no index found at '{args.index}' "
+                        "(directory does not exist)"}),
+            file=sys.stderr,
+        )
+        return 2
     cat = Catalog(args.index)
-    # an index path with no committed segments is a user error, not an
-    # internal state (Lucene throws IndexNotFoundException for a
-    # directory without a segments_N file): refuse cleanly up front
     if not cat.segments():
         print(
             json.dumps({"error": f"no index found at '{args.index}' "
@@ -152,18 +160,6 @@ def _search(args) -> int:
                 file=sys.stderr,
             )
             return 2
-        # multi-segment catalogs ride the per-field segment-LIST support
-        # (MultiReader shape — no forced merge, global stats). The list
-        # shares ONE flat doc-id space, so ranges must be disjoint.
-        segs = cat.segments()
-        if len(segs) > 1 and not _disjoint_doc_ids(spark, segs):
-            print(
-                json.dumps({"error": "segments' doc-id ranges overlap; "
-                            "edismax needs one global doc-id space — "
-                            "run merge"}),
-                file=sys.stderr,
-            )
-            return 2
         # Solr's edismax rejects a qf/pf naming an undefined field
         # ("undefined field" SolrException); refuse with the same shape
         # as the other CLI errors instead of an assertion deep in the
@@ -179,6 +175,18 @@ def _search(args) -> int:
                         file=sys.stderr,
                     )
                     return 2
+        # multi-segment catalogs ride the per-field segment-LIST support
+        # (MultiReader shape — no forced merge, global stats). The list
+        # shares ONE flat doc-id space, so ranges must be disjoint.
+        segs = cat.segments()
+        if len(segs) > 1 and not _disjoint_doc_ids(spark, segs):
+            print(
+                json.dumps({"error": "segments' doc-id ranges overlap; "
+                            "edismax needs one global doc-id space — "
+                            "run merge"}),
+                file=sys.stderr,
+            )
+            return 2
         params = {
             "q": args.query,
             "qf": args.qf or "content",
@@ -307,7 +315,19 @@ def _search(args) -> int:
                 else f"{{!maxscore tie={args.tie}}}"
             ) + q
         try:
-            node = resolve_multi_terms(dispatch(q), ms)
+            node = dispatch(q)
+            if isinstance(node, tuple) and node[0] == "matchall":
+                # `{!lucene}*:*` — the canonical Solr everything-request:
+                # serve it on the catalog matchall path (fq composes)
+                hits = ms.matchall_topk(
+                    k=args.k, fq=args.fq, boost=float(node[1])
+                )
+                for r in hits.collect():
+                    print(json.dumps(
+                        {"doc_id": int(r["gdoc_id"]),
+                         "score": float(r["score"])}))
+                return 0
+            node = resolve_multi_terms(node, ms)
         except QueryParseError as exc:
             print(json.dumps({"error": str(exc)}), file=sys.stderr)
             return 2

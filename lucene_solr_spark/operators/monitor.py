@@ -200,6 +200,15 @@ class Monitor:
         def to_ir(node):
             if isinstance(node, tuple):
                 kind = node[0]
+                if kind == "matchall":
+                    # a registered *:* would fire on every doc — the
+                    # reverse-search trigger-term pruning has nothing to
+                    # prune on; refuse explicitly (MatchAllDocsQuery is a
+                    # forward-search query, not a percolation predicate)
+                    raise ValueError(
+                        "Monitor does not support *:* (it would match "
+                        "every document; register concrete predicates)"
+                    )
                 if node[-1] is not None:  # every leaf tuple ends in field
                     raise ValueError(
                         f"field-scoped {kind} queries need a per-field Monitor"

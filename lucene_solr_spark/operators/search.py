@@ -409,13 +409,14 @@ class Searcher:
         from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
 
         node = parse(query_string)
-        if node == ("matchall",):
-            # MatchAllDocsQuery (`*:*`): every doc, constant score 1.0,
-            # docID tie-break — a pruned docmap scan, no postings touched
-            out = self.docmap.select(
-                "doc_id", F.lit(1.0).cast("float").alias("score")
+        if isinstance(node, tuple) and node[0] == "matchall":
+            # MatchAllDocsQuery (`*:*`, optionally boosted): every doc,
+            # constant score = boost, docID tie-break — a stored-fields
+            # id scan (no norms join, no postings touched)
+            out = self.segment.stored_fields(self.spark).select(
+                "doc_id", F.lit(float(node[1])).cast("float").alias("score")
             )
-            if fq is not None:
+            if fq:
                 out = out.join(
                     self.fq_docs(fq).select("doc_id"), "doc_id", "left_semi"
                 )
@@ -1722,6 +1723,39 @@ class MultiSearcher:
             r["term"] for r in u.orderBy("term").limit(max_expansions).collect()
         ]
 
+    def matchall_topk(
+        self, k: int = 10, fq: str | None = None, boost: float = 1.0
+    ) -> DataFrame:
+        """MatchAllDocsQuery across the catalog: every LIVE doc, constant
+        score = boost, global doc order (docBase + local id); fq composes
+        per segment like every scored path. Shared by the classic-parser
+        `*:*` route and the CLI's local-params branch."""
+        parts = []
+        for s in self.segments:
+            base = self.doc_base[s.segment_id]
+            dm = s.stored_fields(self.spark).select("doc_id")
+            dd = self._deleted_docs(s)
+            if dd is not None:
+                dm = dm.join(dd.select("doc_id"), "doc_id", "left_anti")
+            if fq:
+                dm = dm.join(
+                    build_fq_docs(self.spark, s, fq).select("doc_id"),
+                    "doc_id",
+                    "left_semi",
+                )
+            parts.append(
+                dm.select(
+                    F.lit(s.segment_id).alias("segment_id"),
+                    "doc_id",
+                    (F.col("doc_id") + F.lit(base)).alias("gdoc_id"),
+                    F.lit(float(boost)).cast("float").alias("score"),
+                )
+            )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out.orderBy(F.asc("gdoc_id")).limit(k)
+
     def search(self, query_string: str, k: int = 10, fq: str | None = None) -> DataFrame:
         """Classic query string against the whole catalog — mirrors
         Searcher.search: multi-term leaves rewrite against the merged
@@ -1732,28 +1766,8 @@ class MultiSearcher:
         from .query import Phrase
 
         node = parse(query_string)
-        if node == ("matchall",):
-            # MatchAllDocsQuery across the catalog: every LIVE doc,
-            # constant score 1.0, global doc order (docBase + local id)
-            parts = []
-            for s in self.segments:
-                base = self.doc_base[s.segment_id]
-                dm = s.stored_fields(self.spark).select("doc_id")
-                dd = self._deleted_docs(s)
-                if dd is not None:
-                    dm = dm.join(dd.select("doc_id"), "doc_id", "left_anti")
-                parts.append(
-                    dm.select(
-                        F.lit(s.segment_id).alias("segment_id"),
-                        "doc_id",
-                        (F.col("doc_id") + F.lit(base)).alias("gdoc_id"),
-                        F.lit(1.0).cast("float").alias("score"),
-                    )
-                )
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out.orderBy(F.asc("gdoc_id")).limit(k)
+        if isinstance(node, tuple) and node[0] == "matchall":
+            return self.matchall_topk(k=k, fq=fq, boost=float(node[1]))
         if isinstance(node, tuple) and node[0] == "phrase":
             node = Phrase(tuple(node[1]), node[2], node[3], node[4])
         else:

@@ -180,10 +180,17 @@ def _parse_tokens(toks: list[str], i: int = 0, depth: int = 0):
             occur, body = "MUST", body[1:]
         elif body.startswith("-"):
             occur, body = "MUST_NOT", body[1:]
-        if body == "*:*":
+        if body == "*:*" or (
+            "^" in body and body.rpartition("^")[0] == "*:*"
+        ):
             # the canonical MatchAllDocsQuery syntax (classic
-            # QueryParser.jj: field '*' + term '*')
-            push(("matchall",), occur)
+            # QueryParser.jj: field '*' + term '*'), with optional boost
+            # (`*:*^2` = boosted match-all, constant score = boost)
+            if body == "*:*":
+                mb = 1.0
+            else:
+                _, mb = _split_boost(body)  # raises on a bad boost
+            push(("matchall", mb), occur)
             continue
         # optional field: prefix (classic `field:clause` scoping) — applies
         # to the immediately following term/phrase/range/multi-term leaf
@@ -238,8 +245,28 @@ def parse(query: str):
     if not clauses:
         return Bool()
     if len(clauses) == 1 and clauses[0][0] == "SHOULD":
-        return clauses[0][1]
+        return _unwrap_matchall(clauses[0][1])
     return _clauses_to_bool(clauses)
+
+
+def _unwrap_matchall(node):
+    """`(*:*)` / `((*:*))^2`: a Bool that wraps nothing but one SHOULD
+    matchall collapses to the matchall tuple (boosts multiply) — so every
+    top-level spelling of MatchAllDocsQuery reaches the callers'
+    matchall fast path instead of the tree scorer."""
+    while (
+        isinstance(node, Bool)
+        and not node.must
+        and not node.must_not
+        and not getattr(node, "filter", ())
+        and node.min_should_match in (0, 1)
+        and len(node.should) == 1
+        and isinstance(node.should[0], tuple)
+        and node.should[0][0] == "matchall"
+    ):
+        inner = node.should[0]
+        node = ("matchall", inner[1] * node.boost)
+    return node
 
 
 def _contains_tuple(node) -> bool:
@@ -267,11 +294,14 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
         kind = node[0]
         if kind == "matchall":
             # MatchAllDocsQuery nested in a Boolean tree: no scored-tree
-            # rendering here (the constant-1 clause would need its own
-            # scorer slot); serve the common top-level form in
-            # Searcher.search and refuse the nested shape explicitly
+            # rendering here (the constant-score clause would need its
+            # own scorer slot); top-level forms — bare, boosted, or
+            # parenthesized — are intercepted by the callers
+            # (Searcher/MultiSearcher.search, the CLI branches) before
+            # this rewrite, so only genuinely nested shapes reach here
             raise QueryParseError(
-                "*:* is only supported as the entire query"
+                "*:* inside a Boolean expression is not supported; "
+                "use it as the entire query"
             )
         if kind in ("wildcard", "fuzzy", "range") and node[-1] is not None:
             raise QueryParseError(

@@ -303,11 +303,12 @@ class Catalog:
         if not os.path.exists(p):
             # IndexNotFoundException analog for a missing segments_N:
             # name what IS available instead of a raw FileNotFoundError
+            cdir = os.path.join(self.root, "_commits")
             avail = sorted(
-                int(f[len("segments_"):-len(".json")])
-                for f in os.listdir(os.path.join(self.root, "_commits"))
-                if f.startswith("segments_") and f.endswith(".json")
-            ) if os.path.isdir(os.path.join(self.root, "_commits")) else []
+                int(m.group(1))
+                for f in (os.listdir(cdir) if os.path.isdir(cdir) else [])
+                if (m := re.match(r"^segments_(\d+)\.json$", f))
+            )
             raise ValueError(
                 f"no commit generation {gen} in {self.root!r} "
                 f"(archived generations: {avail or 'none'})"

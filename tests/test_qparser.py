@@ -189,6 +189,37 @@ def test_match_all_nested_refused(built):
         searcher.search("order *:*", k=3)
 
 
+def test_match_all_boosted_and_parenthesized(built):
+    """`*:*^2` is a boosted MatchAllDocsQuery (constant score = boost)
+    and `(*:*)` collapses to the same fast path; fq='' is no filter."""
+    searcher, _ = built
+    rows = searcher.search("*:*^2", k=3).collect()
+    assert [r.score for r in rows] == [2.0, 2.0, 2.0]
+    assert parse("(*:*)") == ("matchall", 1.0)
+    assert parse("*:*^2.5") == ("matchall", 2.5)
+    with pytest.raises(QueryParseError, match="invalid boost"):
+        parse("*:*^-3")
+    n = searcher.segment.stats.n_docs
+    assert searcher.search("*:*", k=n + 1, fq="").count() == n
+
+
+def test_match_all_multisearcher_fq(built, spark):
+    """MultiSearcher's matchall path composes fq per segment (the CLI
+    classic branch passes --fq here)."""
+    from lucene_solr_spark.operators.search import MultiSearcher
+
+    searcher, _ = built
+    ms = MultiSearcher(spark, [searcher.segment])
+    en = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter("lang = 'en'")
+        .count()
+    )
+    got = ms.search("*:*", k=10**6, fq="lang = 'en'")
+    assert got.count() == en
+    assert ms.search("*:*^3", k=1).collect()[0].score == 3.0
+
+
 def test_invalid_boost_refused():
     with pytest.raises(QueryParseError, match="invalid boost"):
         parse("order^-2")
