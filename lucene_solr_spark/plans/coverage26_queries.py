@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .driver_queries import register
+from .driver_queries import _read, register
 
 # ---------------------------------------------------------------------------
 # MatchAllDocsQuery via the classic `*:*` syntax —
@@ -36,4 +36,70 @@ def matchall_engine_constant(spark, sf_dir):
     s = _engine_searcher(spark, sf_dir)
     return s.search("*:*", k=20).select(
         "doc_id", F.col("score").cast("double").alias("score")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distributed stats merge — solr/core/.../handler/component/StatsComponent
+# .java distributed stage (StatsValuesFactory's mergeable stats: each
+# shard returns (count, sum, sumOfSquares) and the coordinator combines
+# them; variance/stddev come out of the MERGED moments, never from
+# per-shard stddevs). ENGINE SHAPE: per-shard (doc-hash) partial moments
+# in one grouped agg, one merge agg, stddev from the merged moments —
+# provably equal to the single-pass computation because the partial sums
+# are DECIMAL-exact (order-independent), so the final float64 formula
+# sqrt((ssq - s^2/n)/(n-1)) sees bit-identical inputs either way. The
+# oracle computes the same formula single-pass from the same DECIMAL
+# moments. This is the map-side-combine algebra every Spark agg uses —
+# the row pins that it matches the reference's merge contract exactly.
+# ---------------------------------------------------------------------------
+
+_SM_SHARDS = 4
+
+
+@register(
+    "stats_distributed_merge",
+    """WITH m AS (SELECT l_returnflag,
+        count(*)::BIGINT AS n,
+        sum(CAST(l_quantity AS DECIMAL(18,2))) AS s,
+        sum(CAST(l_quantity * l_quantity AS DECIMAL(18,2))) AS ssq
+     FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, n, s AS sum_qty,
+       round(sqrt(((ssq::DOUBLE) - (s::DOUBLE) * (s::DOUBLE) / n) / (n - 1)), 6)
+         AS stddev_qty
+FROM m ORDER BY l_returnflag ASC""",
+)
+def stats_distributed_merge(spark, sf_dir):
+    """Shard-partial (n, sum, sumsq) moments merged to exact global
+    stddev per returnflag — the StatsComponent merge algebra."""
+    li = _read(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_quantity",
+        (F.col("l_orderkey") % _SM_SHARDS).alias("shard"),
+    )
+    partial = li.groupBy("shard", "l_returnflag").agg(
+        F.count("*").alias("n_p"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("s_p"),
+        F.sum(
+            (F.col("l_quantity") * F.col("l_quantity")).cast("decimal(18,2)")
+        ).alias("ssq_p"),
+    )
+    merged = partial.groupBy("l_returnflag").agg(
+        F.sum("n_p").alias("n"),
+        F.sum("s_p").alias("s"),
+        F.sum("ssq_p").alias("ssq"),
+    )
+    n = F.col("n").cast("double")
+    s = F.col("s").cast("double")
+    ssq = F.col("ssq").cast("double")
+    return (
+        merged.select(
+            "l_returnflag",
+            F.col("n").cast("long").alias("n"),
+            F.col("s").cast("decimal(38,2)").alias("sum_qty"),
+            F.round(
+                F.sqrt((ssq - s * s / n) / (n - F.lit(1))), 6
+            ).alias("stddev_qty"),
+        )
+        .orderBy(F.asc("l_returnflag"))
     )

@@ -70,3 +70,26 @@ def test_source_cap_keeps_first_n(spark):
     for r in rows:
         assert r.n_total == per_src[r.source]
         assert r.n_kept == min(c22._SC_CAP, per_src[r.source])
+
+
+def test_stats_merge_equals_single_pass(spark):
+    """Merged shard moments reproduce the single-pass stddev exactly
+    (DECIMAL partials are order-independent)."""
+    from lucene_solr_spark.plans import coverage26_queries as c26
+
+    got = c26.stats_distributed_merge(spark, SF_DIR).collect()
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in li.select("l_returnflag", "l_quantity").collect():
+        vals[r.l_returnflag].append(float(r.l_quantity))
+    for r in got:
+        v = vals[r.l_returnflag]
+        n = len(v)
+        assert r.n == n
+        assert float(r.sum_qty) == sum(v)
+        s, ssq = sum(v), sum(x * x for x in v)
+        want = round(math.sqrt((ssq - s * s / n) / (n - 1)), 6)
+        assert abs(r.stddev_qty - want) < 1e-9, (r.l_returnflag, r.stddev_qty, want)
