@@ -95,9 +95,17 @@ def _apply_term_patterns(t, prefix, wildcard, fuzzy, regexp, term_range):
     if prefix is not None:
         t = t.filter(F.col("term").startswith(prefix))
     if wildcard is not None:
-        t = t.filter(
-            F.col("term").like(wildcard.replace("*", "%").replace("?", "_"))
+        # WildcardQuery (search/WildcardQuery.java): only '*' and '?' are
+        # wildcards — literal '%'/'_' in a term must stay literal, so
+        # escape them before translating to SQL LIKE (default escape '\')
+        pat = (
+            wildcard.replace("\\", "\\\\")
+            .replace("%", r"\%")
+            .replace("_", r"\_")
+            .replace("*", "%")
+            .replace("?", "_")
         )
+        t = t.filter(F.col("term").like(pat))
     if fuzzy is not None:
         # FuzzyQuery (search/FuzzyQuery.java): Lucene's metric is OSA
         # (Damerau with transpositions, the LevenshteinAutomata default,
@@ -119,7 +127,10 @@ def _apply_term_patterns(t, prefix, wildcard, fuzzy, regexp, term_range):
             )
             t = t.filter(_osa_udf(term)(F.col("term")) <= max_edits)
     if regexp is not None:
-        t = t.filter(F.col("term").rlike(regexp))
+        # RegexpQuery (search/RegexpQuery.java) matches the ENTIRE term;
+        # Spark rlike is a substring search, so anchor the pattern
+        # (idempotent for already-anchored patterns)
+        t = t.filter(F.col("term").rlike(f"^(?:{regexp})$"))
     if term_range is not None:
         # TermRangeQuery (search/TermRangeQuery.java): [lo, hi) over the
         # sorted terms dict — maps straight onto parquet min/max pruning
@@ -749,8 +760,18 @@ class Searcher:
     def topk_wildcard(self, pattern: str, k: int = 10) -> DataFrame:
         return self.topk_constant(self.expand_terms(wildcard=pattern), k)
 
-    def topk_fuzzy(self, term: str, max_edits: int = 2, k: int = 10) -> DataFrame:
-        return self.topk_constant(self.expand_terms(fuzzy=(term, max_edits)), k)
+    def topk_fuzzy(
+        self,
+        term: str,
+        max_edits: int = 2,
+        k: int = 10,
+        transpositions: bool = False,
+    ) -> DataFrame:
+        """FuzzyQuery rewrite + constant-score top-k. ``transpositions``
+        selects the OSA metric (Lucene's FuzzyQuery default); the plain
+        Levenshtein default here is kept for the pinned oracle rows."""
+        fz = (term, max_edits, True) if transpositions else (term, max_edits)
+        return self.topk_constant(self.expand_terms(fuzzy=fz), k)
 
     def topk_regexp(self, pattern: str, k: int = 10) -> DataFrame:
         return self.topk_constant(self.expand_terms(regexp=pattern), k)
@@ -1461,6 +1482,14 @@ class MultiSearcher:
         # shards.tolerant bookkeeping (set by from_catalog(tolerant=True))
         self.skipped: list[tuple[str, str]] = []
         self.partial_results = False
+        # per-(segment, fq) materialized DocSets (the Searcher FilterCache
+        # analog): repeated filters skip the stored-fields scan per query
+        self.filter_cache = FilterCache()
+
+    def _fq_docs(self, s: Segment, fq: str) -> DataFrame:
+        return self.filter_cache.get_or_build(
+            (s.segment_id, fq), lambda: build_fq_docs(self.spark, s, fq)
+        )
 
     def _deleted_docs(self, s: Segment) -> DataFrame | None:
         """This segment's tombstones as a (bucket, doc_id) DataFrame sharing
@@ -1613,7 +1642,7 @@ class MultiSearcher:
                 self.avgdl,
                 use_wand,
                 deleted_docs=self._deleted_docs(s),
-                filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
+                filter_docs=self._fq_docs(s, fq) if fq else None,
             )
             base = self.doc_base[s.segment_id]
             per_seg.append(
@@ -1637,6 +1666,7 @@ class MultiSearcher:
         per-segment liveDocs excluded; merge tie-break (score desc,
         gdoc_id asc) as in topk."""
         from .query import (
+            collect_fields,
             collect_phrases,
             collect_synonyms,
             collect_term_leaves,
@@ -1644,6 +1674,14 @@ class MultiSearcher:
             rewrite,
         )
 
+        if collect_fields(q) - {None}:
+            # same guard as Searcher: a field-scoped leaf would silently
+            # score against the single indexed text field (wrong field,
+            # wrong results) — refuse like FieldedSearcher expects
+            raise ValueError(
+                "field-scoped query on a single-field MultiSearcher — "
+                "use operators.fields.FieldedSearcher"
+            )
         q = rewrite(q)
         phrases = collect_phrases(q)
         stats = self.term_stats(sorted(collect_terms(q)))
@@ -1684,7 +1722,7 @@ class MultiSearcher:
                 deleted_docs=self._deleted_docs(s),
                 positions=positions,
                 phrase_idfs=phrase_idfs,
-                filter_docs=build_fq_docs(self.spark, s, fq) if fq else None,
+                filter_docs=self._fq_docs(s, fq) if fq else None,
                 syn_idfs=syn_idfs,
             )
             base = self.doc_base[s.segment_id]
@@ -1739,7 +1777,7 @@ class MultiSearcher:
                 dm = dm.join(dd.select("doc_id"), "doc_id", "left_anti")
             if fq:
                 dm = dm.join(
-                    build_fq_docs(self.spark, s, fq).select("doc_id"),
+                    self._fq_docs(s, fq).select("doc_id"),
                     "doc_id",
                     "left_semi",
                 )
@@ -1781,7 +1819,9 @@ def exhaustive_scores(searcher: Searcher, query_text: str, op: str = "or") -> Da
     q_terms = sorted(set(tokenize_text(query_text)))
     stats = searcher.term_stats(q_terms)
     matched = sorted(stats)
-    if not matched:
+    if not matched or (op == "and" and len(matched) < len(q_terms)):
+        # conjunction with an absent query term matches nothing — mirror
+        # topk()'s early return so this debug oracle agrees with it
         return searcher.spark.createDataFrame([], _TOPK_SCHEMA)
     idfs = {t: np.float32(stats[t].idf) for t in matched}
     cache = searcher._cache
@@ -1844,7 +1884,9 @@ def sorted_index_topk(
             f"early termination reads a one-bucket prefix; k={k} exceeds "
             f"bucket_docs={bd} (widen buckets or page with search_after)"
         )
-    dead = sorted(int(d) for d in (deleted or ()))
+    # accept list/tuple OR numpy array (the tombstone shape sibling APIs
+    # take) — `deleted or ()` would raise on a multi-element ndarray
+    dead = sorted(int(d) for d in (() if deleted is None else deleted))
     # the k-th live doc id is at most k-1 + |tombstones|: widen the bucket
     # prefix just enough (still O(k + deletes), never O(corpus))
     need = k + len(dead)

@@ -314,7 +314,13 @@ def resolve_multi_terms(node, searcher, max_expansions: int = 1024):
             return Bool(should=tuple(Term(t) for t in terms), boost=boost)
         if kind == "fuzzy":
             _, term, edits, boost, _f = node
-            terms = searcher.expand_terms(fuzzy=(term, edits), max_expansions=max_expansions)
+            # the classic parser's `term~N` is a FuzzyQuery with Lucene's
+            # DEFAULT transpositions=true (OSA metric) — the plain
+            # Levenshtein variant stays reachable via expand_terms'
+            # 2-tuple form (pinned by the fuzzy_query_terms oracle row)
+            terms = searcher.expand_terms(
+                fuzzy=(term, edits, True), max_expansions=max_expansions
+            )
             return Bool(should=tuple(Term(t) for t in terms), boost=boost)
         if kind == "range":
             _, lo, hi, inc_lo, inc_hi, _f = node

@@ -226,3 +226,84 @@ def test_invalid_boost_refused():
     with pytest.raises(QueryParseError, match="invalid boost"):
         parse("order^")
     assert parse("order^2.5") == Term("order", 2.5)
+
+
+# ---- Lucene-parity fixes: wildcard/regexp/fuzzy/field-guard ------------------
+
+def test_wildcard_escapes_like_metachars(spark):
+    """'_'/'%' in a wildcard pattern are literals (only * and ? wild)."""
+    from lucene_solr_spark.corpus import stamp_sha256
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    df = spark.createDataFrame(
+        [(0, "r", "a", "c", "en", "abcd fooxbar acbd")], schema
+    )
+    seg = build_index(spark, stamp_sha256(df), out_dir=None)
+    s = Searcher(spark, seg)
+    assert s.expand_terms(wildcard="foo_bar*") == []  # '_' literal, no match
+    assert s.expand_terms(wildcard="foo?bar") == ["fooxbar"]  # '?' wild
+
+
+def test_regexp_matches_entire_term(built):
+    """RegexpQuery semantics: the pattern must match the WHOLE term."""
+    searcher, _ = built
+    assert searcher.expand_terms(regexp="mer") == []  # substring would hit 'merge'
+    assert "merge" in searcher.expand_terms(regexp="mer.*")
+
+
+def test_parser_fuzzy_uses_transpositions(spark):
+    """`term~1` through the classic parser uses Lucene's default OSA
+    metric: a transposition counts as ONE edit."""
+    from lucene_solr_spark.corpus import stamp_sha256
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    df = spark.createDataFrame(
+        [(0, "r", "a", "c", "en", "abcd"), (1, "r", "b", "c", "en", "zzzz")],
+        schema,
+    )
+    seg = build_index(spark, stamp_sha256(df), out_dir=None)
+    s = Searcher(spark, seg)
+    assert [r.doc_id for r in s.search("acbd~1", k=5).collect()] == [0]
+    # the plain-Levenshtein 2-tuple form stays plain (oracle-row pin)
+    assert s.expand_terms(fuzzy=("acbd", 1)) == []
+
+
+def test_multisearcher_field_guard(built, spark):
+    from lucene_solr_spark.operators.search import MultiSearcher
+
+    searcher, _ = built
+    ms = MultiSearcher(spark, [searcher.segment])
+    with pytest.raises(ValueError, match="single-field MultiSearcher"):
+        ms.topk_query(Term("order", 1.0, "title"), k=3)
+
+
+def test_sorted_topk_accepts_numpy_deleted(spark):
+    """sorted_index_topk takes the same ndarray tombstone shape as its
+    sibling APIs."""
+    import numpy as np
+
+    from lucene_solr_spark.corpus import documents_as_corpus
+    from lucene_solr_spark.operators.search import sorted_index_topk
+
+    corpus = documents_as_corpus(spark, SF_DIR).drop("doc_id")
+    seg = build_index(spark, corpus, out_dir=None, index_sort=["path"])
+    rows = sorted_index_topk(
+        spark, seg, k=3, sort=["path"], deleted=np.array([0, 1])
+    ).collect()
+    assert [r.doc_id for r in rows] == [2, 3, 4]  # ids ARE the sort order
+
+
+def test_exhaustive_and_with_absent_term(built):
+    """exhaustive_scores(op='and') agrees with topk: an absent query term
+    empties the conjunction."""
+    from lucene_solr_spark.operators.search import exhaustive_scores
+
+    searcher, _ = built
+    assert exhaustive_scores(searcher, "order zzzznotaterm", op="and").count() == 0
+    assert searcher.topk("order zzzznotaterm", k=5, op="and").count() == 0
