@@ -173,6 +173,21 @@ class FieldedSearcher:
         from ..plans.qparser import _contains_tuple, parse, resolve_multi_terms
 
         node = parse(query_string)
+        if isinstance(node, tuple) and node[0] == "matchall":
+            # MatchAllDocsQuery over the fielded index: every doc of the
+            # shared docmap, constant score = boost, docID order (the
+            # same contract as Searcher.search's matchall fast path)
+            dm = self.searchers[self.default_field].segment.stored_fields(
+                self.spark
+            )
+            return (
+                dm.select(
+                    "doc_id",
+                    F.lit(float(node[1])).cast("float").alias("score"),
+                )
+                .orderBy(F.asc("doc_id"))
+                .limit(k)
+            )
         if isinstance(node, tuple) and node[0] == "phrase":
             _, terms, slop, boost, field = node
             node = Phrase(tuple(terms), slop, boost, field)

@@ -224,3 +224,24 @@ def test_combined_field_absent_term_is_disjunction(spark, built):
     ]
     none = combined_field_topk(spark, segs, ["zzzqqq"], k=10)
     assert none.count() == 0
+
+
+def test_fielded_matchall(spark):
+    """`*:*` on a FieldedSearcher: every doc, constant score = boost."""
+    from lucene_solr_spark.corpus import stamp_sha256
+    from lucene_solr_spark.operators.fields import FieldedSearcher
+    from lucene_solr_spark.operators.indexer import build_index
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    df = spark.createDataFrame(
+        [(0, "r", "a", "c", "en", "order"), (1, "r", "b", "c", "en", "batch")],
+        schema,
+    )
+    seg = build_index(spark, stamp_sha256(df), out_dir=None)
+    fs = FieldedSearcher(spark, {"content": seg}, default_field="content")
+    rows = fs.search("*:*", k=5).collect()
+    assert [(r.doc_id, r.score) for r in rows] == [(0, 1.0), (1, 1.0)]
+    assert fs.search("*:*^2", k=1).collect()[0].score == 2.0
