@@ -187,6 +187,29 @@ def _search(args) -> int:
                 file=sys.stderr,
             )
             return 2
+        if args.query.strip() == "*:*":
+            # ExtendedDismaxQParser special-cases `*:*` as
+            # MatchAllDocsQuery: every LIVE doc, constant score 1.0, in
+            # the flat doc-id space the disjointness guard just verified
+            from pyspark.sql import functions as F
+
+            deletes = cat.deletes(spark)
+            parts = []
+            for sg in segs:
+                dm = sg.stored_fields(spark).select("doc_id")
+                dd = deletes.filter(
+                    F.col("segment_id") == sg.segment_id
+                ).select("doc_id")
+                parts.append(dm.join(dd, "doc_id", "left_anti"))
+            u = parts[0]
+            for p in parts[1:]:
+                u = u.unionByName(p)
+            for r in (
+                u.orderBy(F.asc("doc_id")).limit(args.k).collect()
+            ):
+                print(json.dumps({"doc_id": int(r["doc_id"]),
+                                  "score": 1.0}))
+            return 0
         params = {
             "q": args.query,
             "qf": args.qf or "content",

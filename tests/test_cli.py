@@ -262,6 +262,21 @@ def test_cli_surround_refuses_fq(spark, cli_index, capsys):
     assert "not supported" in captured.err
 
 
+def test_cli_edismax_matchall(spark, cli_index, capsys):
+    """edismax `*:*` = MatchAllDocsQuery (the ExtendedDismaxQParser
+    special case): every live doc, constant score 1.0."""
+    rc = main([
+        "search", "--index", cli_index, "--query", "*:*",
+        "--deftype", "edismax", "--k", "5",
+    ])
+    assert rc == 0
+    rows = _lines(capsys)
+    assert len(rows) == 5
+    assert all(r["score"] == 1.0 for r in rows)
+    ids = [r["doc_id"] for r in rows]
+    assert ids == sorted(ids)
+
+
 def test_cli_edismax_refuses_undefined_field(spark, cli_index, capsys):
     """Solr's edismax "undefined field" refusal: a qf/pf naming anything
     but the catalog's 'content' field errors cleanly (rc=2, JSON on
