@@ -280,7 +280,12 @@ def _search(args) -> int:
         from .operators.query import Bool
         from .operators.xmlparser import parse_xml_query
 
-        tree = parse_xml_query(args.query)
+        try:
+            tree = parse_xml_query(args.query)
+        except Exception as exc:  # malformed XML / unknown element
+            print(json.dumps({"error": f"xml query parse: {exc}"}),
+                  file=sys.stderr)
+            return 2
         ms = MultiSearcher.from_catalog(spark, cat)
         if tree == Bool():
             # top-level MatchAllDocsQuery: every LIVE doc (tombstones

@@ -296,6 +296,16 @@ def test_cli_edismax_refuses_undefined_field(spark, cli_index, capsys):
     assert "undefined field 'body'" in capsys.readouterr().err
 
 
+def test_cli_xmlparser_parse_error_is_json(spark, cli_index, capsys):
+    """Malformed XML surfaces as the CLI's JSON error contract (rc=2)."""
+    rc = main([
+        "search", "--index", cli_index, "--query", "<BooleanQuery><Oops",
+        "--deftype", "xmlparser",
+    ])
+    assert rc == 2
+    assert "xml query parse" in capsys.readouterr().err
+
+
 def test_cli_surround_parse_error_is_json(spark, cli_index, capsys):
     """Bad surround syntax surfaces as the CLI's JSON error contract
     (rc=2), not a SurroundParseError traceback."""
