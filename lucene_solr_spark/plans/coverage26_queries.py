@@ -103,3 +103,46 @@ def stats_distributed_merge(spark, sf_dir):
         )
         .orderBy(F.asc("l_returnflag"))
     )
+
+
+# ---------------------------------------------------------------------------
+# FuzzyQuery via the classic parser with Lucene's default metric —
+# queryparser/classic parses `term~N` into search/FuzzyQuery.java whose
+# DEFAULT transpositions=true uses the OSA (restricted Damerau) distance
+# of util/automaton/LevenshteinAutomata.java. Probe 'atble' is chosen so
+# the metrics DISAGREE: OSA('atble','table')=1 (one adjacent swap) but
+# plain Levenshtein=2 — a plain-metric engine would return ZERO rows
+# here, so the row is a sharp cross-metric pin, scored f32-exactly
+# through the real WAND tree over the expanded disjunction. (DuckDB's
+# damerau_levenshtein is unrestricted Damerau; it equals OSA at
+# distance <= 1, the case exercised.)
+# ---------------------------------------------------------------------------
+
+_FZ_PROBE = "atble"
+
+
+def _osa_fuzzy_oracle() -> str:
+    from .coverage3_queries import _f32_bm25_ctes
+
+    base = _f32_bm25_ctes(["__placeholder__"])
+    old = "qt AS (SELECT unnest(['__placeholder__']) AS term)"
+    new = (
+        "qt AS (SELECT DISTINCT term FROM pos "
+        f"WHERE damerau_levenshtein(term, '{_FZ_PROBE}') <= 1)"
+    )
+    assert old in base, "f32 CTE shape drifted"
+    return f"""WITH {base.replace(old, new)}
+SELECT doc_id, round(score_f::DOUBLE, 4) AS score
+FROM scored ORDER BY score_f DESC, doc_id ASC LIMIT 10"""
+
+
+@register("fuzzy_osa_parser_topk", _osa_fuzzy_oracle())
+def fuzzy_osa_parser_topk(spark, sf_dir):
+    """`atble~1` through the classic parser: OSA expansion (a plain-
+    Levenshtein engine returns nothing), BM25 top-10 over the expansion."""
+    from .solr_queries import _engine_searcher
+
+    s = _engine_searcher(spark, sf_dir)
+    return s.search(f"{_FZ_PROBE}~1", k=10).select(
+        "doc_id", F.round(F.col("score").cast("double"), 4).alias("score")
+    )
