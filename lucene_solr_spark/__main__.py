@@ -434,13 +434,37 @@ def _search(args) -> int:
     return 0
 
 
+def _require_index(path: str) -> int | None:
+    """Shared IndexNotFoundException-analog guard for read-only
+    subcommands: refuse a missing or segment-less index path with the
+    CLI's JSON error contract, WITHOUT creating the directory."""
+    if not os.path.isdir(path):
+        print(
+            json.dumps({"error": f"no index found at '{path}' "
+                        "(directory does not exist)"}),
+            file=sys.stderr,
+        )
+        return 2
+    return None
+
+
 def _check(args) -> int:
     from .operators.checker import check_segment
     from .session import get_spark
     from .sources.catalog import Catalog
 
+    rc = _require_index(args.index)
+    if rc is not None:
+        return rc
     spark = get_spark(app_name="fulltext-check")
     cat = Catalog(args.index)
+    if not cat.segments():
+        print(
+            json.dumps({"error": f"no index found at '{args.index}' "
+                        "(no committed segments)"}),
+            file=sys.stderr,
+        )
+        return 2
     for seg in cat.segments():
         summary = check_segment(spark, seg)
         print(json.dumps({"segment_id": seg.segment_id, **summary}))
@@ -452,8 +476,18 @@ def _merge(args) -> int:
     from .session import get_spark
     from .sources.catalog import Catalog
 
+    rc = _require_index(args.index)
+    if rc is not None:
+        return rc
     spark = get_spark(app_name="fulltext-merge")
     cat = Catalog(args.index)
+    if not cat.segments():
+        print(
+            json.dumps({"error": f"no index found at '{args.index}' "
+                        "(no committed segments)"}),
+            file=sys.stderr,
+        )
+        return 2
     merged = merge_segments(spark, cat.segments(), catalog=cat)
     print(
         json.dumps(

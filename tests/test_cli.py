@@ -319,14 +319,22 @@ def test_cli_surround_parse_error_is_json(spark, cli_index, capsys):
 
 def test_cli_missing_index_is_json(spark, tmp_path, capsys):
     """A path with no committed segments refuses cleanly
-    (IndexNotFoundException analog), for every parser branch."""
-    for extra in ([], ["--deftype", "edismax", "--qf", "content"]):
-        rc = main([
-            "search", "--index", str(tmp_path / "nope"), "--query", "order",
-            *extra,
-        ])
+    (IndexNotFoundException analog), for every read subcommand, WITHOUT
+    creating the typo'd directory."""
+    import os
+
+    bad = str(tmp_path / "nope")
+    for argv in (
+        ["search", "--index", bad, "--query", "order"],
+        ["search", "--index", bad, "--query", "order",
+         "--deftype", "edismax", "--qf", "content"],
+        ["check", "--index", bad],
+        ["merge", "--index", bad],
+    ):
+        rc = main(argv)
         assert rc == 2
         assert "no index found" in capsys.readouterr().err
+        assert not os.path.exists(bad)  # read path never mkdirs
 
 
 def test_cli_xmlparser_match_all(spark, cli_index, capsys):
