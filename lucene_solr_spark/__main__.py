@@ -36,6 +36,12 @@ def _build(args) -> int:
     from .session import get_spark
     from .sources.catalog import Catalog
 
+    if not os.path.exists(args.input):
+        print(
+            json.dumps({"error": f"input not found: '{args.input}'"}),
+            file=sys.stderr,
+        )
+        return 2
     spark = get_spark(app_name="fulltext-build")
     if args.table == "documents":
         corpus = documents_as_corpus(spark, args.input)
