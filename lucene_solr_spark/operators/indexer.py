@@ -103,6 +103,30 @@ def assign_doc_ids(
         r["_pid"]: r["cnt"]
         for r in k.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
+    # guard the id-attach equi-join's blind spots on the CACHED narrow
+    # keys (one tiny agg): a NULL key row would silently vanish from the
+    # join (NULL never equals NULL) and duplicate keys would fan out to
+    # multiple ids per row — both are corpus-contract violations that
+    # must fail loudly, not corrupt the segment
+    chk = k.agg(
+        F.count("*").alias("n"),
+        *[
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"_null_{i}")
+            for i, c in enumerate(keys)
+        ],
+        F.count_distinct(*[F.col(c) for c in keys]).alias("nd"),
+    ).collect()[0]
+    for i, c in enumerate(keys):
+        if chk[f"_null_{i}"]:
+            raise ValueError(
+                f"corpus key column {c!r} has {chk[f'_null_{i}']} NULL "
+                "rows — doc-id keys must be non-null"
+            )
+    if int(chk["nd"]) != int(chk["n"]):
+        raise ValueError(
+            f"corpus keys {keys} are not unique: {chk['n']} rows but "
+            f"{chk['nd']} distinct keys — ids would be ambiguous"
+        )
     offsets, acc = {}, 0
     for pid in sorted(counts):
         offsets[pid] = acc
@@ -470,13 +494,6 @@ def build_index(
     exclusive with a pre-assigned ``doc_id`` column: the sort DEFINES the
     ids.
     """
-    if index_sort:
-        if "doc_id" in corpus.columns:
-            raise ValueError(
-                "index_sort requires unassigned doc ids (the sort defines "
-                "them); drop the doc_id column first"
-            )
-        corpus = assign_doc_ids(corpus, list(index_sort))
     if with_offsets and not with_positions:
         raise ValueError("with_offsets requires with_positions")
     if with_offsets and synonyms is not None:
@@ -484,6 +501,13 @@ def build_index(
             "with_offsets supports the plain analysis chain only "
             "(synonym-graph builds carry end_bin instead)"
         )
+    if index_sort:
+        if "doc_id" in corpus.columns:
+            raise ValueError(
+                "index_sort requires unassigned doc ids (the sort defines "
+                "them); drop the doc_id column first"
+            )
+        corpus = assign_doc_ids(corpus, list(index_sort))
     if "content_sha256" not in corpus.columns:
         corpus = corpus.withColumn("content_sha256", F.sha2(F.col("content"), 256))
     if "doc_id" not in corpus.columns:
@@ -514,8 +538,14 @@ def build_index(
         try:
             files = corpus.inputFiles()
             if files:
+                from urllib.parse import unquote, urlparse
+
                 nbytes = sum(
-                    os.path.getsize(f[7:] if f.startswith("file:") else f)
+                    os.path.getsize(
+                        unquote(urlparse(f).path)
+                        if f.startswith("file:")
+                        else f
+                    )
                     for f in files
                 )
                 shuffle_n = max(8, min(shuffle_n, nbytes // (32 << 20) + 1))
@@ -769,6 +799,13 @@ def _assemble_segment(
         F.countDistinct("doc_id").alias("nd"),
     ).collect()[0]
     if id_rng["nd"] is not None and int(id_rng["nd"]) != int(n_docs):
+        if seg_path:
+            # every phase was built from the corrupt corpus — remove the
+            # staged dir so a rerun with the fixed corpus rebuilds instead
+            # of resuming onto the bad phases and re-raising forever
+            import shutil
+
+            shutil.rmtree(seg_path, ignore_errors=True)
         raise ValueError(
             f"corpus doc_id column has duplicates: {n_docs} rows but "
             f"{int(id_rng['nd'])} distinct ids — doc ids must be unique"

@@ -196,6 +196,15 @@ def merge_segments(
     import os
 
     root = out_dir or (catalog.root if catalog else None)
+    if catalog is not None and root != catalog.root:
+        # a merged segment written OUTSIDE the catalog cannot be committed
+        # by the swap below, yet drop_sources would still delete the
+        # sources — refuse the combination instead of losing the docs
+        raise ValueError(
+            "catalog merges must write into catalog.root "
+            f"({catalog.root!r}); got out_dir={out_dir!r} — "
+            "pass catalog=None for a detached merge"
+        )
     # merge commit protocol (SegmentInfos analog): build the merged segment
     # under an underscore-prefixed STAGING dir (never listed by the catalog),
     # rename it to its final name, then publish merged-in/sources-out with
@@ -235,6 +244,10 @@ def merge_segments(
         final_path = os.path.join(root, seg_id)
         os.replace(seg_path, final_path)
         merged.path = final_path
+        # cached DataFrames still reference the staging path that was
+        # just renamed away — drop them so Segment.table() re-reads from
+        # the final path instead of crashing on the vanished dir
+        merged.dfs = {}
         if drop_sources:
             catalog.commit_swap(add=[seg_id], remove=src_ids)
         else:
@@ -304,11 +317,32 @@ def maybe_compact(
 # ---------------------------------------------------------------------------
 
 
+def _write_new_tombstones(spark, catalog, seg, hits) -> int:
+    """Append only NOT-yet-tombstoned hits for one segment (idempotent
+    deletes: Lucene marks liveDocs bits once; re-deleting is a no-op).
+    The hits plan is cached so the count and the append share one
+    execution. Returns tombstones actually written."""
+    existing = catalog.deletes(spark).filter(
+        F.col("segment_id") == seg.segment_id
+    ).select("segment_id", "doc_id")
+    fresh = hits.join(
+        existing, ["segment_id", "doc_id"], "left_anti"
+    ).persist()
+    try:
+        n = fresh.count()
+        if n:
+            catalog.add_deletes(fresh)
+        return n
+    finally:
+        fresh.unpersist(blocking=False)
+
+
 def delete_by_key(
     spark: SparkSession, catalog: Catalog, keys: DataFrame
 ) -> int:
     """Delete docs matching (repo, path, commit) key rows across all
-    segments. Returns tombstones written."""
+    segments. Returns tombstones written (already-deleted docs are not
+    re-tombstoned or re-counted)."""
     total = 0
     for seg in catalog.segments():
         dm = seg.table(spark, "docmap")
@@ -317,23 +351,18 @@ def delete_by_key(
             ["repo", "path", "commit"],
             "left_semi",
         ).select(F.lit(seg.segment_id).alias("segment_id"), "doc_id")
-        n = hits.count()
-        if n:
-            catalog.add_deletes(hits)
-            total += n
+        total += _write_new_tombstones(spark, catalog, seg, hits)
     return total
 
 
 def delete_by_query(spark: SparkSession, catalog: Catalog, predicate) -> int:
-    """Delete docs whose docmap row matches a Column predicate."""
+    """Delete docs whose docmap row matches a Column predicate
+    (idempotent; returns NEW tombstones only)."""
     total = 0
     for seg in catalog.segments():
         dm = seg.table(spark, "docmap")
         hits = dm.filter(predicate).select(
             F.lit(seg.segment_id).alias("segment_id"), "doc_id"
         )
-        n = hits.count()
-        if n:
-            catalog.add_deletes(hits)
-            total += n
+        total += _write_new_tombstones(spark, catalog, seg, hits)
     return total

@@ -265,3 +265,98 @@ def test_multisearcher_fq_equals_single(spark, seg_full, catalog_two):
         for r in multi.topk_query(q, k=10, fq=fq).collect()
     ]
     assert c == d and c
+
+
+def test_staged_merge_returns_usable_handle(spark, tmp_path):
+    """The Segment returned by a staged catalog merge reads from the
+    FINAL path (the staging dir was renamed away)."""
+    from lucene_solr_spark.corpus import stamp_sha256
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.search import Searcher
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    root = str(tmp_path / "cat")
+    cat = Catalog(root)
+    a = spark.createDataFrame([(0, "r", "a", "c", "en", "order batch")], schema)
+    b = spark.createDataFrame([(1, "r", "b", "c", "en", "stream order")], schema)
+    build_index(spark, stamp_sha256(a), out_dir=root, segment_id="s0")
+    build_index(spark, stamp_sha256(b), out_dir=root, segment_id="s1")
+    cat.commit_swap(add=["s0", "s1"])
+    m = merge_segments(spark, cat.segments(), catalog=cat)
+    assert m.table(spark, "docmap").count() == 2  # no staging-path crash
+    assert Searcher(spark, m).topk("order", k=5).count() == 2
+
+
+def test_catalog_merge_refuses_foreign_out_dir(spark, tmp_path):
+    """catalog= plus an out_dir outside catalog.root would drop sources
+    without committing the merge anywhere — refused."""
+    from lucene_solr_spark.corpus import stamp_sha256
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    root = str(tmp_path / "cat2")
+    cat = Catalog(root)
+    a = spark.createDataFrame([(0, "r", "a", "c", "en", "order")], schema)
+    build_index(spark, stamp_sha256(a), out_dir=root, segment_id="s0")
+    cat.commit_swap(add=["s0"])
+    with pytest.raises(ValueError, match="catalog merges must write"):
+        merge_segments(
+            spark, cat.segments(), catalog=cat,
+            out_dir=str(tmp_path / "elsewhere"),
+        )
+    assert [s.segment_id for s in cat.segments()] == ["s0"]  # nothing lost
+
+
+def test_delete_by_query_idempotent(spark, tmp_path):
+    """Re-deleting already-tombstoned docs writes nothing and counts 0
+    (liveDocs bit semantics)."""
+    from pyspark.sql import functions as F
+
+    from lucene_solr_spark.corpus import stamp_sha256
+    from lucene_solr_spark.operators.indexer import build_index
+    from lucene_solr_spark.operators.merge import delete_by_query
+    from lucene_solr_spark.sources.catalog import Catalog
+
+    schema = (
+        "doc_id long, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    root = str(tmp_path / "cat3")
+    cat = Catalog(root)
+    a = spark.createDataFrame(
+        [(0, "r", "a", "c", "en", "x"), (1, "r", "b", "c", "de", "y")], schema
+    )
+    build_index(spark, stamp_sha256(a), out_dir=root, segment_id="s0")
+    cat.commit_swap(add=["s0"])
+    assert delete_by_query(spark, cat, F.col("lang") == "en") == 1
+    assert delete_by_query(spark, cat, F.col("lang") == "en") == 0
+    assert cat.deletes(spark).count() == 1  # no duplicate tombstones
+
+
+def test_assign_ids_refuses_null_and_duplicate_keys(spark):
+    from lucene_solr_spark.operators.indexer import assign_doc_ids
+
+    schema = (
+        "repo string, path string, commit string, lang string, content string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        assign_doc_ids(
+            spark.createDataFrame([("r", None, "c", "en", "x")], schema),
+            ["repo", "path", "commit"],
+        ).count()
+    with pytest.raises(ValueError, match="not unique"):
+        assign_doc_ids(
+            spark.createDataFrame(
+                [("r", "a", "c", "en", "x"), ("r", "a", "c", "en", "y")],
+                schema,
+            ),
+            ["repo", "path", "commit"],
+        ).count()
