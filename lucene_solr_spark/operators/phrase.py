@@ -152,7 +152,15 @@ def bucket_phrase_freqs(
         lens = np.array([p.size for p in plists], dtype=np.int64)
         per_term[t] = (docs, np.concatenate(plists) if plists else np.array([], dtype=np.int64), lens)
         if graph:
-            elists = [unpack_ints(b).astype(np.int64) for b in g["end_bin"]]
+            # a bucket can mix graph rows with PLAIN rows (null end_bin)
+            # when a graph-built and a plain segment serve one query
+            # (edismax unions them padding end_bin with null): a plain
+            # token's edge is the trivial start+1, exactly what merge.py
+            # synthesizes when carrying a plain segment into a graph one
+            elists = [
+                (p_ + 1) if b is None else unpack_ints(b).astype(np.int64)
+                for b, p_ in zip(g["end_bin"], plists)
+            ]
             ends_by_term[t] = (
                 np.concatenate(elists) if elists else np.array([], dtype=np.int64)
             )

@@ -70,6 +70,9 @@ __all__ = [
     "SpanOr",
     "SpanFirst",
     "SpanPositionRange",
+    "SpanNot",
+    "SpanContaining",
+    "SpanWithin",
     "span_terms",
     "doc_spans",
     "span_freq",
@@ -250,6 +253,11 @@ def _ordered_matches(
 ) -> list[tuple[tuple[int, int], int]]:
     """Greedy ordered matching: one candidate per leading-clause span.
     Returns [((start, end), slack)] for matches with slack <= slop."""
+    if not subs:
+        return []
+    if len(subs) == 1:
+        # SpanNearQuery with one clause rewrites to the clause itself
+        return [((s, e), 0) for s, e in subs[0]]
     out = []
     for s0 in subs[0]:
         prev_end = s0[1]
@@ -284,18 +292,28 @@ def _unordered_matches(
     the sloppy-phrase walk): advance the clause with the minimal start;
     a candidate window closes when the advanced clause passes the current
     runner-up start."""
+    if not subs:
+        return []
+    if len(subs) == 1:
+        # SpanNearQuery with one clause rewrites to the clause itself
+        return [((s, e), 0) for s, e in subs[0]]
     n = len(subs)
     idx = [0] * n
     heap = [(subs[i][0][0], subs[i][0][1], i) for i in range(n)]
     heapq.heapify(heap)
-    total_len = 0  # current window's summed span lengths, kept incrementally
     cur_len = [subs[i][0][1] - subs[i][0][0] for i in range(n)]
     total_len = sum(cur_len)
     max_end = max(subs[i][0][1] for i in range(n))
     out = []
 
+    # slack clamped at 0: clause spans may OVERLAP in an unordered near
+    # (NearSpansUnordered allows it), making the raw width - total_len
+    # negative; Lucene's sloppy weight never sees a negative distance
+    def _slack(start_: int) -> int:
+        return max(0, (max_end - start_) - total_len)
+
     start, end, i = heapq.heappop(heap)
-    best = ((start, max_end), (max_end - start) - total_len)
+    best = ((start, max_end), _slack(start))
     while True:
         idx[i] += 1
         if idx[i] >= len(subs[i]):
@@ -311,10 +329,10 @@ def _unordered_matches(
                 out.append(best)
             heapq.heappush(heap, (ns, ne, i))
             start, end, i = heapq.heappop(heap)
-            best = ((start, max_end), (max_end - start) - total_len)
+            best = ((start, max_end), _slack(start))
         else:
-            start, end, i = ns, ne, i
-            slack = (max_end - start) - total_len
+            start = ns
+            slack = _slack(start)
             if slack < best[1]:
                 best = ((start, max_end), slack)
     if best[1] <= slop:
@@ -326,8 +344,9 @@ def _doc_matches(
     node, positions: dict[str, np.ndarray]
 ) -> list[tuple[tuple[int, int], int]]:
     """Matches with their widths (slack): SpanNear carries its walk's
-    slack; Term/Or/First matches have slack 0; the filtering wrappers
-    (Not/Containing/Within) pass the surviving matches' widths THROUGH
+    slack; Term/Or matches have slack 0; the filtering wrappers
+    (Not/Containing/Within/First/PositionRange) pass the surviving
+    matches' widths THROUGH
     (SpanScorer sees the underlying spans' width — a filtered NearSpans
     match keeps its sloppy weight)."""
     if isinstance(node, SpanNear):
@@ -364,6 +383,18 @@ def _doc_matches(
             ((ls, le), w)
             for (ls, le), w in little
             if any(s <= ls and le <= e for s, e in big)
+        ]
+    if isinstance(node, SpanFirst):
+        return [
+            ((s, e), w)
+            for (s, e), w in _doc_matches(node.clause, positions)
+            if e <= node.end
+        ]
+    if isinstance(node, SpanPositionRange):
+        return [
+            ((s, e), w)
+            for (s, e), w in _doc_matches(node.clause, positions)
+            if node.start <= s and e <= node.end
         ]
     return [(s, 0) for s in doc_spans(node, positions)]
 

@@ -65,6 +65,10 @@ def _doc_spans(node, toks: list[str]) -> list[tuple[int, int]]:
 
 
 def _ordered(subs, slop):
+    if not subs:
+        return []
+    if len(subs) == 1:
+        return [((a, b), 0) for a, b in subs[0]]
     out = []
     for s0 in subs[0]:
         prev_end, slack, last_end, ok = s0[1], 0, s0[1], True
@@ -81,6 +85,10 @@ def _ordered(subs, slop):
 
 
 def _unordered(subs, slop):
+    if not subs:
+        return []
+    if len(subs) == 1:
+        return [((a, b), 0) for a, b in subs[0]]
     n = len(subs)
     idx = [0] * n
     heap = [(subs[i][0][0], subs[i][0][1], i) for i in range(n)]
@@ -90,7 +98,7 @@ def _unordered(subs, slop):
     max_end = max(subs[i][0][1] for i in range(n))
     out = []
     start, end, i = heapq.heappop(heap)
-    best = ((start, max_end), (max_end - start) - total_len)
+    best = ((start, max_end), max(0, (max_end - start) - total_len))
     while True:
         idx[i] += 1
         if idx[i] >= len(subs[i]):
@@ -104,10 +112,10 @@ def _unordered(subs, slop):
                 out.append(best)
             heapq.heappush(heap, (ns, ne, i))
             start, end, i = heapq.heappop(heap)
-            best = ((start, max_end), (max_end - start) - total_len)
+            best = ((start, max_end), max(0, (max_end - start) - total_len))
         else:
             start = ns
-            slack = (max_end - start) - total_len
+            slack = max(0, (max_end - start) - total_len)
             if slack < best[1]:
                 best = ((start, max_end), slack)
     if best[1] <= slop:
@@ -138,6 +146,12 @@ def _doc_matches_toks(node, toks: list[str]):
         big = _doc_spans(node.big, toks)
         return [((ls, le), w) for (ls, le), w in little
                 if any(s <= ls and le <= e for s, e in big)]
+    if isinstance(node, SpanFirst):
+        return [((s, e), w) for (s, e), w in _doc_matches_toks(node.clause, toks)
+                if e <= node.end]
+    if isinstance(node, SpanPositionRange):
+        return [((s, e), w) for (s, e), w in _doc_matches_toks(node.clause, toks)
+                if node.start <= s and e <= node.end]
     return [(s, 0) for s in _doc_spans(node, toks)]
 
 

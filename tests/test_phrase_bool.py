@@ -213,3 +213,36 @@ def test_search_string_with_fq(searcher, vocab):
         for r in searcher.search(f'"{a} {b}"', k=100000).collect()
     ]
     assert ph == [(d, s) for d, s in ph_full if d in allowed][:10]
+
+
+def test_phrase_kernel_mixed_graph_plain_bucket():
+    """A bucket mixing graph rows (end_bin set) with plain rows (null
+    end_bin — the edismax multi-segment union shape) must not crash:
+    plain tokens get the trivial start+1 edge, as segment merge does."""
+    import numpy as np
+    import pandas as pd
+
+    from lucene_solr_spark.functions.packing import delta_encode, pack_ints
+    from lucene_solr_spark.operators.phrase import bucket_phrase_freqs
+
+    def posbin(positions):
+        return pack_ints(delta_encode(np.array(positions, dtype=np.uint64)))
+
+    def endbin(ends):
+        return pack_ints(np.array(ends, dtype=np.uint64))
+
+    pdf = pd.DataFrame(
+        {
+            "term": ["key", "order", "key", "order"],
+            "doc_id": [0, 0, 1, 1],
+            "pos_bin": [posbin([0]), posbin([1]), posbin([5]), posbin([6])],
+            "end_bin": [endbin([1]), endbin([2]), None, None],
+            "norm_byte": [10, 10, 12, 12],
+        }
+    )
+    for slop in (0, 1):
+        ids, freqs, _ = bucket_phrase_freqs(
+            pdf, {"key": [0], "order": [1]}, slop=slop
+        )
+        assert list(ids) == [0, 1]
+        assert [float(f) for f in freqs] == [1.0, 1.0]

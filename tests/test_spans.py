@@ -217,3 +217,56 @@ def test_split_mixed_graph_plain_segment(spark, seg, corpus, vocab):
         for r in span_topk(spark, [graph_half, plain_half], q, k=10).collect()
     ]
     assert mixed == single and mixed
+
+
+def test_unordered_overlap_slack_clamped():
+    """Overlapping clause spans in an unordered near never produce a
+    negative slack (no ZeroDivision, no negative freq)."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.spans import (
+        SpanNear,
+        SpanTerm,
+        span_freq,
+    )
+
+    pos = {"a": np.array([0]), "b": np.array([1])}
+    node = SpanNear(
+        (SpanNear((SpanTerm("a"), SpanTerm("b")), 0, True), SpanTerm("b")),
+        slop=0,
+        in_order=False,
+    )
+    f = span_freq(node, pos)
+    assert f >= 0.0 and f == 1.0  # clamped slack 0 -> weight 1
+
+
+def test_span_near_degenerate_clause_counts():
+    from lucene_solr_spark.operators.spans import (
+        _ordered_matches,
+        _unordered_matches,
+    )
+
+    assert _ordered_matches([], 0) == []
+    assert _unordered_matches([], 0) == []
+    one = [[(0, 1), (3, 4)]]
+    assert _unordered_matches(one, 0) == [((0, 1), 0), ((3, 4), 0)]
+    assert _ordered_matches(one, 0) == [((0, 1), 0), ((3, 4), 0)]
+
+
+def test_span_first_keeps_sloppy_width():
+    """SpanFirst/SpanPositionRange pass the inner match's width through
+    (SpanPositionCheckQuery keeps the underlying scorer's width)."""
+    import numpy as np
+
+    from lucene_solr_spark.operators.spans import (
+        SpanFirst,
+        SpanNear,
+        SpanPositionRange,
+        SpanTerm,
+        span_freq,
+    )
+
+    pos = {"a": np.array([0]), "b": np.array([2])}
+    near = SpanNear((SpanTerm("a"), SpanTerm("b")), slop=2, in_order=True)
+    assert span_freq(SpanFirst(near, 10), pos) == 0.5  # slack 1 kept
+    assert span_freq(SpanPositionRange(near, 0, 10), pos) == 0.5
